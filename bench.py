@@ -1,0 +1,191 @@
+"""Benchmark harness: ms/frame at 1440p on one TPU chip vs the reference's RTX 4080 numbers.
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": "ms/frame", "vs_baseline": ...}
+for the flagship config currently implemented (upgraded as denoiser families land), and writes
+the full per-config table to bench_details.json.
+
+Baselines are the reference's published frame costs (README.md:18-22, see BASELINE.md).
+Timing methodology: device-only time of the jit-compiled frame function (the published NRD
+numbers are GPU pass cost, not host bookkeeping), median over repeats, donated history state.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+RESOLUTION = (2560, 1440)  # 1440p, the reference's headline resolution
+
+# Reference README.md:18-22 (RTX 4080, 1440p) - ms/frame
+BASELINES = {
+    "REBLUR_DIFFUSE_SPECULAR": 2.30,
+    "REBLUR_DIFFUSE_SPECULAR_SH": 3.15,
+    "RELAX_DIFFUSE_SPECULAR": 3.00,
+    "RELAX_DIFFUSE_SPECULAR_SH": 4.85,
+    "SIGMA_SHADOW": 0.40,
+    "SIGMA_SHADOW_TRANSLUCENCY": 0.50,
+    "REBLUR_DIFFUSE_OCCLUSION": 0.60,   # estimated: ~1/4 of DIFFUSE_SPECULAR (half planes, no stabilization)
+    "REFERENCE": 0.10,                  # estimated: 2 trivial passes over RGBA32f
+}
+
+# priority order for the headline metric (most flagship first)
+HEADLINE_ORDER = [
+    "REBLUR_DIFFUSE_SPECULAR",
+    "RELAX_DIFFUSE_SPECULAR",
+    "REBLUR_DIFFUSE_SPECULAR_SH",
+    "RELAX_DIFFUSE_SPECULAR_SH",
+    "REBLUR_DIFFUSE_OCCLUSION",
+    "SIGMA_SHADOW",
+    "SIGMA_SHADOW_TRANSLUCENCY",
+    "REFERENCE",
+]
+
+
+def make_inputs(w, h, seed=0):
+    """Synthetic 1440p frame inputs (uploaded once; timing excludes host->device copies)."""
+    rng = np.random.default_rng(seed)
+    return {
+        "signal": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),
+        "view_z": rng.uniform(0.1, 100.0, (h, w)).astype(np.float32),
+        "mv": np.zeros((h, w, 3), np.float32),
+        "normal_roughness": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),
+        "penumbra": rng.uniform(0, 4.0, (h, w)).astype(np.float32),
+        "translucency": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),
+        "hitdist": rng.uniform(0, 1, (h, w)).astype(np.float32),
+        "radiance": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),
+    }
+
+
+def time_frame_fn(fn, sc, dc, state, inputs, warmup=2, iters=8, frames_per_call=32):
+    """Median device ms/frame of `fn(sc, dc, state, inputs) -> (outs, state)`.
+
+    The axon tunnel adds ~30 ms host<->device latency per dispatch, so we chain
+    `frames_per_call` frames inside ONE jit with lax.scan (device-resident recurrence -
+    exactly how the engine runs in production via lax.scan carries) and divide.
+    """
+    import jax
+
+    def step(state, _):
+        outs, new_state = fn(sc, dc, state, inputs)
+        return new_state, None
+
+    @jax.jit
+    def run(state):
+        state, _ = jax.lax.scan(step, state, None, length=frames_per_call)
+        return state
+
+    for _ in range(warmup):
+        state = run(state)
+    jax.block_until_ready(state)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state = run(state)
+        jax.block_until_ready(state)
+        times.append((time.perf_counter() - t0) * 1e3 / frames_per_call)
+    return float(np.median(times))
+
+
+def bench_config(name, raw, w, h):
+    import jax
+
+    from nrdtpu.engine import Engine
+    from nrdtpu.settings import CommonSettings, Denoiser, ResourceType
+
+    denoiser = Denoiser[name]
+    eng = Engine({0: denoiser}, resource_size=(w, h))
+    cs = CommonSettings()
+    ident = np.eye(4, dtype=np.float32).flatten()
+    proj = np.zeros((4, 4), np.float32)
+    proj[0, 0] = proj[1, 1] = 1.0
+    proj[2, 2] = 1.0
+    proj[2, 3] = -0.1
+    proj[3, 2] = 1.0
+    cs.viewToClipMatrix = cs.viewToClipMatrixPrev = proj.flatten(order="F")
+    cs.worldToViewMatrix = cs.worldToViewMatrixPrev = ident
+    cs.resourceSize = cs.resourceSizePrev = cs.rectSize = cs.rectSizePrev = (w, h)
+    cs.motionVectorScale = (1.0, 1.0, 1.0)
+    eng.set_common_settings(cs)
+
+    pool = {}
+    if name == "REFERENCE":
+        pool[ResourceType.IN_SIGNAL] = raw["signal"]
+    else:
+        pool[ResourceType.IN_MV] = raw["mv"]
+        pool[ResourceType.IN_NORMAL_ROUGHNESS] = raw["normal_roughness"]
+        pool[ResourceType.IN_VIEWZ] = raw["view_z"]
+        if name.startswith("SIGMA"):
+            pool[ResourceType.IN_PENUMBRA] = raw["penumbra"]
+            if "TRANSLUCENCY" in name:
+                pool[ResourceType.IN_TRANSLUCENCY] = raw["translucency"]
+        elif "OCCLUSION" in name and "DIRECTIONAL" not in name:
+            if "DIFFUSE" in name:
+                pool[ResourceType.IN_DIFF_HITDIST] = raw["hitdist"]
+            if "SPECULAR" in name:
+                pool[ResourceType.IN_SPEC_HITDIST] = raw["hitdist"]
+        else:
+            if "DIFFUSE" in name:
+                if name.endswith("_SH"):
+                    pool[ResourceType.IN_DIFF_SH0] = raw["radiance"]
+                    pool[ResourceType.IN_DIFF_SH1] = raw["radiance"]
+                else:
+                    pool[ResourceType.IN_DIFF_RADIANCE_HITDIST] = raw["radiance"]
+            if "SPECULAR" in name:
+                if name.endswith("_SH"):
+                    pool[ResourceType.IN_SPEC_SH0] = raw["radiance"]
+                    pool[ResourceType.IN_SPEC_SH1] = raw["radiance"]
+                else:
+                    pool[ResourceType.IN_SPEC_RADIANCE_HITDIST] = raw["radiance"]
+
+    pool = {k: jax.device_put(v) for k, v in pool.items()}
+
+    # warm the engine-level path (builds the jitted fn + state)
+    eng.denoise([0], pool)
+    inst = eng._instances[0]
+    fn = inst.frame  # raw pure fn; time_frame_fn jits the scanned loop itself
+    dc = inst.frame_constants(eng._consts, eng._settings[0])
+    sc = eng._shared_consts()
+    state = eng._states[0]
+    ms = time_frame_fn(fn, sc, dc, state, pool)
+    return ms
+
+
+def main():
+    w, h = RESOLUTION
+    raw = make_inputs(w, h)
+    from nrdtpu.engine import _registry
+    from nrdtpu.settings import Denoiser
+
+    available = {d.name for d in _registry().keys()}
+    results = {}
+    for name in HEADLINE_ORDER:
+        if name not in available:
+            continue
+        try:
+            results[name] = bench_config(name, raw, w, h)
+        except Exception as e:  # pragma: no cover
+            results[name] = f"ERROR: {e}"
+
+    with open("bench_details.json", "w") as f:
+        json.dump({"resolution": f"{w}x{h}", "results_ms": results,
+                   "baselines_ms": BASELINES}, f, indent=2)
+
+    for name in HEADLINE_ORDER:
+        if isinstance(results.get(name), float):
+            ms = results[name]
+            base = BASELINES[name]
+            print(json.dumps({
+                "metric": f"{name} frame time @1440p (1 TPU chip)",
+                "value": round(ms, 4),
+                "unit": "ms/frame",
+                "vs_baseline": round(base / ms, 4),
+            }))
+            return 0
+    print(json.dumps({"metric": "no config available", "value": 0,
+                      "unit": "ms/frame", "vs_baseline": 0}))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

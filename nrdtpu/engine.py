@@ -1,0 +1,200 @@
+"""The Engine: TPU-native replacement for InstanceImpl + the NRI integration layer.
+
+The reference splits responsibilities between a descriptor-emitting host library
+(InstanceImpl::GetComputeDispatches, /root/reference/Source/InstanceImpl.cpp:490-577) and an
+executor that owns GPU objects (Integration/NRDIntegration.hpp:516-623). On TPU both collapse
+into this module:
+
+  - each requested denoiser becomes ONE jit-compiled pure function (the whole pass graph -
+    XLA fuses and schedules it; there is no dispatch/descriptor machinery to replicate);
+  - the permanent texture pool becomes a state pytree carried across frames with buffer
+    donation (ping-pong index swapping, InstanceImpl.cpp:727-736, becomes functional carry);
+  - the transient pool disappears: XLA's buffer allocator performs the lifetime-based
+    aliasing that AddTextureToTransientPool (InstanceImpl.cpp:773-803) does by hand;
+  - per-frame constants are a traced pytree, so camera motion never recompiles; settings that
+    selected shader permutations in the reference are static config -> jit specialization.
+
+Usage:
+    eng = Engine({0: Denoiser.REFERENCE}, common_settings_provider-ish...)
+    eng.set_common_settings(cs)
+    outputs = eng.denoise([0], {ResourceType.IN_SIGNAL: img, ...})
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from . import camera
+from .settings import (
+    AccumulationMode,
+    CommonSettings,
+    Denoiser,
+    NormalEncoding,
+    ResourceType,
+    RoughnessEncoding,
+    default_settings,
+)
+
+# populated lazily to avoid import cycles
+_FAMILY_REGISTRY: Dict[Denoiser, Any] = {}
+
+
+def _registry():
+    if not _FAMILY_REGISTRY:
+        from .passes.reference import ReferenceDenoiser
+
+        _FAMILY_REGISTRY[Denoiser.REFERENCE] = ReferenceDenoiser
+        try:
+            from .passes.sigma.denoiser import SigmaDenoiser
+
+            _FAMILY_REGISTRY[Denoiser.SIGMA_SHADOW] = SigmaDenoiser
+            _FAMILY_REGISTRY[Denoiser.SIGMA_SHADOW_TRANSLUCENCY] = SigmaDenoiser
+        except ImportError:
+            pass
+        try:
+            from .passes.reblur.denoiser import ReblurDenoiser
+
+            for d in Denoiser:
+                if d.name.startswith("REBLUR"):
+                    _FAMILY_REGISTRY[d] = ReblurDenoiser
+        except ImportError:
+            pass
+        try:
+            from .passes.relax.denoiser import RelaxDenoiser
+
+            for d in Denoiser:
+                if d.name.startswith("RELAX"):
+                    _FAMILY_REGISTRY[d] = RelaxDenoiser
+        except ImportError:
+            pass
+    return _FAMILY_REGISTRY
+
+
+@dataclass(frozen=True)
+class DenoiserConfig:
+    """Static (jit-specializing) configuration of one denoiser instance.
+
+    The analogue of the reference's instance-creation desc + the permutation-selecting
+    settings subset (SURVEY.md §5.6 tiers 1-3).
+    """
+
+    denoiser: Denoiser
+    rect_size: Tuple[int, int]          # (w, h) - static; dynamic resolution is stretch scope
+    resource_size: Tuple[int, int]
+    normal_encoding: NormalEncoding = NormalEncoding.R10_G10_B10_A2_UNORM
+    roughness_encoding: RoughnessEncoding = RoughnessEncoding.LINEAR
+    # permutation-like static switches (filled from settings by the engine)
+    extra: Tuple[Tuple[str, Any], ...] = ()
+
+    def get(self, key, default=None):
+        return dict(self.extra).get(key, default)
+
+
+class Engine:
+    """CreateInstance + SetCommonSettings + SetDenoiserSettings + Denoise, fused.
+
+    API mapping (Include/NRD.h:51-66 + Integration/NRDIntegration.h:93-113):
+      CreateInstance            -> Engine(denoisers={identifier: Denoiser}, ...)
+      SetCommonSettings         -> engine.set_common_settings(CommonSettings)
+      SetDenoiserSettings       -> engine.set_denoiser_settings(identifier, settings)
+      GetComputeDispatches +
+        Integration::Denoise    -> engine.denoise(identifiers, user_pool) -> outputs
+      DestroyInstance           -> garbage collection
+    """
+
+    def __init__(self, denoisers: Dict[int, Denoiser],
+                 resource_size: Tuple[int, int],
+                 rect_size: Optional[Tuple[int, int]] = None,
+                 normal_encoding: NormalEncoding = NormalEncoding.R10_G10_B10_A2_UNORM,
+                 roughness_encoding: RoughnessEncoding = RoughnessEncoding.LINEAR):
+        rect_size = rect_size or resource_size
+        self.normal_encoding = normal_encoding
+        self.roughness_encoding = roughness_encoding
+        self._frame_math = camera.FrameMath()
+        self._consts: Optional[dict] = None
+        self._cs: Optional[CommonSettings] = None
+        self._last_time: Optional[float] = None
+        self._instances: Dict[int, Any] = {}
+        self._settings: Dict[int, Any] = {}
+        self._states: Dict[int, Any] = {}
+        self._jitted: Dict[int, Any] = {}
+        self._static_keys: Dict[int, Any] = {}
+        self._base_config: Dict[int, DenoiserConfig] = {}
+        for ident, d in denoisers.items():
+            cls = _registry().get(d)
+            if cls is None:
+                raise NotImplementedError(f"{d} is not implemented yet")
+            cfg = DenoiserConfig(
+                denoiser=d, rect_size=tuple(rect_size), resource_size=tuple(resource_size),
+                normal_encoding=normal_encoding, roughness_encoding=roughness_encoding)
+            self._base_config[ident] = cfg
+            self._settings[ident] = default_settings(d)
+            self._instances[ident] = cls(cfg)
+            self._states[ident] = None
+
+    # ------------------------------------------------------------------ API
+    def set_common_settings(self, cs: CommonSettings):
+        now = time.perf_counter()
+        raw_dt_ms = None if self._last_time is None else (now - self._last_time) * 1e3
+        self._last_time = now
+        self._cs = cs
+        self._consts = self._frame_math.set_common_settings(cs, raw_dt_ms)
+
+    def set_denoiser_settings(self, identifier: int, settings):
+        self._settings[identifier] = settings
+
+    def get_state(self, identifier: int):
+        return self._states[identifier]
+
+    def denoise(self, identifiers, user_pool: Dict[ResourceType, Any],
+                ) -> Dict[ResourceType, Any]:
+        """Run the requested denoisers; returns the OUT_* resources (merged dict)."""
+        assert self._consts is not None, "call set_common_settings first"
+        outputs: Dict[ResourceType, Any] = {}
+        reset = self._consts["reset_history"] > 0.0
+        clear = (self._cs is not None
+                 and self._cs.accumulationMode == AccumulationMode.CLEAR_AND_RESTART)
+        for ident in identifiers:
+            inst = self._instances[ident]
+            settings = self._settings[ident]
+
+            # static (permutation) key -> re-jit when structure changes
+            static_key = getattr(inst, "static_key", lambda s: ())(settings)
+            if self._states[ident] is None or clear:
+                self._states[ident] = inst.init_state()
+
+            if self._static_keys.get(ident) != static_key:
+                self._static_keys[ident] = static_key
+                if hasattr(inst, "specialize"):
+                    inst.specialize(settings)
+                self._jitted[ident] = jax.jit(inst.frame, donate_argnums=(2,))
+
+            dc = inst.frame_constants(self._consts, settings)
+            sc = self._shared_consts()
+            outs, new_state = self._jitted[ident](sc, dc, self._states[ident], user_pool)
+            self._states[ident] = new_state
+            outputs.update(outs)
+        return outputs
+
+    # ------------------------------------------------------------ internals
+    def _shared_consts(self):
+        """Traced shared constants pytree (the AddSharedConstants_* analogue)."""
+        return dict(self._consts)
+
+
+def psnr(a, b, max_val: Optional[float] = None):
+    """PSNR in dB between two images (test/bench helper)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if max_val is None:
+        max_val = max(b.max(), 1e-9)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(max_val * max_val / mse)

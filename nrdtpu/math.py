@@ -237,6 +237,19 @@ def combine_rotators(r0, r1):
     return jnp.stack(jnp.broadcast_arrays(ca, sa, -sa, ca), axis=-1)
 
 
+def scale_rotator(rotator, scale):
+    """Geometry::ScaleRotator - per-output-axis scaling of a rotator.
+
+    scale (..., 2); output x gets scale[0], output y gets scale[1] under rotate_vector2.
+    """
+    return jnp.stack([
+        rotator[..., 0] * scale[..., 0],
+        rotator[..., 1] * scale[..., 1],
+        rotator[..., 2] * scale[..., 0],
+        rotator[..., 3] * scale[..., 1],
+    ], axis=-1)
+
+
 def rotate_vector2(rotator, v):
     """Apply rotator to (..., 2) vector."""
     x = v[..., 0] * rotator[..., 0] + v[..., 1] * rotator[..., 2]
@@ -388,6 +401,14 @@ def bilinear_weights(f):
     return jnp.stack(jnp.broadcast_arrays(w00, w10, w01, w11), axis=-1)
 
 
+def get_bilinear_custom_weights(f, custom):
+    """Filtering::GetBilinearCustomWeights: bilinear weights modulated per tap.
+
+    f: fractional offsets (..., 2); custom: (..., 4) per-tap validity/occlusion.
+    """
+    return bilinear_weights(f) * custom
+
+
 def apply_bilinear_custom_weights(s00, s10, s01, s11, w, normalize_result=True):
     """Filtering::ApplyBilinearCustomWeights - weighted sum of 4 taps with renormalization."""
     out = s00 * w[..., 0:1] + s10 * w[..., 1:2] + s01 * w[..., 2:3] + s11 * w[..., 3:4]
@@ -459,6 +480,53 @@ def get_spec_magic_curve_nrd(roughness):
 def apply_thin_lens_equation(o, curvature):
     """ApplyThinLensEquation (Common.hlsli:404-409)."""
     return o / (2.0 * curvature * o + 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Sampling kernels (Common.hlsli:170-192) - (x, y, weight-arg) triples
+# ---------------------------------------------------------------------------
+
+_S3 = float(np.sqrt(3.0))
+_S2 = float(np.sqrt(2.0))
+
+SPECIAL_6 = np.array([
+    (-0.50 * _S3, -0.50, 1.0),
+    (0.00, 1.00, 1.0),
+    (0.50 * _S3, -0.50, 1.0),
+    (0.00, -0.30, 0.3),
+    (0.15 * _S3, 0.15, 0.3),
+    (-0.15 * _S3, 0.15, 0.3),
+], np.float32)
+
+SPECIAL_8 = np.array([
+    (-1.00, 0.00, 1.0),
+    (0.00, 1.00, 1.0),
+    (1.00, 0.00, 1.0),
+    (0.00, -1.00, 1.0),
+    (-0.25 * _S2, 0.25 * _S2, 0.5),
+    (0.25 * _S2, 0.25 * _S2, 0.5),
+    (0.25 * _S2, -0.25 * _S2, 0.5),
+    (-0.25 * _S2, -0.25 * _S2, 0.5),
+], np.float32)
+
+
+def get_kernel_sample_coordinates(m_to_clip, offset, x, t, b, rotator=None):
+    """GetKernelSampleCoordinates (Common.hlsli:465-482): world-space kernel tap -> uv.
+
+    offset: (2,) or (3,) static tap; x, t, b: (..., 3); returns (..., 2) uv (y-down).
+    """
+    ox, oy = offset[0], offset[1]
+    if rotator is not None:
+        rx = ox * rotator[..., 0] + oy * rotator[..., 2]
+        ry = ox * rotator[..., 1] + oy * rotator[..., 3]
+    else:
+        rx, ry = ox, oy
+    p = x + t * rx[..., None] + b * ry[..., None]
+    clip = projective_transform(m_to_clip, p)
+    z = jnp.where(jnp.abs(clip[..., 3]) < 1e-15, 1e-15, clip[..., 3])
+    u = clip[..., 0] / z * 0.5 + 0.5
+    v = 0.5 - clip[..., 1] / z * 0.5
+    return jnp.stack(jnp.broadcast_arrays(u, v), axis=-1)
 
 
 # ---------------------------------------------------------------------------

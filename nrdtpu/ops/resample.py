@@ -151,6 +151,41 @@ def sample_catrom(img, sample_pos, use_bicubic=None, bilinear_custom_weights=Non
     return color if had_c else color[..., 0]
 
 
+def sample_bicubic_bspline(img, uv):
+    """Cubic B-spline texture filter (TextureCubic in SIGMA_Common.hlsli:44-93).
+
+    Smoothing (not interpolating) bicubic; used to upsample the 1/16-res tile maps without
+    blocky artifacts. Direct 16-tap evaluation of the 4-tap-bilinear trick's exact result.
+    """
+    img_c, had_c = _chanify(img)
+    h, w = img_c.shape[0], img_c.shape[1]
+    pos = uv * jnp.asarray([w, h], jnp.float32) - 0.5
+    base = jnp.floor(pos)
+    f = pos - base
+
+    def bspline_w(t):
+        # cubic B-spline basis at offsets -1..2
+        t2 = t * t
+        t3 = t2 * t
+        w0 = (1.0 - 3.0 * t + 3.0 * t2 - t3) / 6.0
+        w1 = (4.0 - 6.0 * t2 + 3.0 * t3) / 6.0
+        w2 = (1.0 + 3.0 * t + 3.0 * t2 - 3.0 * t3) / 6.0
+        w3 = t3 / 6.0
+        return w0, w1, w2, w3
+
+    wx = bspline_w(f[..., 0])
+    wy = bspline_w(f[..., 1])
+    x0 = base[..., 0].astype(jnp.int32)
+    y0 = base[..., 1].astype(jnp.int32)
+    out = 0.0
+    for j in range(4):
+        row = 0.0
+        for i in range(4):
+            row = row + texel_fetch(img_c, x0 + (i - 1), y0 + (j - 1)) * wx[i][..., None]
+        out = out + row * wy[j][..., None]
+    return out if had_c else out[..., 0]
+
+
 def pixel_uv_grid(h: int, w: int, dtype=jnp.float32):
     """uv of every pixel center for a (h, w) rect: (h, w, 2), y-down."""
     x = (jnp.arange(w, dtype=dtype) + 0.5) / w

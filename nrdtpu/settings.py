@@ -29,7 +29,7 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-class Denoiser(enum.Enum):
+class Denoiser(enum.IntEnum):
     """Denoiser enum - NRDDescs.h:156-259."""
 
     REBLUR_DIFFUSE = 0
@@ -53,7 +53,7 @@ class Denoiser(enum.Enum):
     REFERENCE = 18
 
 
-class ResourceType(enum.Enum):
+class ResourceType(enum.IntEnum):
     """ResourceType enum - NRDDescs.h:37-154. Used as keys of the user I/O dict."""
 
     IN_MV = 0
