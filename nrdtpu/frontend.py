@@ -51,8 +51,8 @@ def pack_normal_roughness(n, roughness, material_id=0.0,
             p = jnp.concatenate([
                 nm.quantize_unorm(p[..., :3], 10), nm.quantize_unorm(p[..., 3:], 2)], axis=-1)
     else:
-        # best-fit scaling (NRD.hlsli:656)
-        n = n / jnp.max(jnp.abs(n), axis=-1, keepdims=True)
+        # best-fit scaling (NRD.hlsli:656); NaN-safe for garbage (sky) inputs
+        n = n / jnp.maximum(jnp.max(jnp.abs(n), axis=-1, keepdims=True), 1e-15)
         signed = normal_encoding in (NormalEncoding.RGBA8_SNORM, NormalEncoding.RGBA16_SNORM)
         if not signed:
             n = n * 0.5 + 0.5

@@ -333,8 +333,12 @@ def ycocg_to_linear_corrected(y, y0, cocg):
 
 
 def encode_unit_vector(v, signed: bool):
-    """_NRD_EncodeUnitVector - 3D unit vector -> 2D octahedral coords."""
-    v = v / jnp.sum(jnp.abs(v), axis=-1, keepdims=True)
+    """_NRD_EncodeUnitVector - 3D unit vector -> 2D octahedral coords.
+
+    NaN-safe for zero vectors: texture formats in the reference are UNORM and can never hold
+    NaN, so the packed representation here must stay finite for garbage inputs too.
+    """
+    v = v / jnp.maximum(jnp.sum(jnp.abs(v), axis=-1, keepdims=True), 1e-15)
     sgn = jnp.where(v[..., :2] >= 0.0, 1.0, -1.0)
     oct_wrap = (1.0 - jnp.abs(v[..., 1::-1])) * sgn
     xy = jnp.where(v[..., 2:3] >= 0.0, v[..., :2], oct_wrap)

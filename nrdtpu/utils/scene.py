@@ -78,6 +78,8 @@ class FrameData:
     diff_hit_dist: np.ndarray   # (h, w) mean AO ray length
     shadow_clean: np.ndarray    # (h, w) clean shadow (0 umbra, 1 lit)
     dist_to_occluder: np.ndarray  # (h, w) FP16_MAX where lit
+    ao_clean: np.ndarray = None   # (h, w) clean normalized occlusion (AO)
+    ao_noisy: np.ndarray = None   # (h, w) 1-sample AO estimate in [0, 1]
     common_settings: CommonSettings = field(default=None)
     view_to_clip: np.ndarray = field(default=None)
     world_to_view: np.ndarray = field(default=None)
@@ -207,6 +209,11 @@ class SceneGenerator:
         diff_noisy = diff_clean * noise[..., None]
         diff_hit_dist = np.where(hit_mask > 0, 0.5 + 0.1 * view_z, 0.0).astype(np.float32)
 
+        # AO-like normalized occlusion: smooth analytic target + binary 1-spp estimate
+        ao_clean = np.clip(0.25 + 0.6 * normal[..., 1] + 0.15 * shadow_clean, 0.0, 1.0)
+        ao_clean = np.where(hit_mask > 0, ao_clean, 0.0).astype(np.float32)
+        ao_noisy = (rng.uniform(size=ao_clean.shape) < ao_clean).astype(np.float32)
+
         cs = CommonSettings()
         cs.viewToClipMatrix = view_to_clip.flatten(order="F")
         cs.viewToClipMatrixPrev = view_to_clip.flatten(order="F")
@@ -224,6 +231,7 @@ class SceneGenerator:
             diff_clean=diff_clean, diff_noisy=diff_noisy, diff_hit_dist=diff_hit_dist,
             shadow_clean=shadow_clean.astype(np.float32),
             dist_to_occluder=dist_to_occluder.astype(np.float32),
+            ao_clean=ao_clean, ao_noisy=ao_noisy,
             common_settings=cs, view_to_clip=view_to_clip, world_to_view=world_to_view)
 
     def packed_normal_roughness(self, fd: FrameData,
