@@ -1,15 +1,15 @@
-"""REBLUR denoiser instances - pass-graph wiring per variant.
+"""REBLUR denoiser instances - pass-graph wiring for all 10 variants.
 
-Graphs from Source/Reblur.cpp:104-295 and Source/Denoisers/Reblur_*.hpp. Currently
-implemented variants: *_OCCLUSION (diffuse path). Radiance / SH / specular variants land on
-top of the same kernels as they are completed.
+Graphs from Source/Reblur.cpp:104-295 (Update_Reblur / Update_ReblurOcclusion) and
+Source/Denoisers/Reblur_*.hpp. One jitted function per variant; the 239 shader permutations
+of the reference collapse into static python flags here.
 
-State (permanent pool, Reblur_DiffuseOcclusion.hpp:20-31 + "OUT as history" trick at :106):
+State (permanent pool, e.g. Reblur_Diffuse.hpp:20-52 + the "OUT doubles as temp" trick):
   prev_view_z            (h, w)     raw packed viewZ re-saved by Blur
   prev_normal_roughness  (h, w, 4)  packed input encoding re-saved by PostBlur
-  diff_accum / spec_accum / material_id  (h, w)  quantized internal data
-  diff_fast_history      (h, w)
-  diff_out_history       (h, w, c)  previous final output (TA history input)
+  diff_accum / spec_accum / material_id  (h, w)  quantized internal data (R16_UINT split)
+  per signal:  history (h, w, c), fast (h, w), luma_stab (h, w) [if TS], sh (h, w, 4) [if SH]
+  prev_spec_hitdist_for_tracking (h, w) [specular variants]
 """
 
 from __future__ import annotations
@@ -34,8 +34,7 @@ _OCCLUSION_VARIANTS = {
     Denoiser.REBLUR_DIFFUSE_SPECULAR_OCCLUSION,
 }
 
-_HAS_DIFFUSE = {d for d in Denoiser if d.name.startswith("REBLUR") and "DIFFUSE" in d.name}
-_HAS_SPECULAR = {d for d in Denoiser if d.name.startswith("REBLUR") and "SPECULAR" in d.name}
+RT = ResourceType
 
 
 class ReblurDenoiser:
@@ -45,45 +44,59 @@ class ReblurDenoiser:
         self.occlusion = d in _OCCLUSION_VARIANTS
         self.directional = d == Denoiser.REBLUR_DIFFUSE_DIRECTIONAL_OCCLUSION
         self.sh = d.name.endswith("_SH")
-        self.has_diffuse = d in _HAS_DIFFUSE
-        self.has_specular = d in _HAS_SPECULAR
+        self.has_diffuse = "DIFFUSE" in d.name
+        self.has_specular = "SPECULAR" in d.name
         self.channels = 1 if self.occlusion else 4
-        if not (self.occlusion and self.has_diffuse and not self.has_specular):
-            raise NotImplementedError(f"{d.name} is not wired up yet (phase A: "
-                                      "REBLUR_DIFFUSE_OCCLUSION)")
-        self._settings_cache = ReblurSettings()
+        self._s = ReblurSettings()
 
+    # -- static permutation key --------------------------------------------------
     def static_key(self, s: ReblurSettings):
-        return (s.enablePerformanceMode, s.enableAntiFirefly,
-                s.checkerboardMode, s.hitDistanceReconstructionMode,
-                s.maxStabilizedFrameNum == 0)
+        return (s.enablePerformanceMode, s.enableAntiFirefly, s.checkerboardMode,
+                s.hitDistanceReconstructionMode, s.maxStabilizedFrameNum == 0,
+                self._skip_prepass(s))
+
+    def _skip_prepass(self, s: ReblurSettings):
+        if self.occlusion:
+            return True
+        return ((s.diffusePrepassBlurRadius == 0.0 or not self.has_diffuse)
+                and (s.specularPrepassBlurRadius == 0.0 or not self.has_specular)
+                and s.checkerboardMode == CheckerboardMode.OFF)
 
     def specialize(self, s: ReblurSettings):
         if s.checkerboardMode != CheckerboardMode.OFF:
-            raise NotImplementedError("REBLUR checkerboard mode lands with the full family")
-        if s.hitDistanceReconstructionMode != HitDistanceReconstructionMode.OFF:
-            raise NotImplementedError("hit distance reconstruction lands with the full family")
-        self._settings_cache = s
+            raise NotImplementedError("REBLUR checkerboard mode is not implemented yet")
+        self._s = s
 
+    # -- pool ---------------------------------------------------------------------
     def init_state(self):
         w, h = self.config.rect_size
         c = self.channels
-        return {
+        state = {
             "prev_view_z": jnp.full((h, w), 1e7, jnp.float32),
             "prev_normal_roughness": jnp.zeros((h, w, 4), jnp.float32),
             "diff_accum": jnp.zeros((h, w), jnp.float32),
             "spec_accum": jnp.zeros((h, w), jnp.float32),
             "material_id": jnp.zeros((h, w), jnp.float32),
-            "diff_fast_history": jnp.zeros((h, w), jnp.float32),
-            "diff_out_history": jnp.zeros((h, w, c), jnp.float32),
         }
+        for name, present in (("diff", self.has_diffuse), ("spec", self.has_specular)):
+            if not present:
+                continue
+            state[f"{name}_history"] = jnp.zeros((h, w, c), jnp.float32)
+            state[f"{name}_fast_history"] = jnp.zeros((h, w), jnp.float32)
+            if not self.occlusion:
+                state[f"{name}_luma_stab"] = jnp.zeros((h, w), jnp.float32)
+            if self.sh:
+                state[f"{name}_sh_history"] = jnp.zeros((h, w, 4), jnp.float32)
+        if self.has_specular:
+            state["prev_spec_hitdist_for_tracking"] = jnp.zeros((h, w), jnp.float32)
+        return state
 
-    # -- AddSharedConstants_Reblur (Reblur.cpp:297-406), denoiser part ----------
+    # -- AddSharedConstants_Reblur (Reblur.cpp:297-406), denoiser part -------------
     def frame_constants(self, consts: dict, s: ReblurSettings) -> dict:
         rect_w, rect_h = self.config.rect_size
         res_w, res_h = self.config.resource_size
-        worst_resolution_scale = min(rect_w / res_w, rect_h / res_h)
-        is_history_reset = consts["reset_history"] > 0.0
+        worst = min(rect_w / res_w, rect_h / res_h)
+        reset = consts["reset_history"] > 0.0
         max_accum = min(s.maxAccumulatedFrameNum, REBLUR_MAX_HISTORY_FRAME_NUM)
         stab = s.maxStabilizedFrameNum / (1.0 + s.maxStabilizedFrameNum)
         stab_hit = (s.maxStabilizedFrameNumForHitDistance
@@ -94,20 +107,16 @@ class ReblurDenoiser:
             "hit_dist_params": np.array([hp.A, hp.B, hp.C, hp.D], f32),
             "antilag_params": np.array([s.antilagSettings.luminanceSigmaScale,
                                         s.antilagSettings.luminanceSensitivity], f32),
-            "max_blur_radius": f32(max(s.maxBlurRadius * worst_resolution_scale,
-                                       s.minBlurRadius)),
+            "max_blur_radius": f32(max(s.maxBlurRadius * worst, s.minBlurRadius)),
             "min_blur_radius": f32(s.minBlurRadius),
-            "diff_prepass_blur_radius": f32(s.diffusePrepassBlurRadius
-                                            * worst_resolution_scale),
-            "spec_prepass_blur_radius": f32(s.specularPrepassBlurRadius
-                                            * worst_resolution_scale),
-            "stabilization_strength": f32(0.0 if is_history_reset else stab),
-            "hit_dist_stabilization_strength": f32(0.0 if is_history_reset else stab_hit),
-            "max_accumulated_frame_num": f32(0.0 if is_history_reset else max_accum),
+            "diff_prepass_blur_radius": f32(s.diffusePrepassBlurRadius * worst),
+            "spec_prepass_blur_radius": f32(s.specularPrepassBlurRadius * worst),
+            "stabilization_strength": f32(0.0 if reset else stab),
+            "hit_dist_stabilization_strength": f32(0.0 if reset else stab_hit),
+            "max_accumulated_frame_num": f32(0.0 if reset else max_accum),
             "max_fast_accumulated_frame_num": f32(
-                0.0 if is_history_reset else s.maxFastAccumulatedFrameNum),
+                0.0 if reset else s.maxFastAccumulatedFrameNum),
             "anti_firefly": f32(1.0 if s.enableAntiFirefly else 0.0),
-            # Reblur.cpp:384 - fraction is squared to keep legacy settings working
             "lobe_angle_fraction": f32(s.lobeAngleFraction * s.lobeAngleFraction),
             "roughness_fraction": f32(s.roughnessFraction),
             "responsive_accumulation_roughness_threshold": f32(
@@ -122,67 +131,236 @@ class ReblurDenoiser:
             "spec_min_material": f32(s.minMaterialForSpecular),
             "plane_dist_sensitivity": f32(s.planeDistanceSensitivity),
             "spec_probability_thresholds": np.array(
-                s.specularProbabilityThresholdsForMvModification, f32),
+                [s.specularProbabilityThresholdsForMvModification[0]
+                 if True else 2.0,
+                 s.specularProbabilityThresholdsForMvModification[1]], f32),
         }
 
-    # -- frame -------------------------------------------------------------------
+    # -- input/output resource names ------------------------------------------------
+    def _in_resource(self, which):
+        if self.directional:
+            return RT.IN_DIFF_DIRECTION_HITDIST
+        if self.occlusion:
+            return RT.IN_DIFF_HITDIST if which == "diff" else RT.IN_SPEC_HITDIST
+        if self.sh:
+            return RT.IN_DIFF_SH0 if which == "diff" else RT.IN_SPEC_SH0
+        return (RT.IN_DIFF_RADIANCE_HITDIST if which == "diff"
+                else RT.IN_SPEC_RADIANCE_HITDIST)
+
+    def _out_resource(self, which):
+        if self.directional:
+            return RT.OUT_DIFF_DIRECTION_HITDIST
+        if self.occlusion:
+            return RT.OUT_DIFF_HITDIST if which == "diff" else RT.OUT_SPEC_HITDIST
+        if self.sh:
+            return RT.OUT_DIFF_SH0 if which == "diff" else RT.OUT_SPEC_SH0
+        return (RT.OUT_DIFF_RADIANCE_HITDIST if which == "diff"
+                else RT.OUT_SPEC_RADIANCE_HITDIST)
+
+    # -- frame ------------------------------------------------------------------------
     def frame(self, sc: dict, dc: dict, state: dict, inputs: dict):
         cfg = self.config
-        view_z = inputs[ResourceType.IN_VIEWZ]
-        normal_roughness = inputs[ResourceType.IN_NORMAL_ROUGHNESS]
-        mv = inputs[ResourceType.IN_MV]
-        diff_in = inputs[ResourceType.IN_DIFF_HITDIST]
-        if diff_in.ndim == 2:
-            diff_in = diff_in[..., None]
-        diff_confidence = inputs.get(ResourceType.IN_DIFF_CONFIDENCE)
-        dt_mix = inputs.get(ResourceType.IN_DISOCCLUSION_THRESHOLD_MIX)
+        s = self._s
+        view_z = inputs[RT.IN_VIEWZ]
+        normal_roughness = inputs[RT.IN_NORMAL_ROUGHNESS]
+        mv = inputs[RT.IN_MV]
+        dt_mix = inputs.get(RT.IN_DISOCCLUSION_THRESHOLD_MIX)
+        base_color_metalness = inputs.get(RT.IN_BASECOLOR_METALNESS)
+
+        def get_signal(which):
+            sig = inputs[self._in_resource(which)]
+            return sig[..., None] if sig.ndim == 2 else sig
+
+        diff_in = get_signal("diff") if self.has_diffuse else None
+        spec_in = get_signal("spec") if self.has_specular else None
+        diff_sh_in = inputs.get(RT.IN_DIFF_SH1) if self.sh and self.has_diffuse else None
+        spec_sh_in = inputs.get(RT.IN_SPEC_SH1) if self.sh and self.has_specular else None
+        diff_conf = inputs.get(RT.IN_DIFF_CONFIDENCE)
+        spec_conf = inputs.get(RT.IN_SPEC_CONFIDENCE)
 
         tile_map = K.classify_tiles(sc, view_z)
         dead = K.sky_pixel_mask(sc, tile_map, view_z)
 
-        prev_internal = {"diff_accum": state["diff_accum"],
-                         "spec_accum": state["spec_accum"],
-                         "material_id": state["material_id"]}
+        enable_hdrecon = (s.hitDistanceReconstructionMode
+                          != HitDistanceReconstructionMode.OFF
+                          and s.checkerboardMode == CheckerboardMode.OFF)
+        skip_prepass = self._skip_prepass(s)
+        skip_ts = self.occlusion or s.maxStabilizedFrameNum == 0
 
+        # HITDIST_RECONSTRUCTION
+        if enable_hdrecon:
+            radius = 2 if (s.hitDistanceReconstructionMode
+                           == HitDistanceReconstructionMode.AREA_5X5) else 1
+            diff_in, spec_in = K.hit_dist_reconstruction(
+                sc, dc, view_z, normal_roughness, diff_in, spec_in, cfg, radius=radius)
+
+        # PREPASS
+        spec_hdt_prepass = None
+        if not skip_prepass:
+            if self.has_diffuse and not self.directional:
+                diff_in, diff_sh_in = K.diffuse_pre_pass(sc, dc, diff_in, view_z,
+                                                         normal_roughness, cfg,
+                                                         sh=diff_sh_in)
+            if self.has_specular:
+                spec_in, spec_sh_in, spec_hdt_prepass = K.specular_spatial_filter(
+                    sc, dc, K.PRE_BLUR, spec_in, view_z, normal_roughness, None, cfg,
+                    sh=spec_sh_in, occlusion=False)
+
+        prev_internal = {k: state[k] for k in ("diff_accum", "spec_accum", "material_id")}
         sm = K.surface_motion_reprojection(
             sc, dc, view_z, normal_roughness, mv, state["prev_view_z"],
             state["prev_normal_roughness"], prev_internal, cfg,
             disocclusion_threshold_mix=dt_mix)
 
-        diff1, fast1, diff_accum, _ = K.temporal_accumulation_diffuse(
-            sc, dc, sm, diff_in, state["diff_out_history"], state["diff_fast_history"],
-            cfg, diff_confidence, occlusion=True)
-        data1_diff = diff_accum  # PackData1 - transient, kept in f32
+        outs = {}
+        data1_diff = state["diff_accum"]
+        data1_spec = state["spec_accum"]
+        fbits = sm["fbits"]
+        curvature = jnp.zeros_like(view_z)
+        virtual_amount = jnp.zeros_like(view_z)
+        hdt_out = None
 
-        settings = self._settings_cache
-        diff2, fast2, _ = K.history_fix(
-            sc, dc, view_z, normal_roughness, data1_diff, data1_diff, diff1, fast1, cfg,
-            is_diffuse=True, occlusion=True, anti_firefly=settings.enableAntiFirefly)
+        # TEMPORAL ACCUMULATION
+        if self.has_diffuse:
+            diff1, diff_fast1, data1_diff, diff_sh1 = K.temporal_accumulation_diffuse(
+                sc, dc, sm, diff_in, state["diff_history"], state["diff_fast_history"],
+                cfg, diff_conf, occlusion=self.occlusion, directional=self.directional,
+                diff_sh_input=diff_sh_in,
+                diff_sh_history=state.get("diff_sh_history"))
+        if self.has_specular:
+            has_prepass_hitdist = not skip_prepass
+            hdt_in = (spec_hdt_prepass if has_prepass_hitdist
+                      else C.extract_hit_dist(spec_in))
+            ta_spec = K.temporal_accumulation_specular(
+                sc, dc, sm, spec_in, state["spec_history"], state["spec_fast_history"],
+                view_z, normal_roughness, state["prev_view_z"],
+                state["prev_normal_roughness"], prev_internal, hdt_in,
+                state["prev_spec_hitdist_for_tracking"], cfg, spec_conf,
+                occlusion=self.occlusion, has_prepass_hitdist=has_prepass_hitdist,
+                spec_sh_input=spec_sh_in, spec_sh_history=state.get("spec_sh_history"))
+            spec1, spec_fast1 = ta_spec["spec"], ta_spec["fast"]
+            data1_spec = ta_spec["accum_speed"]
+            fbits = fbits + ta_spec["fbits_vmb"]
+            curvature = ta_spec["curvature"]
+            virtual_amount = ta_spec["virtual_history_amount"]
+            hdt_out = ta_spec["hit_dist_for_tracking"]
+            spec_sh1 = ta_spec["sh"]
 
-        diff3, _ = K.diffuse_spatial_filter(sc, dc, K.BLUR, diff2, view_z,
-                                            normal_roughness, data1_diff, cfg,
-                                            occlusion=True)
-        diff4, _ = K.diffuse_spatial_filter(sc, dc, K.POST_BLUR, diff3, view_z,
-                                            normal_roughness, data1_diff, cfg,
-                                            occlusion=True)
+        # HISTORY FIX
+        if self.has_diffuse:
+            diff2, diff_fast2, diff_sh2 = K.history_fix(
+                sc, dc, view_z, normal_roughness, data1_diff, data1_spec, diff1,
+                diff_fast1, cfg, is_diffuse=True, occlusion=self.occlusion,
+                anti_firefly=s.enableAntiFirefly and not self.occlusion
+                and not self.directional,
+                sh=diff_sh1, directional=self.directional)
+        if self.has_specular:
+            spec2, spec_fast2, spec_sh2 = K.history_fix(
+                sc, dc, view_z, normal_roughness, data1_diff, data1_spec, spec1,
+                spec_fast1, cfg, is_diffuse=False, occlusion=self.occlusion,
+                anti_firefly=s.enableAntiFirefly and not self.occlusion,
+                sh=spec_sh1)
 
-        # dead pixels (sky / out of range): passthrough, frozen history
-        out = jnp.where(dead[..., None], diff_in, diff4)
-        out = K.split_screen(sc, diff_in, view_z, out)
+        # BLUR + POST BLUR
+        if self.has_diffuse:
+            diff3, diff_sh3 = K.diffuse_spatial_filter(
+                sc, dc, K.BLUR, diff2, view_z, normal_roughness, data1_diff, cfg,
+                sh=diff_sh2, occlusion=self.occlusion, directional=self.directional)
+            diff4, diff_sh4 = K.diffuse_spatial_filter(
+                sc, dc, K.POST_BLUR, diff3, view_z, normal_roughness, data1_diff, cfg,
+                sh=diff_sh3, occlusion=self.occlusion, directional=self.directional)
+        if self.has_specular:
+            spec3, spec_sh3, _ = K.specular_spatial_filter(
+                sc, dc, K.BLUR, spec2, view_z, normal_roughness, data1_spec, cfg,
+                sh=spec_sh2, occlusion=self.occlusion)
+            spec4, spec_sh4, _ = K.specular_spatial_filter(
+                sc, dc, K.POST_BLUR, spec3, view_z, normal_roughness, data1_spec, cfg,
+                sh=spec_sh3, occlusion=self.occlusion)
 
+        new_state = dict(state)
         keep = dead
-        new_state = {
-            "prev_view_z": view_z,  # Blur pass re-saves raw viewZ (REBLUR_Blur.hlsli:22-23)
-            "prev_normal_roughness": jnp.where(keep[..., None],
-                                               state["prev_normal_roughness"],
-                                               normal_roughness),
-            # PostBlur_NoTemporalStabilization increments history (REBLUR_PostBlur.hlsli:49-50)
-            "diff_accum": jnp.where(keep, state["diff_accum"],
-                                    C.quantize_accum_speed(data1_diff + 1.0)),
-            "spec_accum": state["spec_accum"],
-            "material_id": jnp.where(keep, state["material_id"],
-                                     C.quantize_material_id(sm["material_id"])),
-            "diff_fast_history": jnp.where(keep, state["diff_fast_history"], fast2),
-            "diff_out_history": out,
-        }
-        return {ResourceType.OUT_DIFF_HITDIST: out}, new_state
+
+        # TEMPORAL STABILIZATION or direct output
+        if skip_ts:
+            if self.has_diffuse:
+                diff_out = diff4
+                diff_sh_out = diff_sh4
+            if self.has_specular:
+                spec_out = spec4
+                spec_sh_out = spec_sh4
+            inc_diff = data1_diff + 1.0
+            inc_spec = data1_spec + 1.0
+            mv_out = None
+        else:
+            ts = K.temporal_stabilization(
+                sc, dc, view_z, normal_roughness, mv, data1_diff, data1_spec, fbits,
+                curvature, virtual_amount,
+                diff4 if self.has_diffuse else None,
+                spec4 if self.has_specular else None,
+                state.get("diff_luma_stab"), state.get("spec_luma_stab"),
+                hdt_out, base_color_metalness, cfg,
+                has_diffuse=self.has_diffuse, has_specular=self.has_specular,
+                has_prepass=not skip_prepass, directional=self.directional,
+                diff_sh=diff_sh4 if self.has_diffuse and self.sh else None,
+                spec_sh=spec_sh4 if self.has_specular and self.sh else None)
+            if self.has_diffuse:
+                diff_out = ts["diff"]
+                diff_sh_out = ts.get("diff_sh")
+                new_state["diff_luma_stab"] = jnp.where(
+                    keep, state["diff_luma_stab"], ts["diff_luma_stab"])
+                inc_diff = ts["data1_diff"]
+            if self.has_specular:
+                spec_out = ts["spec"]
+                spec_sh_out = ts.get("spec_sh")
+                new_state["spec_luma_stab"] = jnp.where(
+                    keep, state["spec_luma_stab"], ts["spec_luma_stab"])
+                inc_spec = ts["data1_spec"]
+            mv_out = ts["mv_out"]
+            if base_color_metalness is not None:
+                outs[RT.IN_MV] = mv_out  # patched MV, like the reference's in-place write
+
+        # shared state updates
+        new_state["prev_view_z"] = view_z
+        new_state["prev_normal_roughness"] = jnp.where(
+            keep[..., None], state["prev_normal_roughness"], normal_roughness)
+        new_state["material_id"] = jnp.where(keep, state["material_id"],
+                                             C.quantize_material_id(sm["material_id"]))
+        if self.has_diffuse:
+            new_state["diff_accum"] = jnp.where(keep, state["diff_accum"],
+                                                C.quantize_accum_speed(inc_diff))
+        if self.has_specular:
+            new_state["spec_accum"] = jnp.where(keep, state["spec_accum"],
+                                                C.quantize_accum_speed(inc_spec))
+            new_state["prev_spec_hitdist_for_tracking"] = jnp.where(
+                keep, state["prev_spec_hitdist_for_tracking"], hdt_out)
+
+        # per-signal outputs: passthrough in dead pixels, split-screen strip
+        for which in ("diff", "spec"):
+            if which == "diff" and not self.has_diffuse:
+                continue
+            if which == "spec" and not self.has_specular:
+                continue
+            out_sig = diff_out if which == "diff" else spec_out
+            in_sig = diff_in if which == "diff" else spec_in
+            raw_in = get_signal(which)
+            out_sig = jnp.where(dead[..., None], raw_in, out_sig)
+            out_sig = K.split_screen(sc, raw_in, view_z, out_sig)
+            outs[self._out_resource(which)] = out_sig
+            # history for next frame = post-blur feedback (PostBlur writes DIFF_HISTORY)
+            hist = diff4 if which == "diff" else spec4
+            new_state[f"{which}_history"] = jnp.where(
+                keep[..., None], state[f"{which}_history"], hist)
+            fast = diff_fast2 if which == "diff" else spec_fast2
+            new_state[f"{which}_fast_history"] = jnp.where(
+                keep, state[f"{which}_fast_history"], fast)
+            if self.sh:
+                sh_out = diff_sh_out if which == "diff" else spec_sh_out
+                sh_hist = diff_sh4 if which == "diff" else spec_sh4
+                sh_rt = (RT.OUT_DIFF_SH1 if which == "diff" else RT.OUT_SPEC_SH1)
+                outs[sh_rt] = jnp.where(dead[..., None],
+                                        inputs.get(RT.IN_DIFF_SH1 if which == "diff"
+                                                   else RT.IN_SPEC_SH1), sh_out)
+                new_state[f"{which}_sh_history"] = jnp.where(
+                    keep[..., None], state[f"{which}_sh_history"], sh_hist)
+
+        return outs, new_state

@@ -288,8 +288,10 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
     smb_diff_history = C.clamp_negative_to_zero(smb_diff_history, occlusion, directional)
 
     diff_nlas = 1.0 / (1.0 + diff_accum_speed)
+    # directional occlusion uses the float4 mix (xyz: f, w: max(f, limit)) - Common.hlsli:175-182
     diff_result = C.mix_history_and_current(dc, smb_diff_history, diff_input, diff_nlas,
-                                            jnp.ones_like(diff_nlas), occlusion or directional)
+                                            jnp.ones_like(diff_nlas),
+                                            occlusion and not directional)
     sh_result = None
     if diff_sh_input is not None:
         smb_sh = sample_history_bilinear(diff_sh_history, sm["smb_pixel_uv"],
@@ -611,3 +613,995 @@ def split_screen(sc, noisy_input, view_z_in, out_signal):
     noisy = noisy_input * (view_z < sc["denoising_range"]).astype(jnp.float32)[..., None]
     show_input = (u[None, :, None] <= sc["split_screen"])
     return jnp.where(show_input, noisy, out_signal)
+
+
+# ---------------------------------------------------------------------------
+# TemporalAccumulation - specular half (REBLUR_TemporalAccumulation.hlsli:323-814)
+# ---------------------------------------------------------------------------
+
+
+def _stochastic_bilinear_uv(sc, uv, tex_size, pixel_pos, config):
+    """StochasticBilinear (Common.hlsli:359-372): stochastically-rounded nearest uv."""
+    if config.normal_encoding.name != "R10_G10_B10_A2_UNORM":
+        return uv  # linear filter path uses plain bilinear of the packed data
+    state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]), sc["frame_index"])
+    _, rnd = nm.hash_float2(state)
+    origin, f = nm.bilinear_filter(uv, tex_size)
+    origin = origin + (rnd < f).astype(jnp.float32)
+    return (origin + 0.5) / tex_size
+
+
+def _sample_normal_roughness_stochastic(sc, prev_normal_roughness, uv, pixel_pos, config):
+    h, w = prev_normal_roughness.shape[:2]
+    size = jnp.asarray([w, h], jnp.float32)
+    if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+        uv_s = _stochastic_bilinear_uv(sc, uv, size, pixel_pos, config)
+        packed = resample.sample_nearest(prev_normal_roughness, uv_s)
+    else:
+        packed = resample.sample_bilinear(prev_normal_roughness, uv)
+    return unpack_nr(sc, packed, config)
+
+
+def get_xvirtual(sc, hit_dist, curvature, x, x_prev, n, v, roughness):
+    """GetXvirtual, NRD_USE_SPECULAR_MOTION_V2 == 1 (Common.hlsli:411-461)."""
+    d4 = nm.get_specular_dominant_direction(n, v, roughness)
+    d, dw = d4[..., :3], d4[..., 3]
+
+    reflection_ray = d * hit_dist[..., None]
+    t, b = nm.get_basis(n)
+    o = nm.rotate_vector_by_basis(t, b, n, reflection_ray)
+    oz = -o[..., 2]
+    mag = 1.0 / (2.0 * curvature * oz - 1.0)
+
+    f = nm.length(x)
+    f = f * (1.0 - jnp.abs(nm.dot(n, v)))
+    f = f * jnp.maximum(curvature, 0.0)
+    mag = mag / (1.0 + f)
+
+    iw_len = nm.length(o * mag[..., None])
+
+    closeness = nm.saturate(iw_len / (hit_dist + NRD_EPS))
+    origin = nm.lerp(x_prev, x, (closeness * dw)[..., None])
+    return origin - v * (iw_len * dw)[..., None]
+
+
+def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fast_history,
+                                   view_z_in, normal_roughness,
+                                   prev_view_z, prev_normal_roughness, prev_internal,
+                                   hit_dist_for_tracking_in, prev_spec_hitdist_for_tracking,
+                                   config, spec_confidence=None, *, occlusion: bool,
+                                   has_prepass_hitdist: bool,
+                                   spec_sh_input=None, spec_sh_history=None):
+    """Specular half of TA. Returns dict(spec, fast, accum_speed, fbits_vmb, curvature,
+    virtual_history_amount, hit_dist_for_tracking[, sh])."""
+    h, w = sm["view_z"].shape
+    uv = sm["uv"]
+    view_z = sm["view_z"]
+    n, roughness = sm["n"], sm["roughness"]
+    x, x_prev, v = sm["x"], sm["x_prev"], sm["v"]
+    nov = sm["nov"]
+    pixel_pos = resample.pixel_pos_grid(h, w)
+    rect = sc["rect_size"][None, None, :]
+    rect_prev = sc["rect_size_prev"][None, None, :]
+    enc_err = nm.normal_encoding_error(int(config.normal_encoding))
+
+    # 3x3 min hitDist for tracking + roughness variance (lines 62-111)
+    hdt_src = jnp.where(hit_dist_for_tracking_in == 0.0, NRD_INF, hit_dist_for_tracking_in)
+    hit_dist_for_tracking = hdt_src
+    rough_m1 = jnp.zeros_like(view_z)
+    rough_m2 = jnp.zeros_like(view_z)
+    for dy, dx in stencil.offsets_square(1):
+        hit_dist_for_tracking = jnp.minimum(hit_dist_for_tracking,
+                                            stencil.shifted(hdt_src, dy, dx))
+        _, rs, _ = unpack_nr(sc, stencil.shifted(normal_roughness, dy, dx), config)
+        rsq = rs * rs
+        rough_m1 = rough_m1 + rsq
+        rough_m2 = rough_m2 + rsq * rsq
+    rough_m1 = rough_m1 / 9.0
+    rough_m2 = rough_m2 / 9.0
+    roughness_sigma = nm.get_std_dev(rough_m1, rough_m2)
+    roughness_modified = C.get_modified_roughness_from_normal_variance(roughness, sm["n_avg"])
+
+    hit_dist_normalization = fe.get_hit_distance_normalization(
+        view_z, dc["hit_dist_params"][None, None, :], roughness)
+    hit_dist_for_tracking = jnp.where(hit_dist_for_tracking == NRD_INF, 0.0,
+                                      hit_dist_for_tracking)
+    if not has_prepass_hitdist:
+        hit_dist_for_tracking = hit_dist_for_tracking * hit_dist_normalization
+    hdt_out = hit_dist_for_tracking
+
+    # accumulation speed (lines 325-331)
+    spec_history_confidence = sm["footprint_quality"]
+    if spec_confidence is not None:
+        spec_history_confidence = spec_history_confidence * spec_confidence
+    smb_spec_accum_speed = sm["spec_accum_speed"]
+    smb_spec_accum_speed = smb_spec_accum_speed * nm.lerp(
+        spec_history_confidence, 1.0, 1.0 / (1.0 + smb_spec_accum_speed))
+    smb_spec_accum_speed = jnp.minimum(smb_spec_accum_speed, dc["max_accumulated_frame_num"])
+
+    spec = spec_input
+
+    # ---- curvature estimation along predicted motion (lines 356-447) ----
+    uv_for_zero_parallax = jnp.where(sc["ortho_mode"] == 0.0, sm["smb_pixel_uv"], uv)
+    p1 = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]),
+                          x_prev + sc["camera_delta"][None, None, :])
+    delta_uv = (uv_for_zero_parallax - p1) * rect
+    parallax1 = nm.length((p1 - uv_for_zero_parallax) * rect)
+    delta_uv = delta_uv / jnp.maximum(parallax1, 1.0 / 256.0)[..., None]
+
+    v2w = jnp.asarray(sc["view_to_world"])
+    rect_inv = sc["rect_size_inv"][None, None, :]
+
+    def edge_point(du, dv_):
+        xv1 = nm.reconstruct_view_position(uv + jnp.asarray([du, dv_], jnp.float32)
+                                           * rect_inv, sc["frustum"][None, None, :],
+                                           jnp.ones_like(view_z), sc["ortho_mode"])
+        xw = xv1 @ v2w[:3, :3].T
+        vw = C.get_view_vector(sc, xw)
+        o = jnp.where(sc["ortho_mode"] == 0.0, jnp.zeros_like(xw), xw)
+        t = nm.dot(x - o, n) / jnp.where(jnp.abs(nm.dot(n, vw)) < 1e-9, 1e-9, nm.dot(n, vw))
+        return o + vw * t[..., None]
+
+    x10 = edge_point(1.0, 0.0)
+    x01 = edge_point(0.0, 1.0)
+    n10, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 0, 1), config)
+    n01, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 1, 0), config)
+
+    wmix = jnp.abs(delta_uv) + 1.0 / 256.0
+    wmix = wmix / jnp.sum(wmix, -1, keepdims=True)
+    x_edge = x10 * wmix[..., 0:1] + x01 * wmix[..., 1:2]
+    n_edge = nm.normalize(n10 * wmix[..., 0:1] + n01 * wmix[..., 1:2])
+
+    # high-parallax flattening (lines 404-429)
+    bayer = nm.bayer4x4((pixel_pos[..., 0], pixel_pos[..., 1]), sc["frame_index"])
+    delta_uv_len_fixed = sm["parallax_min"] * (1.0 + sc["framerate_scale"] * bayer)
+    motion_uv_high = uv + delta_uv_len_fixed[..., None] * delta_uv * rect_inv
+    motion_uv_high = (jnp.floor(motion_uv_high * rect) + 0.5) / rect
+    z_high = unpack_view_z(sc, resample.sample_nearest(view_z_in, motion_uv_high))
+    x_high_v = nm.reconstruct_view_position(motion_uv_high, sc["frustum"][None, None, :],
+                                            z_high, sc["ortho_mode"])
+    x_high = x_high_v @ v2w[:3, :3].T
+    n_high, _, _ = unpack_nr(sc, resample.sample_nearest(normal_roughness, motion_uv_high),
+                             config)
+    z_error = jnp.abs(z_high - view_z) / jnp.maximum(jnp.maximum(z_high, view_z), 1e-15)
+    replace = jnp.logical_and(z_error < C.NRD_CURVATURE_Z_THRESHOLD,
+                              jnp.logical_and(delta_uv_len_fixed > 1.0,
+                                              resample.is_in_screen_nearest(motion_uv_high)
+                                              > 0.0))
+    x_edge = jnp.where(replace[..., None], x_high, x_edge)
+    n_edge = jnp.where(replace[..., None], n_high, n_edge)
+
+    edge = x_edge - x
+    edge_len_sq = jnp.sum(edge * edge, -1)
+    curvature = nm.dot(n_edge - n, edge) / jnp.maximum(edge_len_sq, 1e-15)
+    curvature = jnp.where(edge_len_sq < 1e-15, 0.0, curvature)
+
+    # ---- virtual motion coordinates (lines 449-457) ----
+    x_virtual = get_xvirtual(sc, hit_dist_for_tracking, curvature, x, x_prev, n, v,
+                             roughness)
+    x_virtual_length = nm.length(x_virtual)
+    vmb_pixel_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_virtual)
+    is_camera_attached = (sm["material_id"]
+                          == sc["camera_attached_reflection_material_id"])
+    vmb_pixel_uv = jnp.where(is_camera_attached[..., None], sm["smb_pixel_uv"],
+                             vmb_pixel_uv)
+
+    vmb_delta = vmb_pixel_uv - sm["smb_pixel_uv"]
+    vmb_pixels_traveled = nm.length(vmb_delta * rect)
+
+    # ---- roughness confidence (lines 459-470) ----
+    vmb_origin, vmb_frac = nm.bilinear_filter(vmb_pixel_uv, rect_prev)
+    ra, rb = nm.get_relaxed_roughness_weight_params(
+        roughness * roughness, dc["roughness_fraction"], C.REBLUR_ROUGHNESS_SENSITIVITY_IN_TA)
+    nr_taps_vmb = gather_2x2_at(prev_normal_roughness, vmb_origin)
+    rough_weights = []
+    for tap in nr_taps_vmb:
+        _, r_t, _ = unpack_nr(sc, tap, config)
+        w_ = nm.compute_non_exponential_weight_with_sigma(r_t * r_t, ra, rb, roughness_sigma)
+        w_ = nm.lerp(nm.smoothstep(1.0, 0.0, sm["parallax_max"]), 1.0, w_)
+        rough_weights.append(w_)
+    rough_weights4 = jnp.stack(rough_weights, -1)
+    bwv = nm.bilinear_weights(vmb_frac)
+    virtual_roughness_confidence = jnp.sum(rough_weights4 * bwv, -1)
+
+    # ---- virtual normal confidence: parallax (lines 472-479) ----
+    vmb_n, vmb_roughness, _ = _sample_normal_roughness_stochastic(
+        sc, prev_normal_roughness, vmb_pixel_uv, pixel_pos, config)
+    vmb_n = vmb_n @ jnp.asarray(sc["world_prev_to_world"])[:3, :3].T
+    dfactor = nm.get_specular_dominant_factor(nov, roughness)
+    virtual_normal_confidence = 1.0 / (
+        1.0 + 0.5 * dfactor * nm.saturate(nm.length(n - vmb_n) - enc_err)
+        * vmb_pixels_traveled)
+    smb_navg = jnp.where((sm["footprint_quality"] == 0.0)[..., None], vmb_n, sm["smb_navg"])
+
+    # ---- virtual motion disocclusion (lines 481-519) ----
+    disocclusion_threshold = sc["disocclusion_threshold"] + sc[
+        "disocclusion_threshold_bonus"]
+    vmb_thr = disocclusion_threshold * sm["frustum_size"]
+    vmb_thr = vmb_thr * nm.lerp(0.25, 1.0, nov)
+    vmb_thr = vmb_thr * (nm.dot(vmb_n, n) > C.REBLUR_ALMOST_ZERO_ANGLE).astype(jnp.float32)
+    vmb_thr = vmb_thr * (nm.dot(vmb_n, smb_navg)
+                         > C.REBLUR_ALMOST_ZERO_ANGLE).astype(jnp.float32)
+    in_screen_vmb = resample.is_in_screen_bilinear(vmb_origin, sc["rect_size_prev"])
+
+    z_taps_vmb = gather_2x2_at(prev_view_z, vmb_origin)
+    w2v_prev = jnp.asarray(sc["world_to_view_prev"])
+    vmb_vv = nm.reconstruct_view_position(vmb_pixel_uv, sc["frustum_prev"][None, None, :],
+                                          jnp.ones_like(view_z), 0.0)
+    vmb_v = vmb_vv @ w2v_prev[:3, :3]  # RotateVectorInverse
+    nox_curr = nm.dot(n, x_prev - sc["camera_delta"][None, None, :])
+    vmb_occ = []
+    for tap_idx, z_t in enumerate(z_taps_vmb):
+        z_t = unpack_view_z(sc, z_t)
+        zscale = jnp.where(sc["ortho_mode"] == 0.0, z_t, sc["ortho_mode"])
+        nox_prev = (n[..., 0] * vmb_v[..., 0] + n[..., 1] * vmb_v[..., 1]) * zscale \
+            + n[..., 2] * vmb_v[..., 2] * z_t
+        plane_dist = jnp.abs(nox_prev - nox_curr)
+        thr = vmb_thr * in_screen_vmb[..., tap_idx] - NRD_EPS
+        o = (plane_dist <= thr).astype(jnp.float32)
+        o = o * (rough_weights4[..., tap_idx] >= 0.5).astype(jnp.float32)
+        vmb_occ.append(o)
+
+    mat_taps_vmb = gather_2x2_at(prev_internal["material_id"], vmb_origin)
+    spec_taps_vmb = gather_2x2_at(prev_internal["spec_accum"], vmb_origin)
+    if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+        for i in range(4):
+            same = (jnp.maximum(sm["material_id"], dc["spec_min_material"])
+                    == jnp.maximum(mat_taps_vmb[i],
+                                   dc["spec_min_material"])).astype(jnp.float32)
+            vmb_occ[i] = vmb_occ[i] * same
+    vmb_occ4 = jnp.stack(vmb_occ, -1)
+
+    fbits_vmb = (vmb_occ4[..., 0] * 16.0 + vmb_occ4[..., 1] * 32.0
+                 + vmb_occ4[..., 2] * 64.0 + vmb_occ4[..., 3] * 128.0)
+
+    vmb_occlusion_weights = nm.get_bilinear_custom_weights(vmb_frac, vmb_occ4)
+    vmb_spec_accum_speed = nm.apply_bilinear_custom_weights(
+        spec_taps_vmb[0][..., None], spec_taps_vmb[1][..., None],
+        spec_taps_vmb[2][..., None], spec_taps_vmb[3][..., None],
+        vmb_occlusion_weights)[..., 0]
+    vmb_footprint_quality = jnp.sqrt(nm.saturate(jnp.sum(vmb_occ4 * bwv, -1)))
+    vmb_spec_accum_speed = vmb_spec_accum_speed * nm.lerp(
+        vmb_footprint_quality, 1.0, 1.0 / (1.0 + vmb_spec_accum_speed))
+
+    vmb_allow_catrom = jnp.logical_and(jnp.sum(vmb_occ4, -1) > 3.5, sm["allow_catrom"])
+
+    # ---- curvature / lobe angles (lines 532-554) ----
+    curvature_angle_tan = sm["pixel_size"] * jnp.abs(curvature)
+    curvature_angle_tan = curvature_angle_tan * jnp.maximum(
+        vmb_pixels_traveled / jnp.maximum(nov, 0.01), 1.0)
+    curvature_angle_tan = curvature_angle_tan * 2.0
+    curvature_angle = jnp.arctan(curvature_angle_tan)
+
+    percent_of_volume = nm.NRD_MAX_PERCENT_OF_LOBE_VOLUME / (1.0 + vmb_spec_accum_speed)
+    lobe_tan_half = nm.get_specular_lobe_tan_half_angle(roughness_modified,
+                                                        percent_of_volume)
+    lobe_half_angle = jnp.maximum(jnp.arctan(lobe_tan_half), enc_err)
+
+    normal_weight = nm.get_encoding_aware_normal_weight(n, vmb_n, lobe_half_angle,
+                                                        curvature_angle, enc_err)
+    normal_weight = nm.lerp(nm.smoothstep(1.0, 0.0, vmb_pixels_traveled), 1.0,
+                            normal_weight)
+    virtual_normal_confidence = jnp.minimum(virtual_normal_confidence, normal_weight)
+
+    virtual_history_amount = nm.smoothstep(0.05, 0.95, dfactor)
+    virtual_history_amount = virtual_history_amount * virtual_normal_confidence
+
+    # ---- parallax confidence (lines 561-577) ----
+    hdt_prev = resample.sample_bilinear(prev_spec_hitdist_for_tracking,
+                                        vmb_pixel_uv * sc["resolution_scale_prev"]
+                                        [None, None, :])
+    x_virtual_prev = get_xvirtual(sc, hdt_prev, curvature, x, x_prev, n, v, roughness)
+    vmb_pixel_uv_prev = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]),
+                                         x_virtual_prev)
+    vmb_pixel_uv_prev = jnp.where(is_camera_attached[..., None], sm["smb_pixel_uv"],
+                                  vmb_pixel_uv_prev)
+    pixel_size_at_xvirtual = nm.pixel_radius_to_world(sc["unproject"], sc["ortho_mode"],
+                                                      1.0, x_virtual_length)
+    r_conf = (lobe_tan_half + curvature_angle) * jnp.minimum(
+        hit_dist_for_tracking, hdt_prev) / jnp.maximum(pixel_size_at_xvirtual, 1e-15)
+    d_conf = nm.length((vmb_pixel_uv_prev - vmb_pixel_uv) * rect)
+    r_conf = jnp.maximum(r_conf, 0.1)
+    virtual_parallax_confidence = nm.linearstep(r_conf, 0.0, d_conf)
+
+    # ---- prev-prev taps (lines 579-608) ----
+    step_between_taps = jnp.minimum(vmb_pixels_traveled * sc["framerate_scale"], 2.0) \
+        + vmb_pixels_traveled / C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM
+    vmb_dir = vmb_delta * jax_rsqrt(jnp.sum(vmb_delta * vmb_delta, -1,
+                                            keepdims=True))
+    vmb_dir = vmb_dir / rect_prev
+    ra2, rb2 = nm.get_relaxed_roughness_weight_params(
+        vmb_roughness * vmb_roughness, dc["roughness_fraction"],
+        C.REBLUR_ROUGHNESS_SENSITIVITY_IN_TA)
+    for it in range(1, C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM + 1):
+        uv_pp = vmb_pixel_uv + vmb_dir * (it * step_between_taps)[..., None]
+        n_pp, r_pp, _ = _sample_normal_roughness_stochastic(sc, prev_normal_roughness,
+                                                            uv_pp, pixel_pos, config)
+        wx = nm.get_encoding_aware_normal_weight(
+            vmb_n, n_pp, lobe_half_angle,
+            curvature_angle * (1.0 + it * step_between_taps), enc_err)
+        wy = nm.compute_non_exponential_weight_with_sigma(r_pp * r_pp, ra2, rb2,
+                                                          roughness_sigma)
+        if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+            wx = nm.lerp(1.0, wx, nm.saturate(step_between_taps))
+            wy = nm.lerp(1.0, wy, nm.saturate(step_between_taps))
+        in_screen = resample.is_in_screen_nearest(uv_pp)
+        wx = jnp.where(in_screen > 0.0, wx, 1.0)
+        wy = jnp.where(in_screen > 0.0, wy, 1.0)
+        virtual_normal_confidence = jnp.minimum(virtual_normal_confidence, wx)
+        virtual_roughness_confidence = jnp.minimum(virtual_roughness_confidence, wy)
+
+    virtual_confidence_for_smb = virtual_normal_confidence * virtual_roughness_confidence
+    virtual_confidence = virtual_confidence_for_smb * virtual_parallax_confidence
+    virtual_history_amount = virtual_history_amount * virtual_roughness_confidence
+
+    # ---- surface history + confidences (lines 617-654) ----
+    smb_spec_history = sample_history(spec_history, sm["smb_pixel_uv"],
+                                      sc["rect_size_prev"], sm["occlusion_weights"],
+                                      sm["allow_catrom"])
+    smb_spec_fast = sample_history_bilinear(spec_fast_history, sm["smb_pixel_uv"],
+                                            sc["rect_size_prev"],
+                                            sm["occlusion_weights"])
+
+    a_par = jnp.arctan(sm["parallax_max"] * sm["pixel_size"]
+                       / jnp.maximum(nm.length(x), 1e-9))
+    nlas_smb = 1.0 / (1.0 + smb_spec_accum_speed)
+    h_conf = nm.lerp(C.extract_hit_dist(smb_spec_history), C.extract_hit_dist(spec),
+                     nlas_smb) * hit_dist_normalization
+    tana0 = nm.get_specular_lobe_tan_half_angle(roughness_modified,
+                                                nm.NRD_MAX_PERCENT_OF_LOBE_VOLUME)
+    tana0 = tana0 * nm.lerp(nov, 1.0, roughness_modified)
+    tana0 = tana0 * nlas_smb
+    tana0 = tana0 / (nm.get_hit_dist_factor(h_conf, sm["frustum_size"]) + NRD_EPS)
+    a0 = jnp.maximum(jnp.arctan(tana0), enc_err)
+    surface_history_confidence = jnp.power(nm.saturate(nm.linearstep(a0, 0.0, a_par)), 4.0)
+
+    # responsive accumulation (lines 656-668)
+    responsive_factor = C.remap_roughness_to_responsive_factor(dc, roughness)
+    smc = nm.get_spec_magic_curve(roughness_modified)
+    fx = nm.dot(n, nm.normalize(smb_navg))
+    fy = nm.dot(n, vmb_n)
+    power = nm.lerp(32.0, 1.0, smc) * (1.0 - responsive_factor)
+    fx = nm.lerp(smc, 1.0, responsive_factor) * nm.pow01(fx, power)
+    fy = nm.lerp(smc, 1.0, responsive_factor) * nm.pow01(fy, power)
+    max_responsive_x = jnp.maximum(dc["max_accumulated_frame_num"] * fx,
+                                   dc["history_fix_frame_num"])
+    max_responsive_y = jnp.maximum(dc["max_accumulated_frame_num"] * fy,
+                                   dc["history_fix_frame_num"])
+
+    smb_max_frame_num = dc["max_accumulated_frame_num"] * surface_history_confidence
+    smb_max_frame_num = jnp.minimum(smb_max_frame_num, max_responsive_x)
+    smb_boosted_max = jnp.maximum(smb_max_frame_num, dc["history_fix_frame_num"]
+                                  * (1.0 - virtual_confidence_for_smb))
+    smb_spec_accum_speed_boosted = jnp.minimum(smb_spec_accum_speed, smb_boosted_max)
+
+    vmb_max_frame_num = dc["max_accumulated_frame_num"] * virtual_confidence
+    vmb_max_frame_num = jnp.minimum(vmb_max_frame_num, max_responsive_y)
+
+    smb_spec_accum_speed = jnp.minimum(smb_spec_accum_speed, smb_max_frame_num)
+    vmb_spec_accum_speed = jnp.minimum(vmb_spec_accum_speed, vmb_max_frame_num)
+
+    # smb <-> vmb fallback, new logic (lines 696-702)
+    magic = jnp.where(vmb_spec_accum_speed > smb_spec_accum_speed, 8.0, 0.5)
+    virtual_history_amount = virtual_history_amount * (
+        1.0 + (vmb_spec_accum_speed - smb_spec_accum_speed)
+        / (magic * jnp.maximum(vmb_spec_accum_speed, smb_spec_accum_speed) + 1.0))
+    virtual_history_amount = nm.saturate(virtual_history_amount)
+
+    # ---- virtual history sample + accumulation (lines 708-754) ----
+    vmb_spec_history = sample_history(spec_history, vmb_pixel_uv, sc["rect_size_prev"],
+                                      vmb_occlusion_weights, vmb_allow_catrom)
+    vmb_spec_fast = sample_history_bilinear(spec_fast_history, vmb_pixel_uv,
+                                            sc["rect_size_prev"], vmb_occlusion_weights)
+
+    smb_spec_history = C.clamp_negative_to_zero(smb_spec_history, occlusion)
+    vmb_spec_history = C.clamp_negative_to_zero(vmb_spec_history, occlusion)
+
+    smb_nlas = 1.0 / (1.0 + smb_spec_accum_speed)
+    vmb_nlas = 1.0 / (1.0 + vmb_spec_accum_speed)
+
+    smb_spec = C.mix_history_and_current(dc, smb_spec_history, spec, smb_nlas,
+                                         roughness_modified, occlusion)
+    vmb_spec = C.mix_history_and_current(dc, vmb_spec_history, spec, vmb_nlas,
+                                         roughness_modified, occlusion)
+    spec_result = nm.lerp(smb_spec, vmb_spec, virtual_history_amount[..., None])
+
+    sh_result = None
+    if spec_sh_input is not None:
+        smb_sh = sample_history_bilinear(spec_sh_history, sm["smb_pixel_uv"],
+                                         sc["rect_size_prev"], sm["occlusion_weights"])
+        vmb_sh = sample_history_bilinear(spec_sh_history, vmb_pixel_uv,
+                                         sc["rect_size_prev"], vmb_occlusion_weights)
+        smb_sh_mixed = nm.lerp(smb_sh, spec_sh_input, smb_nlas[..., None])
+        vmb_sh_mixed = nm.lerp(vmb_sh, spec_sh_input, vmb_nlas[..., None])
+        sh_result = nm.lerp(smb_sh_mixed, vmb_sh_mixed, virtual_history_amount[..., None])
+        sh_result = jnp.concatenate([sh_result[..., :3], roughness_modified[..., None]],
+                                    -1)
+
+    spec_accum_speed = nm.lerp(smb_spec_accum_speed_boosted, vmb_spec_accum_speed,
+                               virtual_history_amount)
+    spec_history_mixed = nm.lerp(smb_spec_history, vmb_spec_history,
+                                 virtual_history_amount[..., None])
+
+    # firefly suppressor (lines 756-771)
+    if not occlusion:
+        max_rel = (dc["firefly_suppressor_min_relative_scale"]
+                   + C.REBLUR_FIREFLY_SUPPRESSOR_MAX_RELATIVE_INTENSITY
+                   / (spec_accum_speed + 1.0))
+        antifirefly = spec_accum_speed * dc["max_blur_radius"] \
+            * C.REBLUR_FIREFLY_SUPPRESSOR_RADIUS_SCALE
+        antifirefly = antifirefly / (1.0 + antifirefly)
+        luma = C.get_luma(spec_result, False)
+        luma_clamped = jnp.minimum(luma, C.get_luma(spec_history_mixed, False) * max_rel)
+        luma_clamped = nm.lerp(luma, luma_clamped, antifirefly)
+        spec_result = C.change_luma(spec_result, luma_clamped, False)
+        if sh_result is not None:
+            scale = C.get_luma_scale(nm.length(sh_result[..., :3]), luma_clamped)
+            sh_result = jnp.concatenate([sh_result[..., :3] * scale[..., None],
+                                         sh_result[..., 3:]], -1)
+
+    # fast history (lines 779-794)
+    smb_fast_nlas = C.get_non_linear_accum_speed(sc, smb_spec_accum_speed,
+                                                 dc["max_fast_accumulated_frame_num"],
+                                                 surface_history_confidence, True)
+    vmb_fast_nlas = C.get_non_linear_accum_speed(sc, vmb_spec_accum_speed,
+                                                 dc["max_fast_accumulated_frame_num"],
+                                                 virtual_confidence, True)
+    smb_fast = nm.lerp(smb_spec_fast, C.get_luma(spec, occlusion), smb_fast_nlas)
+    vmb_fast = nm.lerp(vmb_spec_fast, C.get_luma(spec, occlusion), vmb_fast_nlas)
+    fast_result = nm.lerp(smb_fast, vmb_fast, virtual_history_amount)
+    if not occlusion:
+        fast_clamped = jnp.minimum(
+            fast_result, C.get_luma(spec_history_mixed, False) * max_rel
+            * C.REBLUR_FIREFLY_SUPPRESSOR_FAST_RELATIVE_INTENSITY)
+        fast_result = nm.lerp(fast_result, fast_clamped, antifirefly)
+
+    return dict(spec=spec_result, fast=fast_result, accum_speed=spec_accum_speed,
+                fbits_vmb=fbits_vmb, curvature=curvature,
+                virtual_history_amount=virtual_history_amount,
+                hit_dist_for_tracking=hdt_out, sh=sh_result)
+
+
+def jax_rsqrt(x):
+    import jax as _jax
+    return _jax.lax.rsqrt(jnp.maximum(x, 1e-15))
+
+
+# ---------------------------------------------------------------------------
+# Specular spatial filter (REBLUR_Common_SpecularSpatialFilter.hlsli)
+# ---------------------------------------------------------------------------
+
+PRE_BLUR = 0
+
+
+def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, data1,
+                            config, sh=None, *, occlusion: bool):
+    """Adaptive Poisson specular blur. mode: PRE_BLUR / BLUR / POST_BLUR.
+
+    PRE_BLUR additionally estimates hitDistForTracking (stochastic min of weighted taps)
+    and returns it. Returns (spec_out, sh_out, hit_dist_for_tracking_or_None).
+    """
+    h, w = view_z_in.shape
+    uv = resample.pixel_uv_grid(h, w)
+    view_z = unpack_view_z(sc, view_z_in)
+    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
+    w2v = jnp.asarray(sc["world_to_view"])
+    nv = n @ w2v[:3, :3].T
+    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
+                                      sc["ortho_mode"])
+    vv = C.get_view_vector_view_space(sc, xv)
+    nov = jnp.abs(nm.dot(nv, vv))
+    frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
+                                       view_z)
+    pixel_pos = resample.pixel_pos_grid(h, w)
+    enc_err = nm.normal_encoding_error(int(config.normal_encoding))
+
+    smc = nm.get_spec_magic_curve(roughness)
+
+    if mode == PRE_BLUR:
+        rotator = sc["rotator_pre"]
+        fraction_scale = C.REBLUR_PRE_BLUR_FRACTION_SCALE
+        radius_scale = 1.0
+    elif mode == BLUR:
+        rotator = sc["rotator"]
+        fraction_scale = C.REBLUR_BLUR_FRACTION_SCALE
+        radius_scale = 1.0
+    else:
+        rotator = sc["rotator_post"]
+        fraction_scale = C.REBLUR_POST_BLUR_FRACTION_SCALE
+        radius_scale = C.REBLUR_POST_BLUR_RADIUS_SCALE
+
+    dv4 = nm.get_specular_dominant_direction(nv, vv, roughness)
+    nod = jnp.abs(nm.dot(nv, dv4[..., :3]))
+    hit_dist_scale = fe.get_hit_distance_normalization(
+        view_z, dc["hit_dist_params"][None, None, :], roughness)
+    hit_dist = C.extract_hit_dist(spec) * hit_dist_scale
+    hit_dist_factor = nm.get_hit_dist_factor(hit_dist, frustum_size)
+
+    if mode == PRE_BLUR:
+        hit_dist_for_tracking = jnp.where(hit_dist == 0.0, NRD_INF, hit_dist)
+        blur_radius = dc["spec_prepass_blur_radius"]
+        area_factor = roughness * hit_dist_factor
+        nlas = jnp.full_like(view_z, C.REBLUR_PRE_BLUR_NON_LINEAR_ACCUM_SPEED)
+    else:
+        hit_dist_for_tracking = None
+        boost = 1.0 - C.get_fade_based_on_accumulated_frames(dc, data1)
+        boost = boost * (1.0 - jnp.power(nm.saturate(1.0 - nov), 5.0))
+        boost = boost * smc
+        nlas = 1.0 / (1.0 + C.REBLUR_SAMPLES_PER_FRAME * (1.0 - boost) * data1)
+        blur_radius = dc["max_blur_radius"]
+        area_factor = roughness * hit_dist_factor * nlas
+
+    blur_radius = blur_radius * jnp.sqrt(nm.saturate(area_factor))
+
+    if mode == PRE_BLUR:
+        # lobe-bound radius fix (lines 71-80)
+        lobe_tan = nm.get_specular_lobe_tan_half_angle(
+            roughness, C.REBLUR_MAX_PERCENT_OF_LOBE_VOLUME_FOR_PRE_PASS)
+        lobe_radius = hit_dist * nod * lobe_tan
+        min_blur_radius = lobe_radius / nm.pixel_radius_to_world(
+            sc["unproject"], sc["ortho_mode"], 1.0, view_z + hit_dist * dv4[..., 3])
+        blur_radius = jnp.minimum(blur_radius, min_blur_radius)
+
+    blur_radius = blur_radius * radius_scale
+    blur_radius = jnp.maximum(blur_radius, dc["min_blur_radius"] * smc)
+
+    roughness_fraction_scaled = nm.saturate(dc["roughness_fraction"] * fraction_scale)
+    ga, gb = nm.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
+                                           xv, nv, nlas)
+    normal_weight_param = nm.get_normal_weight_param(nlas, dc["lobe_angle_fraction"],
+                                                     roughness, enc_err) / fraction_scale
+    wr_a, wr_b = nm.get_roughness_weight_params(roughness, roughness_fraction_scaled)
+    ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(spec), nlas, roughness)
+    min_hit_dist_weight = dc["min_hit_distance_weight"] * fraction_scale * smc
+    if mode != PRE_BLUR and not occlusion:
+        min_hit_dist_weight = min_hit_dist_weight * jnp.sqrt(nlas)
+
+    # screen-space sampling path (PRE_BLUR always; others via config default 0 -> but we
+    # use screen-space everywhere for TPU friendliness; skew=1 mirrors the pre-pass)
+    skew = jnp.ones_like(uv) * sc["rect_size_inv"][None, None, :] * blur_radius[..., None]
+    scaled_rotator = nm.scale_rotator(jnp.broadcast_to(rotator, uv.shape[:2] + (4,)), skew)
+
+    rect = sc["rect_size"][None, None, :]
+    sum_ = jnp.ones_like(view_z)
+    acc = spec
+    acc_sh = sh
+    rng_state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]), sc["frame_index"])
+
+    for tap in nm.SPECIAL_8:
+        offset = jnp.asarray(tap[:2])
+        uv_s = uv + nm.rotate_vector2(scaled_rotator, jnp.broadcast_to(offset, uv.shape))
+        uv_s = (jnp.floor(uv_s * rect) + 0.5) / rect
+
+        zs = unpack_view_z(sc, resample.sample_nearest(view_z_in, uv_s))
+        ns, rs, ms = unpack_nr(sc, resample.sample_nearest(normal_roughness, uv_s), config)
+
+        angle = nm.acos_approx(nm.dot(n, ns))
+        xvs = nm.reconstruct_view_position(uv_s, sc["frustum"][None, None, :], zs,
+                                           sc["ortho_mode"])
+        w_ = resample.is_in_screen_nearest(uv_s)
+        w_ = w_ * nm.compute_weight(nm.dot(nv, xvs), ga, gb)
+        if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+            w_ = w_ * (jnp.maximum(material_id, dc["spec_min_material"])
+                       == jnp.maximum(ms, dc["spec_min_material"])).astype(jnp.float32)
+        w_ = w_ * nm.compute_weight(angle, normal_weight_param, 0.0)
+        w_ = w_ * nm.compute_weight(rs, wr_a, wr_b)
+
+        s = resample.sample_nearest(spec, uv_s)
+        s = jnp.where((w_ == 0.0)[..., None], 0.0, s)
+
+        if mode == PRE_BLUR:
+            hs = C.extract_hit_dist(s) * fe.get_hit_distance_normalization(
+                zs, dc["hit_dist_params"][None, None, :], rs)
+            d = nm.length(xvs - xv) + NRD_EPS
+            geometry_weight = w_ * nm.saturate(hs / d)
+            rng_state, rnd = nm.hash_float(rng_state)
+            take = jnp.logical_and(rnd < geometry_weight, hs > 0.0)
+            hit_dist_for_tracking = jnp.where(
+                take, jnp.minimum(hit_dist_for_tracking, hs), hit_dist_for_tracking)
+            w_ = w_ * dc["use_prepass_not_only_for_specular_motion_estimation"]
+            t = hs / (d + hit_dist)
+            w_ = w_ * nm.lerp(nm.saturate(t), 1.0, nm.linearstep(0.5, 1.0, roughness))
+
+        w_ = w_ * nm.lerp(min_hit_dist_weight, 1.0,
+                          nm.compute_exponential_weight(C.extract_hit_dist(s), ha, hb))
+        w_ = w_ * nm.get_gaussian_weight(float(tap[2]))
+
+        sum_ = sum_ + w_
+        acc = acc + s * w_[..., None]
+        if acc_sh is not None:
+            sh_s = resample.sample_nearest(sh, uv_s)
+            sh_s = jnp.where((w_ == 0.0)[..., None], 0.0, sh_s)
+            acc_sh = acc_sh + jnp.concatenate([sh_s[..., :3] * w_[..., None],
+                                               jnp.zeros_like(sh_s[..., 3:])], -1)
+
+    inv = 1.0 / jnp.maximum(sum_, 1e-15)
+    out = acc * inv[..., None]
+    out_sh = None
+    if acc_sh is not None:
+        out_sh = jnp.concatenate([acc_sh[..., :3] * inv[..., None], acc_sh[..., 3:]], -1)
+    if mode == PRE_BLUR:
+        hit_dist_for_tracking = jnp.where(hit_dist_for_tracking == NRD_INF, 0.0,
+                                          hit_dist_for_tracking)
+        disabled = dc["spec_prepass_blur_radius"] == 0.0
+        out = jnp.where(disabled, spec, out)
+        if out_sh is not None:
+            out_sh = jnp.where(disabled, sh, out_sh)
+        hit_dist_for_tracking = jnp.where(
+            disabled, jnp.where(C.extract_hit_dist(spec) == 0.0, 0.0,
+                                C.extract_hit_dist(spec)), hit_dist_for_tracking)
+    return out, out_sh, hit_dist_for_tracking
+
+
+def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, config,
+                     sh=None, *, occlusion: bool = False):
+    """Diffuse PRE_BLUR: same as diffuse_spatial_filter but with pre-pass constants."""
+    h, w = view_z_in.shape
+    uv = resample.pixel_uv_grid(h, w)
+    view_z = unpack_view_z(sc, view_z_in)
+    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
+    w2v = jnp.asarray(sc["world_to_view"])
+    nv = n @ w2v[:3, :3].T
+    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
+                                      sc["ortho_mode"])
+    frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
+                                       view_z)
+    rotator = sc["rotator_pre"]
+    signal = spec_like_signal
+    enc_err = nm.normal_encoding_error(int(config.normal_encoding))
+
+    nlas = jnp.full_like(view_z, C.REBLUR_PRE_BLUR_NON_LINEAR_ACCUM_SPEED)
+    fraction_scale = C.REBLUR_PRE_BLUR_FRACTION_SCALE
+
+    hit_dist_scale = fe.get_hit_distance_normalization(
+        view_z, dc["hit_dist_params"][None, None, :], jnp.ones_like(roughness))
+    hit_dist = C.extract_hit_dist(signal) * hit_dist_scale
+    hit_dist_factor = nm.get_hit_dist_factor(hit_dist, frustum_size)
+
+    blur_radius = dc["diff_prepass_blur_radius"] * jnp.sqrt(nm.saturate(hit_dist_factor))
+    blur_radius = jnp.maximum(blur_radius, dc["min_blur_radius"])
+
+    ga, gb = nm.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
+                                           xv, nv, nlas)
+    normal_weight_param = nm.get_normal_weight_param(
+        nlas, dc["lobe_angle_fraction"], jnp.ones_like(roughness), enc_err) / fraction_scale
+    ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(signal), nlas)
+    min_hit_dist_weight = dc["min_hit_distance_weight"] * fraction_scale
+
+    skew = jnp.ones_like(uv) * sc["rect_size_inv"][None, None, :] * blur_radius[..., None]
+    scaled_rotator = nm.scale_rotator(jnp.broadcast_to(rotator, uv.shape[:2] + (4,)), skew)
+    rect = sc["rect_size"][None, None, :]
+
+    sum_ = jnp.ones_like(view_z)
+    acc = signal
+    acc_sh = sh
+    for tap in nm.SPECIAL_8:
+        offset = jnp.asarray(tap[:2])
+        uv_s = uv + nm.rotate_vector2(scaled_rotator, jnp.broadcast_to(offset, uv.shape))
+        uv_s = (jnp.floor(uv_s * rect) + 0.5) / rect
+        zs = unpack_view_z(sc, resample.sample_nearest(view_z_in, uv_s))
+        ns, rs, ms = unpack_nr(sc, resample.sample_nearest(normal_roughness, uv_s), config)
+        angle = nm.acos_approx(nm.dot(n, ns))
+        xvs = nm.reconstruct_view_position(uv_s, sc["frustum"][None, None, :], zs,
+                                           sc["ortho_mode"])
+        w_ = resample.is_in_screen_nearest(uv_s)
+        w_ = w_ * nm.compute_weight(nm.dot(nv, xvs), ga, gb)
+        if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+            w_ = w_ * (jnp.maximum(material_id, dc["diff_min_material"])
+                       == jnp.maximum(ms, dc["diff_min_material"])).astype(jnp.float32)
+        w_ = w_ * nm.compute_weight(angle, normal_weight_param, 0.0)
+        s = resample.sample_nearest(signal, uv_s)
+        s = jnp.where((w_ == 0.0)[..., None], 0.0, s)
+        w_ = w_ * nm.lerp(min_hit_dist_weight, 1.0,
+                          nm.compute_exponential_weight(C.extract_hit_dist(s), ha, hb))
+        w_ = w_ * nm.get_gaussian_weight(float(tap[2]))
+        sum_ = sum_ + w_
+        acc = acc + s * w_[..., None]
+        if acc_sh is not None:
+            sh_s = resample.sample_nearest(sh, uv_s)
+            sh_s = jnp.where((w_ == 0.0)[..., None], 0.0, sh_s)
+            acc_sh = acc_sh + sh_s * w_[..., None]
+
+    inv = 1.0 / jnp.maximum(sum_, 1e-15)
+    out = acc * inv[..., None]
+    out_sh = acc_sh * inv[..., None] if acc_sh is not None else None
+    disabled = dc["diff_prepass_blur_radius"] == 0.0
+    out = jnp.where(disabled, signal, out)
+    if out_sh is not None:
+        out_sh = jnp.where(disabled, sh, out_sh)
+    return out, out_sh
+
+
+# ---------------------------------------------------------------------------
+# Hit distance reconstruction (REBLUR_HitDistReconstruction.hlsli)
+# ---------------------------------------------------------------------------
+
+
+def hit_dist_reconstruction(sc, dc, view_z_in, normal_roughness, diff, spec, config,
+                            *, radius: int):
+    """Reconstruct hitT==0 holes from 3x3 (radius=1) / 5x5 (radius=2) neighbors.
+
+    diff/spec are (h, w, c) signals or None; only the hit channel is modified.
+    """
+    view_z = unpack_view_z(sc, view_z_in)
+    h, w = view_z.shape
+    uv = resample.pixel_uv_grid(h, w)
+    n, roughness, _ = unpack_nr(sc, normal_roughness, config)
+    w2v = jnp.asarray(sc["world_to_view"])
+    nv = n @ w2v[:3, :3].T
+    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
+                                      sc["ortho_mode"])
+    frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
+                                       view_z)
+    enc_err = nm.normal_encoding_error(int(config.normal_encoding))
+
+    ga, gb = nm.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
+                                           xv, nv, 1.0)
+    ra, rb = nm.get_relaxed_roughness_weight_params(roughness * roughness)
+    diff_nwp = nm.get_normal_weight_param(jnp.ones_like(view_z), 1.0,
+                                          jnp.ones_like(roughness), enc_err)
+    spec_nwp = nm.get_normal_weight_param(jnp.ones_like(view_z), 1.0, roughness, enc_err)
+
+    hd_d = C.extract_hit_dist(diff) if diff is not None else None
+    hd_s = C.extract_hit_dist(spec) if spec is not None else None
+
+    sum_d = 1000.0 * (hd_d != 0.0).astype(jnp.float32) if hd_d is not None else None
+    sum_s = 1000.0 * (hd_s != 0.0).astype(jnp.float32) if hd_s is not None else None
+    acc_d = hd_d * sum_d if hd_d is not None else None
+    acc_s = hd_s * sum_s if hd_s is not None else None
+
+    rect_inv = sc["rect_size_inv"][None, None, :]
+    for dy, dx in stencil.offsets_square(radius, exclude_center=True):
+        zs = stencil.shifted(view_z, dy, dx)
+        ns, rs, _ = unpack_nr(sc, stencil.shifted(normal_roughness, dy, dx), config)
+        o_len = float((dx * dx + dy * dy) ** 0.5)
+        uv_s = uv + jnp.asarray([dx, dy], jnp.float32) * rect_inv
+        xvs = nm.reconstruct_view_position(uv_s, sc["frustum"][None, None, :], zs,
+                                           sc["ortho_mode"])
+        w_ = resample.is_in_screen_nearest(uv_s)
+        w_ = w_ * nm.get_gaussian_weight(o_len * 0.5)
+        w_ = w_ * nm.compute_weight(nm.dot(nv, xvs), ga, gb)
+        angle = nm.acos_approx(nm.dot(n, ns))
+        if hd_d is not None:
+            wd = w_ * nm.compute_exponential_weight(angle, diff_nwp, 0.0)
+            d_tap = stencil.shifted(hd_d, dy, dx)
+            wd = wd * (d_tap != 0.0).astype(jnp.float32)
+            acc_d = acc_d + d_tap * wd
+            sum_d = sum_d + wd
+        if hd_s is not None:
+            ws = w_ * nm.compute_exponential_weight(angle, spec_nwp, 0.0)
+            ws = ws * nm.compute_exponential_weight(rs * rs, ra, rb)
+            s_tap = stencil.shifted(hd_s, dy, dx)
+            ws = ws * (s_tap != 0.0).astype(jnp.float32)
+            acc_s = acc_s + s_tap * ws
+            sum_s = sum_s + ws
+
+    out_d = out_s = None
+    if diff is not None:
+        new_hd = acc_d / jnp.maximum(sum_d, NRD_EPS)
+        out_d = jnp.concatenate([diff[..., :-1], new_hd[..., None]], -1)
+    if spec is not None:
+        new_hs = acc_s / jnp.maximum(sum_s, NRD_EPS)
+        out_s = jnp.concatenate([spec[..., :-1], new_hs[..., None]], -1)
+    return out_d, out_s
+
+
+# ---------------------------------------------------------------------------
+# TemporalStabilization (REBLUR_TemporalStabilization.hlsli)
+# ---------------------------------------------------------------------------
+
+
+def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_diff,
+                           data1_spec, fbits, curvature, virtual_history_amount,
+                           diff, spec, diff_luma_stab_history, spec_luma_stab_history,
+                           spec_hitdist_for_tracking, base_color_metalness, config, *,
+                           has_diffuse: bool, has_specular: bool, has_prepass: bool,
+                           diff_sh=None, spec_sh=None, directional: bool = False):
+    """Anti-lag output filter. Returns dict(diff, spec, diff_luma_stab, spec_luma_stab,
+    data1_diff, data1_spec, mv_out[, diff_sh, spec_sh])."""
+    h, w = view_z_in.shape
+    uv = resample.pixel_uv_grid(h, w)
+    view_z = unpack_view_z(sc, view_z_in)
+    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
+
+    v2w = jnp.asarray(sc["view_to_world"])
+    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
+                                      sc["ortho_mode"])
+    x = xv @ v2w[:3, :3].T
+
+    # surface motion (same as TA lines 50-70)
+    mv = mv_in[..., :3] * sc["mv_scale"][None, None, :3]
+    w2v_prev = jnp.asarray(sc["world_to_view_prev"])
+    is_world_mv = sc["mv_scale"][3] != 0.0
+    smb_uv_screen = uv + mv[..., :2]
+    mv_z_computed = (x @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2] - view_z
+    mv_z = jnp.where(sc["mv_scale"][2] == 0.0, mv_z_computed, mv[..., 2])
+    view_z_prev = view_z + mv_z
+    xv_prev_local = nm.reconstruct_view_position(
+        smb_uv_screen, sc["frustum_prev"][None, None, :], view_z_prev, sc["ortho_mode"])
+    x_prev_screen = xv_prev_local @ w2v_prev[:3, :3] + sc["camera_delta"][None, None, :]
+    x_prev_world = x + mv
+    smb_uv_world = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_prev_world)
+    x_prev = jnp.where(is_world_mv, x_prev_world, x_prev_screen)
+    smb_pixel_uv = jnp.where(is_world_mv, smb_uv_world, smb_uv_screen)
+
+    rect_prev = sc["rect_size_prev"][None, None, :]
+    smb_origin, smb_frac = nm.bilinear_filter(smb_pixel_uv, rect_prev)
+    bits = fbits.astype(jnp.int32)
+    smb_occ = jnp.stack([((bits >> b) & 1).astype(jnp.float32) for b in range(4)], -1)
+    smb_weights = nm.get_bilinear_custom_weights(smb_frac, smb_occ)
+    smb_allow_catrom = jnp.sum(smb_occ, -1) > 3.5
+    bw = nm.bilinear_weights(smb_frac)
+    smb_quality = jnp.sqrt(nm.saturate(jnp.sum(smb_occ * bw, -1)))
+
+    out = {}
+    mv_out = mv_in
+
+    def stabilize_channel(signal, luma_stab_history, data1, occ_weights, allow_catrom,
+                          quality, history_weight_extra, luma_is_last=False):
+        luma = C.get_luma(signal, luma_is_last)
+        m1 = jnp.zeros_like(luma)
+        m2 = jnp.zeros_like(luma)
+        lmin = jnp.full_like(luma, NRD_INF)
+        lmax = jnp.full_like(luma, -NRD_INF)
+        for dy, dx in stencil.offsets_square(1):
+            t = stencil.shifted(luma, dy, dx)
+            m1 = m1 + t
+            m2 = m2 + t * t
+            if not (dy == 0 and dx == 0):
+                lmin = jnp.minimum(lmin, t)
+                lmax = jnp.maximum(lmax, t)
+        m1 = m1 / 9.0
+        m2 = m2 / 9.0
+        sigma = nm.get_std_dev(m1, m2)
+        # RCRS (lines 131-135)
+        luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0,
+                              jnp.clip(luma, lmin, lmax), luma)
+
+        smb_hist = sample_history(luma_stab_history[..., None], smb_pixel_uv,
+                                  sc["rect_size_prev"], occ_weights, allow_catrom)[..., 0]
+        smb_hist = jnp.maximum(smb_hist, 0.0)
+        antilag = C.compute_antilag(sc, dc, smb_hist, m1, sigma, quality * data1)
+        taw, ta_sigma_scale = C.get_temporal_accumulation_params(sc, quality, data1)
+        history_weight = taw * antilag
+        history_weight = history_weight * (uv[..., 0] >= sc["split_screen"]).astype(
+            jnp.float32)
+        history_weight = history_weight * history_weight_extra
+        hist_clamped = jnp.clip(smb_hist, m1 - sigma * ta_sigma_scale,
+                                m1 + sigma * ta_sigma_scale)
+        luma_stab = nm.lerp(luma_rcrs, hist_clamped,
+                            jnp.minimum(history_weight, dc["stabilization_strength"]))
+        return luma_stab, antilag, sigma, m1
+
+    if has_diffuse:
+        extra = (smb_pixel_uv[..., 0] >= sc["split_screen_prev"]).astype(jnp.float32)
+        diff_luma_stab, diff_antilag, _, _ = stabilize_channel(
+            diff, diff_luma_stab_history, data1_diff, smb_weights, smb_allow_catrom,
+            smb_quality, extra, luma_is_last=directional)
+        diff_out = C.change_luma(diff, diff_luma_stab, False, directional)
+        out["diff"] = diff_out
+        out["diff_luma_stab"] = diff_luma_stab
+        if diff_sh is not None:
+            scale = C.get_luma_scale(nm.length(diff_sh[..., :3]), diff_luma_stab)
+            out["diff_sh"] = jnp.concatenate(
+                [diff_sh[..., :3] * scale[..., None], diff_sh[..., 3:]], -1)
+        d1 = data1_diff + 1.0
+        dmin = jnp.minimum(d1, dc["history_fix_frame_num"])
+        out["data1_diff"] = nm.lerp(dmin, d1, diff_antilag)
+
+    if has_specular:
+        # hit dist for tracking (lines 233-240)
+        hdt = C.extract_hit_dist(spec) * fe.get_hit_distance_normalization(
+            view_z, dc["hit_dist_params"][None, None, :], roughness)
+        if has_prepass and spec_hitdist_for_tracking is not None:
+            hdt = jnp.where(dc["spec_prepass_blur_radius"] != 0.0,
+                            jnp.minimum(hdt, spec_hitdist_for_tracking), hdt)
+        v = C.get_view_vector(sc, x)
+        nov = jnp.abs(nm.dot(n, v))
+        x_virtual = get_xvirtual(sc, hdt, curvature, x, x_prev, n, v, roughness)
+        vmb_pixel_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_virtual)
+        is_cam_attached = material_id == sc["camera_attached_reflection_material_id"]
+        vmb_pixel_uv = jnp.where(is_cam_attached[..., None], uv, vmb_pixel_uv)
+
+        # MV patching (lines 250-285)
+        if base_color_metalness is not None:
+            base_color = base_color_metalness[..., :3]
+            metalness = base_color_metalness[..., 3]
+            albedo = base_color * (1.0 - metalness[..., None])
+            rf0 = nm.lerp(jnp.full_like(base_color, 0.04), base_color,
+                          metalness[..., None])
+            fenv = fe.environment_term_rtg(rf0, nov, roughness)
+            lum_spec = nm.luminance(fenv)
+            lum_diff = nm.luminance(albedo * (1.0 - fenv))
+            spec_prob = lum_spec / (lum_diff + lum_spec + NRD_EPS)
+            f = nm.smoothstep(dc["spec_probability_thresholds"][0],
+                              dc["spec_probability_thresholds"][1], spec_prob)
+            f = f * (1.0 - nm.get_spec_magic_curve(roughness))
+            f = f * (1.0 - jnp.sqrt(nm.saturate(jnp.abs(curvature))))
+
+            spec_mv_xy = vmb_pixel_uv - uv
+            spec_mv_z = (x_virtual @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2] - view_z
+            new_mv_xy = spec_mv_xy / sc["mv_scale"][None, None, :2]
+            new_mv_z = jnp.where(sc["mv_scale"][2] == 0.0, mv_in[..., 2],
+                                 spec_mv_z / jnp.where(sc["mv_scale"][2] == 0.0, 1.0,
+                                                       sc["mv_scale"][2]))
+            patched = jnp.concatenate([new_mv_xy, new_mv_z[..., None]], -1)
+            mv_out3 = nm.lerp(mv_in[..., :3], patched, f[..., None])
+            if mv_in.shape[-1] == 3:
+                mv_out = mv_out3
+            else:
+                mv_out = jnp.concatenate([mv_out3, mv_in[..., 3:]], -1)
+
+        vmb_origin, vmb_frac = nm.bilinear_filter(vmb_pixel_uv, rect_prev)
+        vmb_occ = jnp.stack([((bits >> b) & 1).astype(jnp.float32)
+                             for b in range(4, 8)], -1)
+        vmb_weights = nm.get_bilinear_custom_weights(vmb_frac, vmb_occ)
+        vmb_allow_catrom = jnp.sum(vmb_occ, -1) > 3.5
+        bwv = nm.bilinear_weights(vmb_frac)
+        vmb_quality = jnp.sqrt(nm.saturate(jnp.sum(vmb_occ * bwv, -1)))
+
+        # combine surface & virtual motion (lines 287-343)
+        luma = C.get_luma(spec, False)
+        m1 = jnp.zeros_like(luma)
+        m2 = jnp.zeros_like(luma)
+        lmin = jnp.full_like(luma, NRD_INF)
+        lmax = jnp.full_like(luma, -NRD_INF)
+        for dy, dx in stencil.offsets_square(1):
+            t = stencil.shifted(luma, dy, dx)
+            m1 = m1 + t
+            m2 = m2 + t * t
+            if not (dy == 0 and dx == 0):
+                lmin = jnp.minimum(lmin, t)
+                lmax = jnp.maximum(lmax, t)
+        m1 = m1 / 9.0
+        m2 = m2 / 9.0
+        sigma = nm.get_std_dev(m1, m2)
+        luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0, jnp.clip(luma, lmin, lmax),
+                              luma)
+
+        smb_hist = sample_history(spec_luma_stab_history[..., None], smb_pixel_uv,
+                                  sc["rect_size_prev"], smb_weights,
+                                  smb_allow_catrom)[..., 0]
+        vmb_hist = sample_history(spec_luma_stab_history[..., None], vmb_pixel_uv,
+                                  sc["rect_size_prev"], vmb_weights,
+                                  vmb_allow_catrom)[..., 0]
+        smb_hist = jnp.maximum(smb_hist, 0.0)
+        vmb_hist = jnp.maximum(vmb_hist, 0.0)
+        spec_hist = nm.lerp(smb_hist, vmb_hist, virtual_history_amount)
+        quality = nm.lerp(smb_quality, vmb_quality, virtual_history_amount)
+        spec_antilag = C.compute_antilag(sc, dc, spec_hist, m1, sigma,
+                                         quality * data1_spec)
+        taw, ta_sigma_scale = C.get_temporal_accumulation_params(sc, quality, data1_spec)
+        history_weight = taw * spec_antilag
+        history_weight = history_weight * (uv[..., 0] >= sc["split_screen"]).astype(
+            jnp.float32)
+        smb_ok = (smb_pixel_uv[..., 0] >= sc["split_screen_prev"]).astype(jnp.float32)
+        vmb_ok = (vmb_pixel_uv[..., 0] >= sc["split_screen_prev"]).astype(jnp.float32)
+        history_weight = history_weight * jnp.where(virtual_history_amount != 1.0,
+                                                    smb_ok, 1.0)
+        history_weight = history_weight * jnp.where(virtual_history_amount != 0.0,
+                                                    vmb_ok, 1.0)
+
+        responsive_factor = C.remap_roughness_to_responsive_factor(dc, roughness)
+        smc = nm.get_spec_magic_curve(roughness)
+        acceleration = nm.lerp(smc, 1.0, 0.5 + responsive_factor * 0.5)
+        history_weight = history_weight * jnp.where(
+            material_id == sc["strand_material_id"], 0.5, acceleration)
+
+        spec_hist = jnp.clip(spec_hist, m1 - sigma * ta_sigma_scale,
+                             m1 + sigma * ta_sigma_scale)
+        spec_luma_stab = nm.lerp(luma_rcrs, spec_hist,
+                                 jnp.minimum(history_weight, dc["stabilization_strength"]))
+        spec_out = C.change_luma(spec, spec_luma_stab, False)
+        out["spec"] = spec_out
+        out["spec_luma_stab"] = spec_luma_stab
+        if spec_sh is not None:
+            scale = C.get_luma_scale(nm.length(spec_sh[..., :3]), spec_luma_stab)
+            out["spec_sh"] = jnp.concatenate(
+                [spec_sh[..., :3] * scale[..., None], spec_sh[..., 3:]], -1)
+        d1 = data1_spec + 1.0
+        smin = jnp.minimum(d1, dc["history_fix_frame_num"])
+        out["data1_spec"] = nm.lerp(smin, d1, spec_antilag)
+
+    out["mv_out"] = mv_out
+    return out

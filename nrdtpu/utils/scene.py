@@ -80,6 +80,9 @@ class FrameData:
     dist_to_occluder: np.ndarray  # (h, w) FP16_MAX where lit
     ao_clean: np.ndarray = None   # (h, w) clean normalized occlusion (AO)
     ao_noisy: np.ndarray = None   # (h, w) 1-sample AO estimate in [0, 1]
+    spec_clean: np.ndarray = None  # (h, w, 3) clean specular radiance
+    spec_noisy: np.ndarray = None  # (h, w, 3)
+    spec_hit_dist: np.ndarray = None  # (h, w) reflection ray length
     common_settings: CommonSettings = field(default=None)
     view_to_clip: np.ndarray = field(default=None)
     world_to_view: np.ndarray = field(default=None)
@@ -209,6 +212,20 @@ class SceneGenerator:
         diff_noisy = diff_clean * noise[..., None]
         diff_hit_dist = np.where(hit_mask > 0, 0.5 + 0.1 * view_z, 0.0).astype(np.float32)
 
+        # specular: environment reflection along R with analytic hit distance
+        r_dir = dirs_world - 2.0 * np.sum(dirs_world * normal, -1, keepdims=True) * normal
+        sky_col = np.stack([0.35 + 0.35 * r_dir[..., 1], 0.45 + 0.3 * r_dir[..., 1],
+                            0.6 + 0.4 * np.clip(r_dir[..., 1], 0, 1)], -1)
+        spec_t, _, _, _ = self._trace(world_pos + normal * 1e-3, _normalize(r_dir))
+        spec_hit_dist = np.where(spec_t < 1e29, spec_t, 30.0).astype(np.float32)
+        spec_clean = np.where(hit_mask[..., None] > 0,
+                              np.where((spec_t < 1e29)[..., None], sky_col * 0.3, sky_col),
+                              0.0).astype(np.float32)
+        spec_noise = rng.gamma(shape=1.0 / max(sp.noise, 1e-6) ** 2,
+                               scale=sp.noise ** 2, size=spec_t.shape).astype(np.float32)
+        spec_noisy = spec_clean * spec_noise[..., None]
+        spec_hit_dist = np.where(hit_mask > 0, spec_hit_dist, 0.0).astype(np.float32)
+
         # AO-like normalized occlusion: smooth analytic target + binary 1-spp estimate
         ao_clean = np.clip(0.25 + 0.6 * normal[..., 1] + 0.15 * shadow_clean, 0.0, 1.0)
         ao_clean = np.where(hit_mask > 0, ao_clean, 0.0).astype(np.float32)
@@ -232,6 +249,7 @@ class SceneGenerator:
             shadow_clean=shadow_clean.astype(np.float32),
             dist_to_occluder=dist_to_occluder.astype(np.float32),
             ao_clean=ao_clean, ao_noisy=ao_noisy,
+            spec_clean=spec_clean, spec_noisy=spec_noisy, spec_hit_dist=spec_hit_dist,
             common_settings=cs, view_to_clip=view_to_clip, world_to_view=world_to_view)
 
     def packed_normal_roughness(self, fd: FrameData,

@@ -1,0 +1,166 @@
+"""Tests for the full REBLUR family (radiance, specular, SH, directional occlusion)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nrdtpu import frontend as fe
+from nrdtpu.engine import Engine, psnr
+from nrdtpu.settings import Denoiser, ReblurSettings, ResourceType
+from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+SIZE = (128, 96)
+RT = ResourceType
+HDP = jnp.asarray([3.0, 0.1, 20.0, -25.0])
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return SceneGenerator(SceneSpec(size=SIZE, noise=0.4), camera_mode="static")
+
+
+def base_inputs(gen, fd):
+    return {
+        RT.IN_VIEWZ: fd.view_z,
+        RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+        RT.IN_MV: fd.mv,
+    }
+
+
+def diff_packed(fd):
+    norm_hd = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
+                                          jnp.asarray(fd.view_z), HDP, 1.0)
+    return np.asarray(fe.reblur_pack_radiance_hitdist(jnp.asarray(fd.diff_noisy), norm_hd))
+
+
+def spec_packed(fd):
+    norm_hd = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.spec_hit_dist),
+                                          jnp.asarray(fd.view_z), HDP,
+                                          jnp.asarray(fd.roughness))
+    return np.asarray(fe.reblur_pack_radiance_hitdist(jnp.asarray(fd.spec_noisy), norm_hd))
+
+
+def run(gen, denoiser, n_frames, make_pool, settings=None):
+    eng = Engine({0: denoiser}, resource_size=SIZE)
+    if settings is not None:
+        eng.set_denoiser_settings(0, settings)
+    outs = None
+    for i in range(n_frames):
+        fd = gen.frame(i)
+        eng.set_common_settings(fd.common_settings)
+        pool = base_inputs(gen, fd)
+        pool.update(make_pool(fd))
+        outs = eng.denoise([0], pool)
+    return outs, eng, fd
+
+
+class TestReblurDiffuse:
+    def test_converges_to_clean(self, scene):
+        outs, eng, fd = run(scene, Denoiser.REBLUR_DIFFUSE, 24,
+                            lambda fd: {RT.IN_DIFF_RADIANCE_HITDIST: diff_packed(fd)})
+        out = np.asarray(fe.reblur_unpack_radiance_hitdist(
+            outs[RT.OUT_DIFF_RADIANCE_HITDIST]))
+        geom = fd.hit_mask > 0
+        clean = fd.diff_clean
+        p_noisy = psnr(fd.diff_noisy[geom], clean[geom])
+        p_out = psnr(out[..., :3][geom], clean[geom])
+        assert p_out > p_noisy + 8.0, (p_noisy, p_out)
+        assert np.isfinite(out).all()
+
+    def test_stabilization_reduces_flicker(self, scene):
+        def pool(fd):
+            return {RT.IN_DIFF_RADIANCE_HITDIST: diff_packed(fd)}
+
+        eng = Engine({0: Denoiser.REBLUR_DIFFUSE}, resource_size=SIZE)
+        prev = None
+        deltas = []
+        for i in range(16):
+            fd = scene.frame(i)
+            eng.set_common_settings(fd.common_settings)
+            p = base_inputs(scene, fd)
+            p.update(pool(fd))
+            out = np.asarray(eng.denoise([0], p)[RT.OUT_DIFF_RADIANCE_HITDIST])
+            if prev is not None:
+                deltas.append(np.abs(out - prev).mean())
+            prev = out
+        assert deltas[-1] < 0.5 * deltas[0], deltas
+
+
+class TestReblurSpecular:
+    def test_specular_converges(self, scene):
+        outs, eng, fd = run(scene, Denoiser.REBLUR_SPECULAR, 24,
+                            lambda fd: {RT.IN_SPEC_RADIANCE_HITDIST: spec_packed(fd)})
+        out = np.asarray(fe.reblur_unpack_radiance_hitdist(
+            outs[RT.OUT_SPEC_RADIANCE_HITDIST]))
+        geom = fd.hit_mask > 0
+        clean = fd.spec_clean
+        p_noisy = psnr(fd.spec_noisy[geom], clean[geom])
+        p_out = psnr(out[..., :3][geom], clean[geom])
+        assert p_out > p_noisy + 6.0, (p_noisy, p_out)
+        assert np.isfinite(out).all()
+
+
+class TestReblurDiffuseSpecular:
+    def test_flagship_runs_and_converges(self, scene):
+        def pool(fd):
+            return {RT.IN_DIFF_RADIANCE_HITDIST: diff_packed(fd),
+                    RT.IN_SPEC_RADIANCE_HITDIST: spec_packed(fd)}
+
+        outs, eng, fd = run(scene, Denoiser.REBLUR_DIFFUSE_SPECULAR, 20, pool)
+        geom = fd.hit_mask > 0
+        for rt, clean, noisy in ((RT.OUT_DIFF_RADIANCE_HITDIST, fd.diff_clean,
+                                  fd.diff_noisy),
+                                 (RT.OUT_SPEC_RADIANCE_HITDIST, fd.spec_clean,
+                                  fd.spec_noisy)):
+            out = np.asarray(fe.reblur_unpack_radiance_hitdist(outs[rt]))
+            assert np.isfinite(out).all()
+            p_noisy = psnr(noisy[geom], clean[geom])
+            p_out = psnr(out[..., :3][geom], clean[geom])
+            assert p_out > p_noisy + 5.0, (rt, p_noisy, p_out)
+
+    def test_spec_accum_speed_grows(self, scene):
+        def pool(fd):
+            return {RT.IN_DIFF_RADIANCE_HITDIST: diff_packed(fd),
+                    RT.IN_SPEC_RADIANCE_HITDIST: spec_packed(fd)}
+
+        _, eng, fd = run(scene, Denoiser.REBLUR_DIFFUSE_SPECULAR, 10, pool)
+        spec_accum = np.asarray(eng.get_state(0)["spec_accum"])
+        geom = fd.hit_mask > 0
+        assert np.median(spec_accum[geom]) > 4.0
+
+
+class TestReblurSH:
+    def test_diffuse_sh_runs(self, scene):
+        def pool(fd):
+            norm_hd = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
+                                                  jnp.asarray(fd.view_z), HDP, 1.0)
+            direction = jnp.asarray(fd.normal)
+            sh0, sh1 = fe.reblur_pack_sh(jnp.asarray(fd.diff_noisy), norm_hd, direction)
+            return {RT.IN_DIFF_SH0: np.asarray(sh0), RT.IN_DIFF_SH1: np.asarray(sh1)}
+
+        outs, _, fd = run(scene, Denoiser.REBLUR_DIFFUSE_SH, 8, pool)
+        sh0 = np.asarray(outs[RT.OUT_DIFF_SH0])
+        sh1 = np.asarray(outs[RT.OUT_DIFF_SH1])
+        assert np.isfinite(sh0).all() and np.isfinite(sh1).all()
+        # resolve must give positive radiance on geometry
+        sg = fe.reblur_unpack_sh(jnp.asarray(sh0), jnp.asarray(sh1))
+        resolved = np.asarray(fe.sh_resolve_diffuse(sg, jnp.asarray(fd.normal)))
+        geom = fd.hit_mask > 0
+        assert resolved[geom].mean() > 0.0
+
+
+class TestReblurDirectionalOcclusion:
+    def test_runs_and_converges(self, scene):
+        def pool(fd):
+            direction = jnp.asarray(fd.normal)
+            packed = fe.reblur_pack_directional_occlusion(direction,
+                                                          jnp.asarray(fd.ao_noisy))
+            return {RT.IN_DIFF_DIRECTION_HITDIST: np.asarray(packed)}
+
+        outs, _, fd = run(scene, Denoiser.REBLUR_DIFFUSE_DIRECTIONAL_OCCLUSION, 16, pool)
+        out = np.asarray(outs[RT.OUT_DIFF_DIRECTION_HITDIST])
+        assert np.isfinite(out).all()
+        geom = fd.hit_mask > 0
+        err_out = np.abs(out[..., 3][geom] - fd.ao_clean[geom]).mean()
+        err_in = np.abs(fd.ao_noisy[geom] - fd.ao_clean[geom]).mean()
+        assert err_out < 0.5 * err_in, (err_in, err_out)
