@@ -165,7 +165,10 @@ class Engine:
             settings = self._settings[ident]
 
             # static (permutation) key -> re-jit when structure changes
-            static_key = getattr(inst, "static_key", lambda s: ())(settings)
+            enable_validation = bool(self._cs.enableValidation) if self._cs else False
+            inst.enable_validation = enable_validation
+            static_key = (getattr(inst, "static_key", lambda s: ())(settings),
+                          enable_validation)
             if self._states[ident] is None or clear:
                 self._states[ident] = inst.init_state()
 

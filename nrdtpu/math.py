@@ -83,6 +83,10 @@ def exp_approx(x):
     return 1.0 / (x * x - x + 1.0)
 
 
+def rsqrt_safe(x):
+    return jax.lax.rsqrt(jnp.maximum(x, 1e-15))
+
+
 def safe_normalize(v, axis=-1):
     """_NRD_SafeNormalize (NRD.hlsli:321-324)."""
     return v * jax.lax.rsqrt(jnp.sum(v * v, axis=axis, keepdims=True) + 1e-9)

@@ -363,4 +363,13 @@ class ReblurDenoiser:
                 new_state[f"{which}_sh_history"] = jnp.where(
                     keep[..., None], state[f"{which}_sh_history"], sh_hist)
 
+        if getattr(self, "enable_validation", False):
+            from ..validation import render_validation
+            outs[RT.OUT_VALIDATION] = render_validation(
+                sc, view_z, normal_roughness, mv, cfg,
+                diff_accum=data1_diff if self.has_diffuse else None,
+                spec_accum=data1_spec if self.has_specular else None,
+                virtual_history_amount=virtual_amount,
+                max_accumulated_frame_num=63.0)
+
         return outs, new_state

@@ -1,0 +1,122 @@
+"""Smoke test: every denoiser in the public enum instantiates and runs two frames."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nrdtpu import frontend as fe
+from nrdtpu.engine import Engine
+from nrdtpu.settings import Denoiser, ResourceType
+from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+SIZE = (64, 48)
+RT = ResourceType
+HDP = jnp.asarray([3.0, 0.1, 20.0, -25.0])
+
+_gen = SceneGenerator(SceneSpec(size=SIZE), camera_mode="static")
+_frames = [_gen.frame(i) for i in range(2)]
+
+
+def build_pool(d: Denoiser, fd):
+    pool = {
+        RT.IN_VIEWZ: fd.view_z,
+        RT.IN_NORMAL_ROUGHNESS: _gen.packed_normal_roughness(fd),
+        RT.IN_MV: fd.mv,
+    }
+    name = d.name
+
+    def reblur_rad(noisy, hit, roughness):
+        nh = fe.reblur_get_norm_hit_dist(jnp.asarray(hit), jnp.asarray(fd.view_z), HDP,
+                                         roughness)
+        return np.asarray(fe.reblur_pack_radiance_hitdist(jnp.asarray(noisy), nh))
+
+    if name == "REFERENCE":
+        pool[RT.IN_SIGNAL] = np.concatenate(
+            [fd.diff_noisy, fd.diff_hit_dist[..., None]], -1)
+    elif name.startswith("SIGMA"):
+        pool[RT.IN_PENUMBRA] = np.asarray(fe.sigma_pack_penumbra_directional(
+            jnp.asarray(fd.dist_to_occluder), 0.1))
+        if "TRANSLUCENCY" in name:
+            t = np.broadcast_to(np.array([0.4, 0.5, 0.6], np.float32),
+                                fd.view_z.shape + (3,))
+            pool[RT.IN_TRANSLUCENCY] = np.asarray(fe.sigma_pack_translucency(
+                jnp.asarray(fd.dist_to_occluder), jnp.asarray(t)))
+    elif "DIRECTIONAL" in name:
+        pool[RT.IN_DIFF_DIRECTION_HITDIST] = np.asarray(
+            fe.reblur_pack_directional_occlusion(jnp.asarray(fd.normal),
+                                                 jnp.asarray(fd.ao_noisy)))
+    elif "OCCLUSION" in name:
+        if "DIFFUSE" in name:
+            pool[RT.IN_DIFF_HITDIST] = fd.ao_noisy
+        if "SPECULAR" in name:
+            pool[RT.IN_SPEC_HITDIST] = fd.ao_noisy
+    elif name.endswith("_SH"):
+        if "DIFFUSE" in name:
+            if name.startswith("REBLUR"):
+                nh = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
+                                                 jnp.asarray(fd.view_z), HDP, 1.0)
+                sh0, sh1 = fe.reblur_pack_sh(jnp.asarray(fd.diff_noisy), nh,
+                                             jnp.asarray(fd.normal))
+            else:
+                sh0, sh1 = fe.relax_pack_sh(jnp.asarray(fd.diff_noisy),
+                                            jnp.asarray(fd.diff_hit_dist),
+                                            jnp.asarray(fd.normal))
+            pool[RT.IN_DIFF_SH0] = np.asarray(sh0)
+            pool[RT.IN_DIFF_SH1] = np.asarray(sh1)
+        if "SPECULAR" in name:
+            if name.startswith("REBLUR"):
+                nh = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.spec_hit_dist),
+                                                 jnp.asarray(fd.view_z), HDP,
+                                                 jnp.asarray(fd.roughness))
+                sh0, sh1 = fe.reblur_pack_sh(jnp.asarray(fd.spec_noisy), nh,
+                                             jnp.asarray(fd.normal))
+            else:
+                sh0, sh1 = fe.relax_pack_sh(jnp.asarray(fd.spec_noisy),
+                                            jnp.asarray(fd.spec_hit_dist),
+                                            jnp.asarray(fd.normal))
+            pool[RT.IN_SPEC_SH0] = np.asarray(sh0)
+            pool[RT.IN_SPEC_SH1] = np.asarray(sh1)
+    else:
+        if "DIFFUSE" in name:
+            if name.startswith("REBLUR"):
+                pool[RT.IN_DIFF_RADIANCE_HITDIST] = reblur_rad(fd.diff_noisy,
+                                                               fd.diff_hit_dist, 1.0)
+            else:
+                pool[RT.IN_DIFF_RADIANCE_HITDIST] = np.asarray(
+                    fe.relax_pack_radiance_hitdist(jnp.asarray(fd.diff_noisy),
+                                                   jnp.asarray(fd.diff_hit_dist)))
+        if "SPECULAR" in name:
+            if name.startswith("REBLUR"):
+                pool[RT.IN_SPEC_RADIANCE_HITDIST] = reblur_rad(
+                    fd.spec_noisy, fd.spec_hit_dist, jnp.asarray(fd.roughness))
+            else:
+                pool[RT.IN_SPEC_RADIANCE_HITDIST] = np.asarray(
+                    fe.relax_pack_radiance_hitdist(jnp.asarray(fd.spec_noisy),
+                                                   jnp.asarray(fd.spec_hit_dist)))
+    return pool
+
+
+@pytest.mark.parametrize("denoiser", list(Denoiser), ids=lambda d: d.name)
+def test_two_frames_finite(denoiser):
+    eng = Engine({0: denoiser}, resource_size=SIZE)
+    outs = None
+    for fd in _frames:
+        eng.set_common_settings(fd.common_settings)
+        outs = eng.denoise([0], build_pool(denoiser, fd))
+    assert outs
+    for rt, arr in outs.items():
+        a = np.asarray(arr)
+        assert np.isfinite(a).all(), (denoiser.name, rt, np.isfinite(a).mean())
+
+
+def test_validation_overlay():
+    eng = Engine({0: Denoiser.REBLUR_DIFFUSE}, resource_size=SIZE)
+    fd = _frames[0]
+    fd.common_settings.enableValidation = True
+    eng.set_common_settings(fd.common_settings)
+    outs = eng.denoise([0], build_pool(Denoiser.REBLUR_DIFFUSE, fd))
+    fd.common_settings.enableValidation = False
+    v = np.asarray(outs[RT.OUT_VALIDATION])
+    assert v.shape == (SIZE[1], SIZE[0], 4)
+    assert np.isfinite(v).all()
+    assert v[..., 3].max() > 0.5  # overlay visible on geometry
