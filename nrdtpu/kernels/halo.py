@@ -1,0 +1,141 @@
+"""Pallas halo-block harness: the TPU-native replacement for CTA + SMEM preloading.
+
+The reference preloads (GROUP + 2*BORDER)^2 tiles into groupshared memory
+(Common.hlsli:109-150) and lets 256 threads walk neighborhoods. The TPU equivalent built
+here: the image stays in HBM (`pl.ANY`), each grid block DMAs a halo'd window into VMEM
+scratch, and taps become *vector loads at static or runtime-scalar offsets* into that window
+(per-pixel dynamic addressing does not exist on the VPU - per-pixel variation is resolved by
+select/weight arithmetic, see kernels/taps.py).
+
+Why this beats the XLA path on this backend: Mosaic compiles locally in O(100ms) (the
+remote XLA compile helper needs minutes and dies on large fused graphs), and the halo window
+is read from HBM exactly once per block instead of once per shifted view.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def halo_call(kernel_body, images: Sequence[jax.Array], out_channels: Sequence[int],
+              halo: int, block=(64, 256), scalars: jax.Array | None = None,
+              interpret: bool = False):
+    """Run `kernel_body(scalar_ref, windows, outs, origin)` over halo'd blocks.
+
+    images: list of (H, W) or (H, W, C) arrays (same H, W). Each becomes a VMEM window ref
+    of shape (bh + 2*halo, bw + 2*halo[, C]) containing the clamped neighborhood.
+    out_channels: channel count per output ((H, W) if 1 else (H, W, C)).
+    scalars: optional (N,) f32 array available via SMEM (frame constants like rotators).
+
+    kernel_body receives:
+      scalar_ref: SMEM ref or None
+      windows:    list of VMEM refs (bh+2h, bw+2h[, C])
+      outs:       list of VMEM refs (bh, bw[, C])
+      origin:     (y0, x0) int32 scalars - block origin in pixels (for uv-dependent math)
+
+    Implementation: grid over ceil(H/bh) x ceil(W/bw); windows are DMA'd from HBM with
+    edge clamping done by pre-padding the inputs by `halo` (cheap XLA pad, fused upstream).
+    """
+    h, w = images[0].shape[:2]
+    bh, bw = block
+    gh, gw = -(-h // bh), -(-w // bw)
+    ph, pw = gh * bh, gw * bw
+
+    # pre-pad: halo + round-up-to-block on the bottom/right (edge clamp semantics)
+    padded = []
+    for img in images:
+        pad = [(halo, halo + (ph - h)), (halo, halo + (pw - w))]
+        if img.ndim == 3:
+            pad.append((0, 0))
+        padded.append(jnp.pad(img, pad, mode="edge"))
+
+    win_h, win_w = bh + 2 * halo, bw + 2 * halo
+
+    num_scalars = 0 if scalars is None else scalars.shape[0]
+
+    def kernel(*refs):
+        idx = 0
+        scalar_ref = None
+        if num_scalars:
+            scalar_ref = refs[0]
+            idx = 1
+        in_refs = refs[idx: idx + len(padded)]
+        out_refs = refs[idx + len(padded): idx + len(padded) + len(out_channels)]
+        scratch = refs[idx + len(padded) + len(out_channels):]
+        windows = scratch[: len(padded)]
+        sems = scratch[len(padded):]
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        y0 = i * bh
+        x0 = j * bw
+
+        for k, (src, dst, sem) in enumerate(zip(in_refs, windows, sems)):
+            if src.ndim == 3:
+                cp = pltpu.make_async_copy(
+                    src.at[pl.ds(y0, win_h), pl.ds(x0, win_w), :], dst, sem)
+            else:
+                cp = pltpu.make_async_copy(
+                    src.at[pl.ds(y0, win_h), pl.ds(x0, win_w)], dst, sem)
+            cp.start()
+        for k, (src, dst, sem) in enumerate(zip(in_refs, windows, sems)):
+            if src.ndim == 3:
+                pltpu.make_async_copy(
+                    src.at[pl.ds(y0, win_h), pl.ds(x0, win_w), :], dst, sem).wait()
+            else:
+                pltpu.make_async_copy(
+                    src.at[pl.ds(y0, win_h), pl.ds(x0, win_w)], dst, sem).wait()
+
+        kernel_body(scalar_ref, list(windows), list(out_refs), (y0, x0))
+
+    in_specs = []
+    if num_scalars:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    for img in padded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+
+    out_specs = []
+    out_shapes = []
+    for c in out_channels:
+        if c == 1:
+            out_specs.append(pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((ph, pw), jnp.float32))
+        else:
+            out_specs.append(pl.BlockSpec((bh, bw, c), lambda i, j: (i, j, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shapes.append(jax.ShapeDtypeStruct((ph, pw, c), jnp.float32))
+
+    scratch_shapes = []
+    for img in padded:
+        shape = (win_h, win_w) if img.ndim == 2 else (win_h, win_w, img.shape[2])
+        scratch_shapes.append(pltpu.VMEM(shape, jnp.float32))
+    scratch_shapes.extend([pltpu.SemaphoreType.DMA(())] * len(padded))
+
+    args = ([scalars] if num_scalars else []) + padded
+    outs = pl.pallas_call(
+        kernel,
+        grid=(gh, gw),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*args)
+    if len(out_channels) == 1:
+        outs = (outs,)
+    # crop the round-up padding
+    cropped = []
+    for o in outs:
+        cropped.append(o[:h, :w] if o.ndim == 2 else o[:h, :w, :])
+    return tuple(cropped)
