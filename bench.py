@@ -43,14 +43,45 @@ HEADLINE_ORDER = [
 
 
 def make_inputs(w, h, seed=0):
-    """Synthetic 1440p frame inputs (uploaded once; timing excludes host->device copies)."""
+    """Synthetic but *structured* 1440p frame inputs (uploaded once; timing excludes
+    host->device copies).
+
+    TPU kernel cost is data-independent (no divergence), but the fields must still put the
+    pipelines in their typical operating regime: smooth viewZ/normals so geometry weights
+    pass, and a penumbra map mixing lit sky (NRD_FP16_MAX), soft penumbrae, and hard-shadow
+    cores so SIGMA's tile classifier marks most tiles as "needs denoising" (an all-uniform
+    field degenerates to the early-out path and the blur would be benched against no work).
+    """
     rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(-1, 1, h, dtype=np.float32),
+                         np.linspace(-1, 1, w, dtype=np.float32), indexing="ij")
+    # smooth receiver plane: viewZ ramp + gentle waves (keeps plane-distance weights alive)
+    view_z = (5.0 + 20.0 * (yy + 1.0) + 0.8 * np.sin(3.0 * xx) * np.cos(2.0 * yy)
+              ).astype(np.float32)
+    # smooth normals around +z (view-facing), oct-packed like the frontend does
+    nx = 0.35 * np.sin(2.5 * xx + 0.7)
+    ny = 0.35 * np.cos(1.9 * yy)
+    nz = np.sqrt(np.maximum(1.0 - nx * nx - ny * ny, 1e-4))
+    s = np.abs(nx) + np.abs(ny) + np.abs(nz)
+    ox, oy = nx / s, ny / s  # nz>0, no fold needed
+    normal_roughness = np.stack([ox * 0.5 + 0.5, oy * 0.5 + 0.5,
+                                 0.25 + 0.2 * (xx * 0.5 + 0.5),
+                                 np.zeros_like(nx)], -1).astype(np.float32)
+    # shadow layout: lit background, soft penumbra bands, hard cores (~15% lit, ~70% soft)
+    fp16_max = np.float32(65504.0)
+    blob = np.sin(6.0 * xx) * np.sin(5.0 * yy + 1.3) + 0.3 * np.sin(13.0 * xx * yy)
+    penumbra = np.where(blob > 0.8, fp16_max,                     # lit
+                        np.where(blob < -0.9, 0.0,                # hard shadow core
+                                 (0.2 + 2.5 * (blob + 0.9) / 1.7))).astype(np.float32)
+    mv = np.zeros((h, w, 3), np.float32)
+    mv[..., 0] = 0.0004 * np.sin(2.0 * yy)  # sub-pixel screen-space motion
+    mv[..., 1] = 0.0003 * np.cos(2.0 * xx)
     return {
         "signal": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),
-        "view_z": rng.uniform(0.1, 100.0, (h, w)).astype(np.float32),
-        "mv": np.zeros((h, w, 3), np.float32),
-        "normal_roughness": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),
-        "penumbra": rng.uniform(0, 4.0, (h, w)).astype(np.float32),
+        "view_z": view_z,
+        "mv": mv,
+        "normal_roughness": normal_roughness,
+        "penumbra": penumbra,
         "translucency": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),
         "hitdist": rng.uniform(0, 1, (h, w)).astype(np.float32),
         "radiance": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),

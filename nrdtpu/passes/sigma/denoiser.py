@@ -73,20 +73,44 @@ class SigmaDenoiser:
                   normal_encoding=self.config.normal_encoding,
                   roughness_encoding=self.config.roughness_encoding)
 
+        from ...config import use_pallas
+
         tile_map = K.classify_tiles(sc, penumbra, view_z, translucency)
         tiles_smoothed = K.smooth_tiles(tile_map)
 
         shadow_in0 = translucency if self.translucent else None
-        penum1, shadow1 = K.blur(sc, dc, penumbra, shadow_in0, view_z, normal_roughness,
-                                 tiles_smoothed, first_pass=True, **kw)
-        penum2, shadow2 = K.blur(sc, dc, penum1, shadow1, view_z, normal_roughness,
-                                 tiles_smoothed, first_pass=False, **kw)
+        pallas_ok = use_pallas() and self.channels == 1
+        if pallas_ok:
+            from ...kernels.sigma_pallas import sigma_blur_pallas
+
+            penum1, shadow1 = sigma_blur_pallas(
+                sc, dc, penumbra, shadow_in0, view_z, normal_roughness, tiles_smoothed,
+                first_pass=True, channels=self.channels)
+            penum2, shadow2 = sigma_blur_pallas(
+                sc, dc, penum1, shadow1, view_z, normal_roughness, tiles_smoothed,
+                first_pass=False, channels=self.channels)
+        else:
+            penum1, shadow1 = K.blur(sc, dc, penumbra, shadow_in0, view_z,
+                                     normal_roughness, tiles_smoothed,
+                                     first_pass=True, **kw)
+            penum2, shadow2 = K.blur(sc, dc, penum1, shadow1, view_z, normal_roughness,
+                                     tiles_smoothed, first_pass=False, **kw)
 
         if self._stabilization and mv is not None:
-            out, new_prev_view_z, new_history_len = K.temporal_stabilization(
-                sc, dc, view_z, mv, penum2, shadow2,
-                state["shadow_history"], state["prev_view_z"], state["history_len"],
-                tiles_smoothed, channels=self.channels)
+            if mv.ndim == 3 and mv.shape[-1] == 2:
+                mv = jnp.concatenate([mv, jnp.zeros_like(mv[..., :1])], -1)
+            if pallas_ok:
+                from ...kernels.sigma_pallas import sigma_ts_pallas
+
+                out, new_prev_view_z, new_history_len = sigma_ts_pallas(
+                    sc, dc, view_z, mv, penum2, shadow2,
+                    state["shadow_history"], state["prev_view_z"], state["history_len"],
+                    tiles_smoothed, channels=self.channels)
+            else:
+                out, new_prev_view_z, new_history_len = K.temporal_stabilization(
+                    sc, dc, view_z, mv, penum2, shadow2,
+                    state["shadow_history"], state["prev_view_z"], state["history_len"],
+                    tiles_smoothed, channels=self.channels)
             new_state = {"shadow_history": out, "prev_view_z": new_prev_view_z,
                          "history_len": new_history_len}
         else:

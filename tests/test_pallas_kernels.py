@@ -1,0 +1,81 @@
+"""Interpret-mode tests for the Pallas fast path (runs on CPU).
+
+Verifies the Pallas SIGMA pipeline against the XLA reference path on the analytic scene:
+not bit-equal (documented radius quantization / skew approximations) but tightly correlated,
+and all temporal invariants hold.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.experimental.pallas as pl_mod
+import jax.numpy as jnp
+
+from nrdtpu import frontend as fe
+from nrdtpu.engine import Engine
+from nrdtpu.settings import Denoiser, ResourceType
+from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+SIZE = (128, 96)
+RT = ResourceType
+
+
+@pytest.fixture()
+def pallas_interpret(monkeypatch):
+    orig = pl_mod.pallas_call
+
+    def interp(*a, **k):
+        k = dict(k)
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl_mod, "pallas_call", interp)
+    monkeypatch.setenv("NRDTPU_IMPL", "pallas")
+    yield
+
+
+def run_sigma(n_frames):
+    gen = SceneGenerator(SceneSpec(size=SIZE), camera_mode="static")
+    eng = Engine({0: Denoiser.SIGMA_SHADOW}, resource_size=SIZE)
+    outs = None
+    fd = None
+    for i in range(n_frames):
+        fd = gen.frame(i)
+        eng.set_common_settings(fd.common_settings)
+        pool = {
+            RT.IN_PENUMBRA: np.asarray(fe.sigma_pack_penumbra_directional(
+                jnp.asarray(fd.dist_to_occluder), 0.15)),
+            RT.IN_VIEWZ: fd.view_z,
+            RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+            RT.IN_MV: fd.mv,
+        }
+        outs = eng.denoise([0], pool)
+    return np.asarray(outs[RT.OUT_SHADOW_TRANSLUCENCY]), eng, fd
+
+
+def test_sigma_pallas_pipeline(pallas_interpret):
+    out, eng, fd = run_sigma(5)
+    assert np.isfinite(out).all()
+    shadow = out[..., 0] ** 2
+    geom = fd.hit_mask > 0
+    lit = (fd.shadow_clean > 0.5) & geom
+    assert shadow[lit].mean() > 0.98
+    hl = np.asarray(eng.get_state(0)["history_len"])
+    assert np.median(hl[geom]) >= 5.0
+
+
+def test_sigma_pallas_matches_xla_path(pallas_interpret):
+    out_p, _, fd = run_sigma(4)
+    os.environ["NRDTPU_IMPL"] = "xla"
+    try:
+        out_x, _, _ = run_sigma(4)
+    finally:
+        os.environ["NRDTPU_IMPL"] = "pallas"
+    a = out_p[..., 0].ravel()
+    b = out_x[..., 0].ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.98, corr
+    assert np.abs(a - b).mean() < 0.03
