@@ -23,4 +23,5 @@ def use_pallas() -> bool:
         platform = jax.devices()[0].platform
     except Exception:
         return False
-    return platform == "tpu"
+    # "axon" is a TPU chip behind a tunnelled PJRT plugin; same Mosaic path.
+    return platform in ("tpu", "axon")

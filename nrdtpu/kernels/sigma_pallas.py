@@ -1,17 +1,21 @@
 """Pallas TPU kernels for the SIGMA pipeline (Blur/PostBlur + TemporalStabilization).
 
 Same pass semantics as passes/sigma/kernels.py (the XLA reference path), re-expressed for
-the VPU: each grid block DMAs a halo'd window into VMEM, fixed 5x5 taps are static-offset
-vector loads, and the 8 rotated Poisson taps become loads at *runtime-uniform* integer
-offsets (the per-frame rotator is a scalar) evaluated at a small set of static radius levels,
-blended per pixel by a hat function over log-radius.
+the VPU on the halo-window harness (kernels/harness.py): fixed 5x5 taps are static-offset
+vector loads, the 8 rotated Poisson taps become loads at *runtime-uniform* integer offsets
+(the per-frame rotator is a scalar) evaluated at a small set of static radius levels blended
+per pixel by a hat function over radius, and the history reprojection uses the block-base +
+tent-residual decomposition (kernels/reproject.py) instead of a texture gather.
 
 Documented divergences from the HLSL (quality-neutral by construction, see ARCHITECTURE.md):
   - per-pixel blur radius is quantized to RADIUS_LEVELS with linear blending instead of a
     continuous radius ("snap to the pixel center", SIGMA_Blur.hlsli:215, already quantizes
     tap positions to integers in the reference);
   - the anisotropic screen-space skew (SIGMA_Blur.hlsli:169-174, range ~[0.5, 1]) is folded
-    into the radius magnitude instead of per-axis scaling.
+    into the radius magnitude instead of per-axis scaling;
+  - image borders exclude out-of-screen taps (renormalized) instead of clamp-sampling;
+  - reprojection with per-pixel motion deviating >1 px from the block mean is treated as
+    disocclusion (reproject.py).
 """
 
 from __future__ import annotations
@@ -26,10 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import math as nm
 from ..frontend import NRD_EPS, NRD_FP16_MAX
-from ..ops import resample, tiles
+from ..ops import tiles
+from . import reproject as rp
+from .harness import stencil_call
 
-# Halo sizes: Y must keep the window sublane-aligned (multiple of 8), X must keep the
-# window lane-aligned (multiple of 128). Both must cover SIGMA_MAX_PIXEL_RADIUS = 32.
 HALO_Y = 32
 HALO_X = 128
 RADIUS_LEVELS = (2.0, 4.0, 7.0, 12.0, 20.0, 32.0)
@@ -117,13 +121,13 @@ def _gauss_weights():
     return [float(np.exp(-0.66 * t[2] * t[2])) for t in nm.SPECIAL_8]
 
 
-def _sigma_blur_kernel(channels, first_pass, smem, pen_ref, z_ref, s_ref, nx_ref, ny_ref,
-                       tile_ref, pen_out, s_out):
+def _sigma_blur_kernel(first_pass, smem, bsm, wins, centers, outs, origin):
+    pen_w, z_w, s_w, nx_w, ny_w = wins
+    (tile_ref,) = centers
+    pen_out, s_out = outs
     bh, bw = pen_out.shape[:2]
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    y0 = (i * bh).astype(jnp.float32)
-    x0 = (j * bw).astype(jnp.float32)
+    y0 = origin[0].astype(jnp.float32)
+    x0 = origin[1].astype(jnp.float32)
 
     view_z_scale = smem[_S_MISC + 4]
     rect_w = smem[_S_MISC + 5]
@@ -131,42 +135,19 @@ def _sigma_blur_kernel(channels, first_pass, smem, pen_ref, z_ref, s_ref, nx_ref
     inv_w = 1.0 / rect_w
     inv_h = 1.0 / rect_h
 
-    # Mosaic requires aligned (multiple-of-8 sublane) ref slices; taps therefore load the
-    # whole window once and use (dynamic) rolls + one aligned slice.
-    _cache = {}
-
-    def _val(ref):
-        if id(ref) not in _cache:
-            _cache[id(ref)] = ref[:, :]
-        return _cache[id(ref)]
-
-    def win(ref, dy, dx, c=None):
-        val = _val(ref)
-        if dy != 0:
-            val = pltpu.roll(val, (-dy) % val.shape[0], 0)
-        if dx != 0:
-            val = pltpu.roll(val, (-dx) % val.shape[1], 1)
-        return val[HALO_Y: HALO_Y + bh, HALO_X: HALO_X + bw]
-
-    def win_dyn(ref, dy, dx, is3=False):
-        val = _val(ref)
-        val = pltpu.roll(val, jnp.mod(-dy, val.shape[0]), 0)
-        val = pltpu.roll(val, jnp.mod(-dx, val.shape[1]), 1)
-        return val[HALO_Y: HALO_Y + bh, HALO_X: HALO_X + bw]
-
     row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
     u = (x0 + col + 0.5) * inv_w
     v = (y0 + row + 0.5) * inv_h
 
-    center_pen = win(pen_ref, 0, 0)
-    view_z = jnp.abs(win(z_ref, 0, 0)) * view_z_scale
+    center_pen = pen_w.tap()
+    view_z = jnp.abs(z_w.tap()) * view_z_scale
     tile_value = tile_ref[:, :]
 
     if first_pass:
         center_s = _is_lit(center_pen)
     else:
-        center_s = win(s_ref, 0, 0)
+        center_s = s_w.tap()
         center_s = center_s * center_s  # unpack sqrt-packed shadow
 
     # geometry setup
@@ -180,7 +161,7 @@ def _sigma_blur_kernel(channels, first_pass, smem, pen_ref, z_ref, s_ref, nx_ref
 
     xvx, xvy, xvz = view_pos(u, v, view_z)
 
-    nwx, nwy, nwz = _decode_oct_normal2(win(nx_ref, 0, 0), win(ny_ref, 0, 0))
+    nwx, nwy, nwz = _decode_oct_normal2(nx_w.tap(), ny_w.tap())
     m = [smem[_S_W2V + k] for k in range(9)]
     nvx = m[0] * nwx + m[1] * nwy + m[2] * nwz
     nvy = m[3] * nwx + m[4] * nwy + m[5] * nwz
@@ -200,20 +181,24 @@ def _sigma_blur_kernel(channels, first_pass, smem, pen_ref, z_ref, s_ref, nx_ref
     pen_acc = jnp.zeros((bh, bw), jnp.float32)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            pen_t = win(pen_ref, dy, dx)
+            pen_t = pen_w.tap(dy, dx)
             if dy == 0 and dx == 0:
                 w_ = jnp.ones((bh, bw), jnp.float32)
                 s_t = center_s
             else:
-                z_t = jnp.abs(win(z_ref, dy, dx)) * view_z_scale
+                z_t = jnp.abs(z_w.tap(dy, dx)) * view_z_scale
                 if first_pass:
                     s_t = _is_lit(pen_t)
                 else:
-                    s_t = win(s_ref, dy, dx)
+                    s_t = s_w.tap(dy, dx)
                     s_t = s_t * s_t
-                sx, sy, sz = view_pos(u + dx * inv_w, v + dy * inv_h, z_t)
+                us = u + dx * inv_w
+                vs = v + dy * inv_h
+                sx, sy, sz = view_pos(us, vs, z_t)
+                in_scr = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)) \
+                    .astype(jnp.float32)
                 d = nvx * sx + nvy * sy + nvz * sz
-                w_ = _compute_weight(d, ga, gb)
+                w_ = in_scr * _compute_weight(d, ga, gb)
                 w_ = w_ * _both_lit_or_unlit(center_pen, pen_t)
                 r2 = (dx * dx + dy * dy) / 4.0
                 w_ = w_ * float(np.exp(-0.66 * r2))
@@ -258,12 +243,12 @@ def _sigma_blur_kernel(channels, first_pass, smem, pen_ref, z_ref, s_ref, nx_ref
             off_x = jnp.clip(off_x, -32, 32)
             off_y = jnp.clip(off_y, -32, 32)
 
-            pen_t = win_dyn(pen_ref, off_y, off_x)
-            z_t = jnp.abs(win_dyn(z_ref, off_y, off_x)) * view_z_scale
+            pen_t = pen_w.tap_dyn(off_y, off_x)
+            z_t = jnp.abs(z_w.tap_dyn(off_y, off_x)) * view_z_scale
             if first_pass:
                 s_t = _is_lit(pen_t)
             else:
-                s_t = win_dyn(s_ref, off_y, off_x)
+                s_t = s_w.tap_dyn(off_y, off_x)
                 s_t = s_t * s_t
 
             us = u + off_x.astype(jnp.float32) * inv_w
@@ -298,16 +283,14 @@ def _sigma_blur_kernel(channels, first_pass, smem, pen_ref, z_ref, s_ref, nx_ref
 
 
 def sigma_blur_pallas(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughness,
-                      tiles_smoothed, *, first_pass: bool, channels: int):
+                      tiles_smoothed, *, first_pass: bool, channels: int,
+                      rs_static=None):
     """Pallas SIGMA Blur/PostBlur. shadow_in None on first opaque pass.
 
     Returns (penumbra_out, shadow_packed_out (h, w, channels))."""
     h, w = penumbra_in.shape
-    uv = resample.pixel_uv_grid(h, w)
-    tile_value = resample.sample_bicubic_bspline(
-        tiles_smoothed[..., 1], uv * sc["resolution_scale"][None, None, :])
-    sky = tiles.tile_upsample_nearest(tiles_smoothed[..., 0], h, w)
-    tile_value = jnp.where(sky > 0.0, 0.0, tile_value)
+    rs = 1.0 if rs_static else sc["resolution_scale"]
+    tile_value = tiles.upsample_tile_value(tiles_smoothed, h, w, rs)
 
     rotator = sc["rotator"] if first_pass else sc["rotator_post"]
     scalars = _blur_scalars(sc, dc, rotator)
@@ -318,155 +301,100 @@ def sigma_blur_pallas(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughnes
     else:
         shadow_img = shadow_in[..., 0] if shadow_in.ndim == 3 else shadow_in
 
-    bh, bw = BLOCK
-    gh, gw = -(-h // bh), -(-w // bw)
-    ph, pw = gh * bh, gw * bw
-
-    def pad2(img):
-        return jnp.pad(img, ((HALO_Y, HALO_Y + ph - h), (HALO_X, HALO_X + pw - w)),
-                       mode="edge")
-
-    pen_p = pad2(penumbra_in)
-    z_p = pad2(view_z_in)
-    s_p = pad2(shadow_img)
-    nx_p = pad2(normal_roughness[..., 0])
-    ny_p = pad2(normal_roughness[..., 1])
-    tile_p = jnp.pad(tile_value, ((0, ph - h), (0, pw - w)), mode="edge")
-
-    win_h, win_w = bh + 2 * HALO_Y, bw + 2 * HALO_X
-
-    kernel = functools.partial(_sigma_blur_kernel, channels, first_pass)
-
-    def body(smem, pen_hbm, z_hbm, s_hbm, nx_hbm, ny_hbm, tile_ref, pen_out, s_out,
-             pen_w, z_w, s_w, nx_w, ny_w, sems):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        y0 = pl.multiple_of(i * pen_out.shape[0], 8)
-        x0 = pl.multiple_of(j * pen_out.shape[1], 128)
-        copies = [
-            pltpu.make_async_copy(pen_hbm.at[pl.ds(y0, win_h), pl.ds(x0, win_w)],
-                                  pen_w, sems.at[0]),
-            pltpu.make_async_copy(z_hbm.at[pl.ds(y0, win_h), pl.ds(x0, win_w)],
-                                  z_w, sems.at[1]),
-            pltpu.make_async_copy(s_hbm.at[pl.ds(y0, win_h), pl.ds(x0, win_w)],
-                                  s_w, sems.at[2]),
-            pltpu.make_async_copy(nx_hbm.at[pl.ds(y0, win_h), pl.ds(x0, win_w)],
-                                  nx_w, sems.at[3]),
-            pltpu.make_async_copy(ny_hbm.at[pl.ds(y0, win_h), pl.ds(x0, win_w)],
-                                  ny_w, sems.at[4]),
-        ]
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
-        kernel(smem, pen_w, z_w, s_w, nx_w, ny_w, tile_ref, pen_out, s_out)
-
-    pen_out, s_out = pl.pallas_call(
-        body,
-        grid=(gh, gw),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
-    )(scalars, pen_p, z_p, s_p, nx_p, ny_p, tile_p)
-
-    return pen_out[:h, :w], s_out[:h, :w][..., None]
-
+    pen_out, s_out = stencil_call(
+        functools.partial(_sigma_blur_kernel, first_pass),
+        [penumbra_in, view_z_in, shadow_img,
+         normal_roughness[..., 0], normal_roughness[..., 1]],
+        n_windows=5, n_out=2, halo=(HALO_Y, HALO_X), block=BLOCK,
+        scalars=scalars, center_inputs=[tile_value])
+    return pen_out, s_out[..., None]
 
 
 # =============================================================================
-# TemporalStabilization (hybrid)
+# TemporalStabilization (fully in-kernel; block-base + tent-residual reprojection)
 # =============================================================================
-#
-# The reprojection resolve (surface-motion uv, 2x2 history/historyLength/prevViewZ taps with
-# plane-distance occlusion, bilinear custom weights) is a handful of elementwise ops plus 12
-# coherent gathers - small enough for the XLA path. The stencil work (5x5 moments) and the
-# clamp/antilag arithmetic run in a Pallas kernel over halo'd windows.
 
-TS_HALO_Y = 8
-TS_HALO_X = 128  # lane alignment
+def _sigma_ts_kernel(smem, bsm, wins, centers, outs, origin):
+    """In-kernel part of TemporalStabilization: history gather + moments + clamp.
 
-_T_MISC = 0  # stabilization_strength, denoising_range, view_z_scale
-_T_TOTAL = 3
-
-
-def _sigma_ts_kernel(smem, pen_ref, z_ref, s_ref, hist_res_ref, hl_res_ref, tile_ref,
-                     out_ref, hl_out):
+    All elementwise position math (both MV branches, prev-view plane distance threshold)
+    happens XLA-side in sigma_ts_pallas and arrives as derived planes: per-pixel motion in
+    pixels (mvy/mvx), the expected previous view-space depth (xv_prev_z), and the
+    pre-masked disocclusion threshold (thr, includes in-screen and validity)."""
+    pen_w, s_w, pz_w, hl_w, hist_w = wins
+    z_ref, exp_ref, thr_ref, mvy_ref, mvx_ref, tile_ref = centers
+    out_ref, hl_out = outs
     bh, bw = out_ref.shape[:2]
 
     stab_strength = smem[0]
     denoising_range = smem[1]
-    view_z_scale = smem[2]
 
-    _cache = {}
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    base_y = bsm[0][i, j]
+    base_x = bsm[1][i, j]
 
-    def _val(ref):
-        if id(ref) not in _cache:
-            _cache[id(ref)] = ref[:, :]
-        return _cache[id(ref)]
-
-    def win2(ref, dy, dx):
-        val = _val(ref)
-        if dy != 0:
-            val = pltpu.roll(val, (-dy) % val.shape[0], 0)
-        if dx != 0:
-            val = pltpu.roll(val, (-dx) % val.shape[1], 1)
-        return val[TS_HALO_Y: TS_HALO_Y + bh, TS_HALO_X: TS_HALO_X + bw]
-
-    pen = win2(pen_ref, 0, 0)
-    view_z = jnp.abs(win2(z_ref, 0, 0)) * view_z_scale
-    shadow = win2(s_ref, 0, 0)
+    pen = pen_w.tap()
+    shadow = s_w.tap()
     shadow = shadow * shadow
+    view_z = z_ref[:, :]          # already |.| * view_z_scale
+    xv_prev_z = exp_ref[:, :]
+    mvy = mvy_ref[:, :]
+    mvx = mvx_ref[:, :]
     tile_value = tile_ref[:, :]
-    history = hist_res_ref[:, :]
-    history = jnp.clip(history, 0.0, 1.0)
-    history = history * history  # unpack
-    history_length = hl_res_ref[:, :]
 
-    # 5x5 moments (SIGMA_TemporalStabilization.hlsli:73-108)
+    # ---- reprojection resolve (TS lines 110-163), block-base + tent-residual form ----
+    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x)
+    qy = jnp.clip(qy, -1.0, 0.999)
+    qx = jnp.clip(qx, -1.0, 0.999)
+    thr = thr_ref[:, :] * valid - (1.0 - valid)  # invalid -> threshold < 0 rejects all
+
+    pz_b = pz_w.shifted(base_y, base_x)
+    hl_b = hl_w.shifted(base_y, base_x)
+    hist_b = hist_w.shifted(base_y, base_x)
+
+    hist_acc = jnp.zeros((bh, bw), jnp.float32)
+    hl_acc = jnp.zeros((bh, bw), jnp.float32)
+    wsum = jnp.zeros((bh, bw), jnp.float32)
+    for dy in rp.TAPS:
+        wy_ = rp.tent_weight(qy, dy)
+        for dx in rp.TAPS:
+            wgt = wy_ * rp.tent_weight(qx, dx)
+            z_t = pz_b.tap(dy, dx)
+            occ = (jnp.abs(z_t - xv_prev_z) <= thr).astype(jnp.float32)
+            w_ = wgt * occ
+            hist_acc = hist_acc + hist_b.tap(dy, dx) * w_
+            hl_acc = hl_acc + hl_b.tap(dy, dx) * w_
+            wsum = wsum + w_
+
+    inv = jnp.where(wsum < 1e-4, 0.0, 1.0 / jnp.maximum(wsum, 1e-4))
+    history = jnp.clip(hist_acc * inv, 0.0, 1.0)
+    history = history * history  # unpack sqrt packing
+    history_length = hl_acc * inv
+
+    # ---- 5x5 moments (SIGMA_TemporalStabilization.hlsli:73-108) ----
     m1 = jnp.zeros((bh, bw), jnp.float32)
     m2 = jnp.zeros((bh, bw), jnp.float32)
-    wsum = jnp.zeros((bh, bw), jnp.float32)
+    msum = jnp.zeros((bh, bw), jnp.float32)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            s_t = win2(s_ref, dy, dx)
+            s_t = s_w.tap(dy, dx)
             s_t = s_t * s_t
             if dy == 0 and dx == 0:
                 w_ = jnp.ones((bh, bw), jnp.float32)
             else:
-                p_t = win2(pen_ref, dy, dx)
+                p_t = pen_w.tap(dy, dx)
                 w_ = _both_lit_or_unlit(pen, p_t)
                 r2 = (dx * dx + dy * dy) / 4.0
                 w_ = w_ * float(np.exp(-0.66 * r2))
             m1 = m1 + s_t * w_
             m2 = m2 + s_t * s_t * w_
-            wsum = wsum + w_
-    m1 = m1 / wsum
-    m2 = m2 / wsum
+            msum = msum + w_
+    m1 = m1 / msum
+    m2 = m2 / msum
     sigma = jnp.sqrt(jnp.abs(m2 - m1 * m1))
 
-    # clamp + antilag + street magic (lines 165-194)
+    # ---- clamp + antilag + street magic (lines 165-194) ----
     sigma_s = sigma * (3.0 + (1.0 - 3.0) * (1.0 / (1.0 + history_length)))
     hist_clamped = jnp.clip(history, m1 - sigma_s, m1 + sigma_s)
 
@@ -493,125 +421,77 @@ def _sigma_ts_kernel(smem, pen_ref, z_ref, s_ref, hist_res_ref, hl_res_ref, tile
 
 def sigma_ts_pallas(sc, dc, view_z_in, mv_in, penumbra, shadow_packed,
                     history_packed, prev_view_z, prev_history_len, tiles_smoothed,
-                    *, channels: int):
-    """Hybrid SIGMA TemporalStabilization. Returns (out_packed, new_prev_view_z, new_hl)."""
+                    *, channels: int, rs_static=None):
+    """SIGMA TemporalStabilization. Returns (out, new_prev_view_z, new_hl).
+
+    XLA side: elementwise position math only - both MV branches, the prev-view plane
+    distance threshold (passes/sigma/kernels.py:294-366 semantics). No gathers, no pads.
+    Kernel side: history/length gather (block-base + tent residual), 5x5 moments,
+    sigma clamp, antilag."""
     assert channels == 1
+    from ..ops import resample
+
     h, w = view_z_in.shape
-    uv = resample.pixel_uv_grid(h, w)
-    view_z = jnp.abs(view_z_in) * sc["view_z_scale"]
-    tile_value = resample.sample_bicubic_bspline(
-        tiles_smoothed[..., 1], uv * sc["resolution_scale"][None, None, :])
-    sky = tiles.tile_upsample_nearest(tiles_smoothed[..., 0], h, w)
-    tile_value = jnp.where(sky > 0.0, 0.0, tile_value)
+    rs = 1.0 if rs_static else sc["resolution_scale"]
+    tile_value = tiles.upsample_tile_value(tiles_smoothed, h, w, rs)
 
     shadow_img = shadow_packed[..., 0] if shadow_packed.ndim == 3 else shadow_packed
     hist_img = history_packed[..., 0] if history_packed.ndim == 3 else history_packed
 
-    # ---- XLA reprojection resolve (screen-space MV path, TS lines 110-163) ----
-    mv = mv_in[..., :3] * sc["mv_scale"][None, None, :3]
-    smb_uv = uv + mv[..., :2]
-    view_z_prev_expected = view_z + mv[..., 2]
+    uv = resample.pixel_uv_grid(h, w)
+    view_z = jnp.abs(view_z_in) * sc["view_z_scale"]
 
-    rect = sc["rect_size"][None, None, :]
-    origin, frac = nm.bilinear_filter(smb_uv, rect)
-    z_taps = resample.gather_2x2(prev_view_z, origin)
-    hl_taps = resample.gather_2x2(prev_history_len, origin)
-    h_taps = resample.gather_2x2(hist_img, origin)
+    # current & previous positions (TS :110-132) - elementwise
+    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
+                                      sc["ortho_mode"])
+    w2v = jnp.asarray(sc["world_to_view"])
+    x = xv @ w2v[:3, :3]
+    mv = mv_in[..., :3] * sc["mv_scale"][None, None, :3]
+    w2v_prev = jnp.asarray(sc["world_to_view_prev"])
+    is_world_mv = sc["mv_scale"][3] != 0.0
+
+    smb_uv_screen = uv + mv[..., :2]
+    mv_z_computed = (x @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2] - view_z
+    mv_z = jnp.where(sc["mv_scale"][2] == 0.0, mv_z_computed, mv[..., 2])
+    view_z_prev = view_z + mv_z
+    xv_prev_local = nm.reconstruct_view_position(
+        smb_uv_screen, sc["frustum_prev"][None, None, :], view_z_prev, sc["ortho_mode"])
+    x_prev_screen = xv_prev_local @ w2v_prev[:3, :3] + sc["camera_delta"][None, None, :]
+
+    x_prev_world = x + mv
+    smb_uv_world = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_prev_world)
+
+    x_prev = jnp.where(is_world_mv, x_prev_world, x_prev_screen)
+    smb_pixel_uv = jnp.where(is_world_mv, smb_uv_world, smb_uv_screen)
 
     frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
                                        view_z)
-    in_screen = resample.is_in_screen_nearest(smb_uv)
-    thr = frustum_size * 0.02 * in_screen - NRD_EPS
+    thr = nm.get_disocclusion_threshold(0.02, frustum_size, 1.0)
+    thr = thr * resample.is_in_screen_nearest(smb_pixel_uv) - NRD_EPS
+    xv_prev_z = (x_prev @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2]
 
-    occ = [(jnp.abs(jnp.abs(tz) * sc["view_z_scale"] - view_z_prev_expected) <= thr)
-           .astype(jnp.float32) for tz in z_taps]
-    bw_ = nm.bilinear_weights(frac)
-    wts = jnp.stack([bw_[..., 0] * occ[0], bw_[..., 1] * occ[1],
-                     bw_[..., 2] * occ[2], bw_[..., 3] * occ[3]], -1)
-    wsum = jnp.sum(wts, -1)
-    inv = jnp.where(wsum < 1e-4, 0.0, 1.0 / jnp.maximum(wsum, 1e-4))
-    hist_res = (h_taps[0] * wts[..., 0] + h_taps[1] * wts[..., 1]
-                + h_taps[2] * wts[..., 2] + h_taps[3] * wts[..., 3]) * inv
-    hl_res = (hl_taps[0] * wts[..., 0] + hl_taps[1] * wts[..., 1]
-              + hl_taps[2] * wts[..., 2] + hl_taps[3] * wts[..., 3]) * inv
+    # motion in pixels relative to this pixel (prev rect == rect on the pallas path)
+    rect_prev = sc["rect_size_prev"]
+    mv_pix = smb_pixel_uv * rect_prev[None, None, :] - uv * jnp.asarray(
+        [w, h], jnp.float32)[None, None, :]
+    mv_pix_x, mv_pix_y = mv_pix[..., 0], mv_pix[..., 1]
 
-    # ---- Pallas kernel for moments + clamp + antilag ----
+    base_y, base_x = rp.block_motion_base(mv_pix_y, mv_pix_x, BLOCK,
+                                          bound=(HALO_Y - 2, HALO_X - 2))
+
     scalars = jnp.stack([
         jnp.asarray(dc["stabilization_strength"], jnp.float32),
         jnp.asarray(sc["denoising_range"], jnp.float32),
-        jnp.asarray(sc["view_z_scale"], jnp.float32),
     ])
-    bh, bw2 = BLOCK
-    gh, gw = -(-h // bh), -(-w // bw2)
-    ph, pw = gh * bh, gw * bw2
 
-    def padh(img):
-        return jnp.pad(img, ((TS_HALO_Y, TS_HALO_Y + ph - h),
-                             (TS_HALO_X, TS_HALO_X + pw - w)), mode="edge")
+    out, hl_out = stencil_call(
+        _sigma_ts_kernel,
+        [penumbra, shadow_img, prev_view_z, prev_history_len, hist_img],
+        n_windows=5, n_out=2, halo=(HALO_Y, HALO_X), block=BLOCK,
+        scalars=scalars, block_scalars=[base_y, base_x],
+        center_inputs=[view_z, xv_prev_z, thr, mv_pix_y, mv_pix_x, tile_value])
 
-    def pad0(img):
-        return jnp.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
-
-    pen_p = padh(penumbra)
-    z_p = padh(view_z_in)
-    s_p = padh(shadow_img)
-    hist_p = pad0(hist_res)
-    hl_p = pad0(hl_res)
-    tile_p = pad0(tile_value)
-
-    win_h, win_w = bh + 2 * TS_HALO_Y, bw2 + 2 * TS_HALO_X
-
-    def body(smem, pen_hbm, z_hbm, s_hbm, hist_ref, hl_ref, tile_ref, out_ref, hl_out,
-             pen_w, z_w, s_w, sems):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        y0 = pl.multiple_of(i * bh, 8)
-        x0 = pl.multiple_of(j * bw2, 128)
-        copies = [
-            pltpu.make_async_copy(pen_hbm.at[pl.ds(y0, win_h), pl.ds(x0, win_w)],
-                                  pen_w, sems.at[0]),
-            pltpu.make_async_copy(z_hbm.at[pl.ds(y0, win_h), pl.ds(x0, win_w)],
-                                  z_w, sems.at[1]),
-            pltpu.make_async_copy(s_hbm.at[pl.ds(y0, win_h), pl.ds(x0, win_w)],
-                                  s_w, sems.at[2]),
-        ]
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
-        _sigma_ts_kernel(smem, pen_w, z_w, s_w, hist_ref, hl_ref, tile_ref,
-                         out_ref, hl_out)
-
-    vmem_block = lambda: pl.BlockSpec((bh, bw2), lambda i, j: (i, j),
-                                      memory_space=pltpu.VMEM)
-    out, hl_out = pl.pallas_call(
-        body,
-        grid=(gh, gw),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            vmem_block(),
-            vmem_block(),
-            vmem_block(),
-        ],
-        out_specs=(vmem_block(), vmem_block()),
-        out_shape=(
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-            jax.ShapeDtypeStruct((ph, pw), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )(scalars, pen_p, z_p, s_p, hist_p, hl_p, tile_p)
-
-    out = out[:h, :w]
-    new_hl = hl_out[:h, :w]
     dead = view_z > sc["denoising_range"]
     new_prev_view_z = jnp.where(dead, prev_view_z, view_z)
-    new_hl = jnp.where(dead, prev_history_len, new_hl)
+    new_hl = jnp.where(dead, prev_history_len, hl_out)
     return out[..., None], new_prev_view_z, new_hl

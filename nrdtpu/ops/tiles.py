@@ -48,3 +48,61 @@ def classify_sky_tiles(view_z, denoising_range, tile: int = TILE):
     """
     is_sky = (jnp.abs(view_z) > denoising_range).astype(jnp.float32)
     return tile_reduce(is_sky, "min", tile)
+
+
+def tile_upsample_bspline(tile_map, h: int, w: int, tile: int = TILE):
+    """Gather-free cubic B-spline tile-map upsampling.
+
+    Exactly equals resample.sample_bicubic_bspline(tile_map, pixel_uv_grid(h, w)) when
+    h == th*tile and w == tw*tile (phase-aligned 16x upsampling): the 16 sub-pixel phases
+    have *static* filter weights over a 5-texel footprint, so the whole filter collapses to
+    two tiny (16, 5) matmuls over shifted copies - no per-pixel gather (which is pathologically
+    slow through this backend's XLA path; see ARCHITECTURE.md "backend findings").
+    """
+    import numpy as np
+
+    th, tw = tile_map.shape
+    assert th * tile == h and tw * tile == w, "phase-aligned path requires exact 16x"
+
+    # static per-phase weights over footprint offsets -2..+2
+    f = (np.arange(tile, dtype=np.float64) + 0.5) / tile - 0.5
+    base = np.floor(f).astype(np.int64)
+    t = f - base
+    w0 = (1.0 - 3.0 * t + 3.0 * t * t - t ** 3) / 6.0
+    w1 = (4.0 - 6.0 * t * t + 3.0 * t ** 3) / 6.0
+    w2 = (1.0 + 3.0 * t + 3.0 * t * t - 3.0 * t ** 3) / 6.0
+    w3 = t ** 3 / 6.0
+    wm = np.zeros((tile, 5), np.float32)
+    for p in range(tile):
+        for i, wi in enumerate((w0[p], w1[p], w2[p], w3[p])):
+            wm[p, base[p] + i - 1 + 2] = wi
+    wm = jnp.asarray(wm)
+
+    tp = jnp.pad(tile_map, ((2, 2), (2, 2)), mode="edge")
+    rows = jnp.stack([tp[a:a + th, :] for a in range(5)], -1)          # (th, tw+4, 5)
+    ry = jnp.einsum("hwa,pa->hpw", rows, wm).reshape(h, tw + 4)
+    cols = jnp.stack([ry[:, b:b + tw] for b in range(5)], -1)          # (h, tw, 5)
+    return jnp.einsum("hwb,qb->hwq", cols, wm).reshape(h, w)
+
+
+def upsample_tile_value(tiles_smoothed, h: int, w: int, resolution_scale,
+                        tile: int = TILE):
+    """Tile-value (channel 1) upsampled to pixels with sky (channel 0) zeroed.
+
+    Fast phase-aligned path when shapes allow and resolution_scale is statically 1
+    (rect == resource); otherwise the reference gather-based bicubic.
+    """
+    from . import resample
+
+    th, tw = tiles_smoothed.shape[:2]
+    rs = resolution_scale
+    static_one = isinstance(rs, (int, float)) and float(rs) == 1.0
+    if static_one and th * tile == h and tw * tile == w:
+        tile_value = tile_upsample_bspline(tiles_smoothed[..., 1], h, w, tile)
+    else:
+        uv = resample.pixel_uv_grid(h, w)
+        rs_vec = jnp.broadcast_to(jnp.asarray(rs, jnp.float32), (2,))
+        tile_value = resample.sample_bicubic_bspline(
+            tiles_smoothed[..., 1], uv * rs_vec[None, None, :])
+    sky = tile_upsample_nearest(tiles_smoothed[..., 0], h, w, tile)
+    return jnp.where(sky > 0.0, 0.0, tile_value)

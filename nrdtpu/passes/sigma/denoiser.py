@@ -80,15 +80,16 @@ class SigmaDenoiser:
 
         shadow_in0 = translucency if self.translucent else None
         pallas_ok = use_pallas() and self.channels == 1
+        rs_static = self.config.rect_size == self.config.resource_size
         if pallas_ok:
             from ...kernels.sigma_pallas import sigma_blur_pallas
 
             penum1, shadow1 = sigma_blur_pallas(
                 sc, dc, penumbra, shadow_in0, view_z, normal_roughness, tiles_smoothed,
-                first_pass=True, channels=self.channels)
+                first_pass=True, channels=self.channels, rs_static=rs_static)
             penum2, shadow2 = sigma_blur_pallas(
                 sc, dc, penum1, shadow1, view_z, normal_roughness, tiles_smoothed,
-                first_pass=False, channels=self.channels)
+                first_pass=False, channels=self.channels, rs_static=rs_static)
         else:
             penum1, shadow1 = K.blur(sc, dc, penumbra, shadow_in0, view_z,
                                      normal_roughness, tiles_smoothed,
@@ -105,7 +106,7 @@ class SigmaDenoiser:
                 out, new_prev_view_z, new_history_len = sigma_ts_pallas(
                     sc, dc, view_z, mv, penum2, shadow2,
                     state["shadow_history"], state["prev_view_z"], state["history_len"],
-                    tiles_smoothed, channels=self.channels)
+                    tiles_smoothed, channels=self.channels, rs_static=rs_static)
             else:
                 out, new_prev_view_z, new_history_len = K.temporal_stabilization(
                     sc, dc, view_z, mv, penum2, shadow2,

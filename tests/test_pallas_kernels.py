@@ -79,3 +79,22 @@ def test_sigma_pallas_matches_xla_path(pallas_interpret):
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.98, corr
     assert np.abs(a - b).mean() < 0.03
+
+
+def test_sigma_pallas_nopad_path(pallas_interpret):
+    """Aligned size (h%8==0, w%128==0, >= window) exercises the clamped-DMA no-pad mode."""
+    global SIZE
+    old = SIZE
+    try:
+        globals()["SIZE"] = (512, 128)  # (w, h) -> h=128, w=512
+        out_p, eng, fd = run_sigma(3)
+        os.environ["NRDTPU_IMPL"] = "xla"
+        out_x, _, _ = run_sigma(3)
+    finally:
+        globals()["SIZE"] = old
+        os.environ["NRDTPU_IMPL"] = "pallas"
+    a, b = out_p[..., 0].ravel(), out_x[..., 0].ravel()
+    assert np.isfinite(a).all()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.97, corr
+    assert np.abs(a - b).mean() < 0.04
