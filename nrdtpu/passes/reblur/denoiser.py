@@ -207,10 +207,48 @@ class ReblurDenoiser:
                     sh=spec_sh_in, occlusion=False)
 
         prev_internal = {k: state[k] for k in ("diff_accum", "spec_accum", "material_id")}
-        sm = K.surface_motion_reprojection(
-            sc, dc, view_z, normal_roughness, mv, state["prev_view_z"],
-            state["prev_normal_roughness"], prev_internal, cfg,
-            disocclusion_threshold_mix=dt_mix)
+
+        from ...config import use_pallas
+        pallas_ok = (use_pallas()
+                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+                     and not self.sh and not self.directional
+                     and cfg.rect_size == cfg.resource_size)
+        sampler = None
+        diff_samples = None
+        spec_samples = None
+        if pallas_ok:
+            from ...kernels.reblur_pallas import PallasSampler
+
+            sampler = PallasSampler(sc)
+            hist_planes, bil_planes = [], []
+            if self.has_diffuse:
+                hist_planes += [state["diff_history"][..., c]
+                                for c in range(self.channels)]
+                bil_planes.append(state["diff_fast_history"])
+            if self.has_specular:
+                hist_planes += [state["spec_history"][..., c]
+                                for c in range(self.channels)]
+                bil_planes.append(state["spec_fast_history"])
+            sm = K.surface_motion_reprojection_pallas(
+                sc, dc, view_z, normal_roughness, mv, state["prev_view_z"],
+                state["prev_normal_roughness"], prev_internal, cfg,
+                hist_planes, bil_planes, disocclusion_threshold_mix=dt_mix)
+            hk = bk = 0
+            if self.has_diffuse:
+                diff_samples = dict(
+                    history=jnp.stack(sm["hist"][hk:hk + self.channels], -1),
+                    fast=sm["bil"][bk])
+                hk += self.channels
+                bk += 1
+            if self.has_specular:
+                spec_samples = dict(
+                    history=jnp.stack(sm["hist"][hk:hk + self.channels], -1),
+                    fast=sm["bil"][bk])
+        else:
+            sm = K.surface_motion_reprojection(
+                sc, dc, view_z, normal_roughness, mv, state["prev_view_z"],
+                state["prev_normal_roughness"], prev_internal, cfg,
+                disocclusion_threshold_mix=dt_mix)
 
         outs = {}
         data1_diff = state["diff_accum"]
@@ -226,7 +264,7 @@ class ReblurDenoiser:
                 sc, dc, sm, diff_in, state["diff_history"], state["diff_fast_history"],
                 cfg, diff_conf, occlusion=self.occlusion, directional=self.directional,
                 diff_sh_input=diff_sh_in,
-                diff_sh_history=state.get("diff_sh_history"))
+                diff_sh_history=state.get("diff_sh_history"), samples=diff_samples)
         if self.has_specular:
             has_prepass_hitdist = not skip_prepass
             hdt_in = (spec_hdt_prepass if has_prepass_hitdist
@@ -237,7 +275,8 @@ class ReblurDenoiser:
                 state["prev_normal_roughness"], prev_internal, hdt_in,
                 state["prev_spec_hitdist_for_tracking"], cfg, spec_conf,
                 occlusion=self.occlusion, has_prepass_hitdist=has_prepass_hitdist,
-                spec_sh_input=spec_sh_in, spec_sh_history=state.get("spec_sh_history"))
+                spec_sh_input=spec_sh_in, spec_sh_history=state.get("spec_sh_history"),
+                samples=spec_samples, sampler=sampler)
             spec1, spec_fast1 = ta_spec["spec"], ta_spec["fast"]
             data1_spec = ta_spec["accum_speed"]
             fbits = fbits + ta_spec["fbits_vmb"]

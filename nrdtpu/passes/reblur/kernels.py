@@ -249,6 +249,125 @@ def surface_motion_reprojection(sc, dc, view_z_in, normal_roughness, mv_in, prev
     )
 
 
+def uv_to_mv_pix(uv_target, h, w, rect_prev):
+    """Per-pixel motion in pixels of the prev grid, relative to this pixel's position."""
+    uv = resample.pixel_uv_grid(h, w)
+    rect = jnp.asarray([w, h], jnp.float32)[None, None, :]
+    mv_pix = uv_target * rect_prev[None, None, :] - uv * rect
+    return mv_pix[..., 1], mv_pix[..., 0]
+
+
+def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_in,
+                                       prev_view_z, prev_normal_roughness, prev_internal,
+                                       config, hist_planes, bil_planes,
+                                       disocclusion_threshold_mix=None):
+    """surface_motion_reprojection with the gather work on the Pallas path.
+
+    Same elementwise math as surface_motion_reprojection (kept line-parallel - any change
+    there must be mirrored here); the 4x4/2x2 footprint gathers AND the CatRom/bilinear
+    history sampling run in kernels/reblur_pallas.reblur_smb_resolve. hist_planes /
+    bil_planes: (H, W) planes to sample CatRom-with-fallback / bilinear-custom; resolved
+    results come back in sm["hist"] / sm["bil"] in order. R10G10B10A2 normals only."""
+    from ...kernels.reblur_pallas import reblur_smb_resolve
+
+    h, w = view_z_in.shape
+    uv = resample.pixel_uv_grid(h, w)
+    view_z = unpack_view_z(sc, view_z_in)
+    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
+
+    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
+                                      sc["ortho_mode"])
+    v2w = jnp.asarray(sc["view_to_world"])
+    x = xv @ v2w[:3, :3].T
+
+    mv = mv_in * sc["mv_scale"][None, None, :3]
+    w2v_prev = jnp.asarray(sc["world_to_view_prev"])
+    is_world_mv = sc["mv_scale"][3] != 0.0
+
+    smb_uv_screen = uv + mv[..., :2]
+    mv_z_computed = (x @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2] - view_z
+    mv_z = jnp.where(sc["mv_scale"][2] == 0.0, mv_z_computed, mv[..., 2])
+    view_z_prev = view_z + mv_z
+    xv_prev_local = nm.reconstruct_view_position(
+        smb_uv_screen, sc["frustum_prev"][None, None, :], view_z_prev, sc["ortho_mode"])
+    x_prev_screen = xv_prev_local @ w2v_prev[:3, :3] + sc["camera_delta"][None, None, :]
+
+    x_prev_world = x + mv
+    smb_uv_world = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_prev_world)
+
+    x_prev = jnp.where(is_world_mv, x_prev_world, x_prev_screen)
+    smb_pixel_uv = jnp.where(is_world_mv, smb_uv_world, smb_uv_screen)
+
+    # parallax (lines 206-211)
+    cam_delta = sc["camera_delta"][None, None, :]
+    uv_zp1 = jnp.where(sc["ortho_mode"] == 0.0, smb_pixel_uv, uv)
+    uv_zp2 = jnp.where(sc["ortho_mode"] == 0.0, uv, smb_pixel_uv)
+    p1_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_prev + cam_delta)
+    p2_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip"]), x_prev - cam_delta)
+    rect = sc["rect_size"][None, None, :]
+    parallax1 = nm.length((p1_uv - uv_zp1) * rect)
+    parallax2 = nm.length((p2_uv - uv_zp2) * rect)
+    parallax_max = jnp.maximum(parallax1, parallax2)
+    parallax_min = jnp.minimum(parallax1, parallax2)
+
+    pixel_size = nm.pixel_radius_to_world(sc["unproject"], sc["ortho_mode"], 1.0, view_z)
+    frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
+                                       view_z)
+
+    mix_ = jnp.where(material_id == sc["strand_material_id"],
+                     fe.get_normalized_strand_thickness(sc["strand_thickness"], pixel_size),
+                     0.0)
+    if disocclusion_threshold_mix is not None:
+        mix_ = disocclusion_threshold_mix
+    disocclusion_threshold = nm.lerp(sc["disocclusion_threshold"]
+                                     + sc["disocclusion_threshold_bonus"],
+                                     sc["disocclusion_threshold_alternate"]
+                                     + sc["disocclusion_threshold_bonus"], mix_)
+
+    small_parallax = nm.linearstep(0.25, 0.0, parallax_max)
+    disocclusion_threshold = disocclusion_threshold + 0.05 * small_parallax
+
+    v = C.get_view_vector(sc, x)
+    nov = jnp.abs(nm.dot(n, v))
+    nov_strict = nm.lerp(nov, 1.0, nm.saturate(parallax_max / 30.0))
+    base_threshold = nm.get_disocclusion_threshold(disocclusion_threshold, frustum_size,
+                                                   nov_strict)
+    navg_thr = C.REBLUR_ALMOST_ZERO_ANGLE - 0.25 * small_parallax
+
+    xv_prev = x_prev @ w2v_prev[:3, :3].T + w2v_prev[:3, 3]
+
+    mv_pix_y, mv_pix_x = uv_to_mv_pix(smb_pixel_uv, h, w, sc["rect_size_prev"])
+    res = reblur_smb_resolve(
+        sc, dc, config, mv_pix_y=mv_pix_y, mv_pix_x=mv_pix_x,
+        xv_prev_z=xv_prev[..., 2], base_threshold=base_threshold, navg_thr=navg_thr,
+        material_id_center=material_id, nr_cur_packed=normal_roughness,
+        prev_view_z=prev_view_z, prev_nr_packed=prev_normal_roughness,
+        prev_mat=prev_internal["material_id"], diff_accum=prev_internal["diff_accum"],
+        spec_accum=prev_internal["spec_accum"], hist_planes=hist_planes,
+        bil_planes=bil_planes)
+
+    # footprint quality (lines 296-305)
+    smb_vprev = C.get_view_vector_prev(sc, x_prev)
+    nov_prev = jnp.abs(nm.dot(n, smb_vprev))
+    size_quality = (nov_prev + 1e-3) / (nov + 1e-3)
+    size_quality = size_quality * size_quality
+    size_quality = nm.lerp(0.1, 1.0, nm.saturate(size_quality))
+    footprint_quality = jnp.sqrt(nm.saturate(res["footprint_raw"])) * size_quality
+
+    return dict(
+        uv=uv, view_z=view_z, n=n, roughness=roughness, material_id=material_id,
+        x=x, xv=xv, v=v, nov=nov, n_avg=res["n_avg"], smb_navg=res["smb_navg"],
+        x_prev=x_prev, xv_prev=xv_prev, smb_pixel_uv=smb_pixel_uv,
+        parallax_max=parallax_max, parallax_min=parallax_min,
+        pixel_size=pixel_size, frustum_size=frustum_size,
+        occlusion_weights=None, allow_catrom=res["allow_catrom"] > 0.5,
+        fbits=res["fbits"],
+        diff_accum_speed=res["diff_accum_speed"], spec_accum_speed=res["spec_accum_speed"],
+        footprint_quality=footprint_quality, bilinear_origin=None,
+        smb_vprev=smb_vprev, hist=res["hist"], bil=res["bil"],
+    )
+
+
 def sample_history(history, smb_pixel_uv, rect_size_prev, occlusion_weights, allow_catrom):
     """CatRom-13-tap with bilinear-custom-weights fallback on the history plane."""
     sample_pos = nm.saturate(smb_pixel_uv) * rect_size_prev[None, None, :]
@@ -265,8 +384,11 @@ def sample_history_bilinear(history, smb_pixel_uv, rect_size_prev, occlusion_wei
 def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fast_history,
                                   config, diff_confidence=None, *, occlusion: bool,
                                   directional: bool = False, diff_sh_input=None,
-                                  diff_sh_history=None):
-    """Diffuse half of TA (lines 826-930). Returns (diff_out, fast_out, accum_speed_out[,sh])."""
+                                  diff_sh_history=None, samples=None):
+    """Diffuse half of TA (lines 826-930). Returns (diff_out, fast_out, accum_speed_out[,sh]).
+
+    samples: optional dict(history, fast[, sh]) of pre-resolved reprojected samples from
+    the Pallas path (surface_motion_reprojection_pallas); None -> XLA gathers."""
     diff_accum_speed = sm["diff_accum_speed"]
 
     diff_history_confidence = sm["footprint_quality"]
@@ -280,11 +402,16 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
     # checkerboard is not yet supported -> every pixel has data
     diff_has_data = True
 
-    smb_diff_history = sample_history(diff_history, sm["smb_pixel_uv"],
-                                      sc["rect_size_prev"], sm["occlusion_weights"],
-                                      sm["allow_catrom"])
-    smb_diff_fast = sample_history_bilinear(diff_fast_history, sm["smb_pixel_uv"],
-                                            sc["rect_size_prev"], sm["occlusion_weights"])
+    if samples is not None:
+        smb_diff_history = samples["history"]
+        smb_diff_fast = samples["fast"]
+    else:
+        smb_diff_history = sample_history(diff_history, sm["smb_pixel_uv"],
+                                          sc["rect_size_prev"], sm["occlusion_weights"],
+                                          sm["allow_catrom"])
+        smb_diff_fast = sample_history_bilinear(diff_fast_history, sm["smb_pixel_uv"],
+                                                sc["rect_size_prev"],
+                                                sm["occlusion_weights"])
     smb_diff_history = C.clamp_negative_to_zero(smb_diff_history, occlusion, directional)
 
     diff_nlas = 1.0 / (1.0 + diff_accum_speed)
@@ -294,8 +421,12 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
                                             occlusion and not directional)
     sh_result = None
     if diff_sh_input is not None:
-        smb_sh = sample_history_bilinear(diff_sh_history, sm["smb_pixel_uv"],
-                                         sc["rect_size_prev"], sm["occlusion_weights"])
+        if samples is not None:
+            smb_sh = samples["sh"]
+        else:
+            smb_sh = sample_history_bilinear(diff_sh_history, sm["smb_pixel_uv"],
+                                             sc["rect_size_prev"],
+                                             sm["occlusion_weights"])
         sh_result = C.mix_history_and_current(dc, smb_sh, diff_sh_input, diff_nlas,
                                               jnp.ones_like(diff_nlas), False)
 
@@ -671,9 +802,15 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
                                    hit_dist_for_tracking_in, prev_spec_hitdist_for_tracking,
                                    config, spec_confidence=None, *, occlusion: bool,
                                    has_prepass_hitdist: bool,
-                                   spec_sh_input=None, spec_sh_history=None):
+                                   spec_sh_input=None, spec_sh_history=None,
+                                   samples=None, sampler=None):
     """Specular half of TA. Returns dict(spec, fast, accum_speed, fbits_vmb, curvature,
-    virtual_history_amount, hit_dist_for_tracking[, sh])."""
+    virtual_history_amount, hit_dist_for_tracking[, sh]).
+
+    samples: pre-resolved surface-motion history samples (dict(history, fast[, sh])) from
+    the Pallas path; sampler: gather backend (kernels/reblur_pallas.PallasSampler) used for
+    the stencil prelude, curvature taps, stochastic taps, and the virtual-motion footprint.
+    Both None -> pure XLA gathers (reference path)."""
     h, w = sm["view_z"].shape
     uv = sm["uv"]
     view_z = sm["view_z"]
@@ -687,18 +824,22 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
 
     # 3x3 min hitDist for tracking + roughness variance (lines 62-111)
     hdt_src = jnp.where(hit_dist_for_tracking_in == 0.0, NRD_INF, hit_dist_for_tracking_in)
-    hit_dist_for_tracking = hdt_src
-    rough_m1 = jnp.zeros_like(view_z)
-    rough_m2 = jnp.zeros_like(view_z)
-    for dy, dx in stencil.offsets_square(1):
-        hit_dist_for_tracking = jnp.minimum(hit_dist_for_tracking,
-                                            stencil.shifted(hdt_src, dy, dx))
-        _, rs, _ = unpack_nr(sc, stencil.shifted(normal_roughness, dy, dx), config)
-        rsq = rs * rs
-        rough_m1 = rough_m1 + rsq
-        rough_m2 = rough_m2 + rsq * rsq
-    rough_m1 = rough_m1 / 9.0
-    rough_m2 = rough_m2 / 9.0
+    if sampler is not None:
+        hit_dist_for_tracking, rough_m1, rough_m2 = sampler.spec_prelude(hdt_src,
+                                                                         roughness)
+    else:
+        hit_dist_for_tracking = hdt_src
+        rough_m1 = jnp.zeros_like(view_z)
+        rough_m2 = jnp.zeros_like(view_z)
+        for dy, dx in stencil.offsets_square(1):
+            hit_dist_for_tracking = jnp.minimum(hit_dist_for_tracking,
+                                                stencil.shifted(hdt_src, dy, dx))
+            _, rs, _ = unpack_nr(sc, stencil.shifted(normal_roughness, dy, dx), config)
+            rsq = rs * rs
+            rough_m1 = rough_m1 + rsq
+            rough_m2 = rough_m2 + rsq * rsq
+        rough_m1 = rough_m1 / 9.0
+        rough_m2 = rough_m2 / 9.0
     roughness_sigma = nm.get_std_dev(rough_m1, rough_m2)
     roughness_modified = C.get_modified_roughness_from_normal_variance(roughness, sm["n_avg"])
 
@@ -744,8 +885,16 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
 
     x10 = edge_point(1.0, 0.0)
     x01 = edge_point(0.0, 1.0)
-    n10, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 0, 1), config)
-    n01, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 1, 0), config)
+    if sampler is not None:
+        shifted_nr = sampler.shift([normal_roughness[..., 0], normal_roughness[..., 1]],
+                                   [(0, 1), (1, 0)])
+        n10 = nm.decode_unit_vector(jnp.stack([shifted_nr[0][0], shifted_nr[1][0]], -1),
+                                    signed=False)
+        n01 = nm.decode_unit_vector(jnp.stack([shifted_nr[0][1], shifted_nr[1][1]], -1),
+                                    signed=False)
+    else:
+        n10, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 0, 1), config)
+        n01, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 1, 0), config)
 
     wmix = jnp.abs(delta_uv) + 1.0 / 256.0
     wmix = wmix / jnp.sum(wmix, -1, keepdims=True)
@@ -757,17 +906,25 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     delta_uv_len_fixed = sm["parallax_min"] * (1.0 + sc["framerate_scale"] * bayer)
     motion_uv_high = uv + delta_uv_len_fixed[..., None] * delta_uv * rect_inv
     motion_uv_high = (jnp.floor(motion_uv_high * rect) + 0.5) / rect
-    z_high = unpack_view_z(sc, resample.sample_nearest(view_z_in, motion_uv_high))
+    if sampler is not None:
+        (zh_raw, nh0, nh1), high_valid = sampler.nearest(
+            [view_z_in, normal_roughness[..., 0], normal_roughness[..., 1]],
+            motion_uv_high, rect_cur=True)
+        z_high = unpack_view_z(sc, zh_raw)
+        n_high = nm.decode_unit_vector(jnp.stack([nh0, nh1], -1), signed=False)
+        in_screen_high = resample.is_in_screen_nearest(motion_uv_high) * high_valid
+    else:
+        z_high = unpack_view_z(sc, resample.sample_nearest(view_z_in, motion_uv_high))
+        n_high, _, _ = unpack_nr(sc, resample.sample_nearest(normal_roughness,
+                                                             motion_uv_high), config)
+        in_screen_high = resample.is_in_screen_nearest(motion_uv_high)
     x_high_v = nm.reconstruct_view_position(motion_uv_high, sc["frustum"][None, None, :],
                                             z_high, sc["ortho_mode"])
     x_high = x_high_v @ v2w[:3, :3].T
-    n_high, _, _ = unpack_nr(sc, resample.sample_nearest(normal_roughness, motion_uv_high),
-                             config)
     z_error = jnp.abs(z_high - view_z) / jnp.maximum(jnp.maximum(z_high, view_z), 1e-15)
     replace = jnp.logical_and(z_error < C.NRD_CURVATURE_Z_THRESHOLD,
                               jnp.logical_and(delta_uv_len_fixed > 1.0,
-                                              resample.is_in_screen_nearest(motion_uv_high)
-                                              > 0.0))
+                                              in_screen_high > 0.0))
     x_edge = jnp.where(replace[..., None], x_high, x_edge)
     n_edge = jnp.where(replace[..., None], n_high, n_edge)
 
@@ -793,20 +950,37 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     vmb_origin, vmb_frac = nm.bilinear_filter(vmb_pixel_uv, rect_prev)
     ra, rb = nm.get_relaxed_roughness_weight_params(
         roughness * roughness, dc["roughness_fraction"], C.REBLUR_ROUGHNESS_SENSITIVITY_IN_TA)
-    nr_taps_vmb = gather_2x2_at(prev_normal_roughness, vmb_origin)
-    rough_weights = []
-    for tap in nr_taps_vmb:
-        _, r_t, _ = unpack_nr(sc, tap, config)
-        w_ = nm.compute_non_exponential_weight_with_sigma(r_t * r_t, ra, rb, roughness_sigma)
-        w_ = nm.lerp(nm.smoothstep(1.0, 0.0, sm["parallax_max"]), 1.0, w_)
-        rough_weights.append(w_)
-    rough_weights4 = jnp.stack(rough_weights, -1)
-    bwv = nm.bilinear_weights(vmb_frac)
-    virtual_roughness_confidence = jnp.sum(rough_weights4 * bwv, -1)
+    vmb_bundle = None
+    if sampler is None:
+        nr_taps_vmb = gather_2x2_at(prev_normal_roughness, vmb_origin)
+        rough_weights = []
+        for tap in nr_taps_vmb:
+            _, r_t, _ = unpack_nr(sc, tap, config)
+            w_ = nm.compute_non_exponential_weight_with_sigma(r_t * r_t, ra, rb,
+                                                              roughness_sigma)
+            w_ = nm.lerp(nm.smoothstep(1.0, 0.0, sm["parallax_max"]), 1.0, w_)
+            rough_weights.append(w_)
+        rough_weights4 = jnp.stack(rough_weights, -1)
+        bwv = nm.bilinear_weights(vmb_frac)
+        virtual_roughness_confidence = jnp.sum(rough_weights4 * bwv, -1)
 
     # ---- virtual normal confidence: parallax (lines 472-479) ----
-    vmb_n, vmb_roughness, _ = _sample_normal_roughness_stochastic(
-        sc, prev_normal_roughness, vmb_pixel_uv, pixel_pos, config)
+    if sampler is not None:
+        uv_s = _stochastic_bilinear_uv(sc, vmb_pixel_uv, sc["rect_size_prev"], pixel_pos,
+                                       config)
+        (vn0, vn1, vr_raw), _vmb_n_valid = sampler.nearest(
+            [prev_normal_roughness[..., 0], prev_normal_roughness[..., 1],
+             prev_normal_roughness[..., 2]], uv_s)
+        vmb_n = nm.decode_unit_vector(jnp.stack([vn0, vn1], -1), signed=False)
+        if config.roughness_encoding.name == "SQRT_LINEAR":
+            vmb_roughness = vr_raw * vr_raw
+        elif config.roughness_encoding.name == "SQ_LINEAR":
+            vmb_roughness = jnp.sqrt(nm.saturate(vr_raw))
+        else:
+            vmb_roughness = vr_raw
+    else:
+        vmb_n, vmb_roughness, _ = _sample_normal_roughness_stochastic(
+            sc, prev_normal_roughness, vmb_pixel_uv, pixel_pos, config)
     vmb_n = vmb_n @ jnp.asarray(sc["world_prev_to_world"])[:3, :3].T
     dfactor = nm.get_specular_dominant_factor(nov, roughness)
     virtual_normal_confidence = 1.0 / (
@@ -822,49 +996,73 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     vmb_thr = vmb_thr * (nm.dot(vmb_n, n) > C.REBLUR_ALMOST_ZERO_ANGLE).astype(jnp.float32)
     vmb_thr = vmb_thr * (nm.dot(vmb_n, smb_navg)
                          > C.REBLUR_ALMOST_ZERO_ANGLE).astype(jnp.float32)
-    in_screen_vmb = resample.is_in_screen_bilinear(vmb_origin, sc["rect_size_prev"])
 
-    z_taps_vmb = gather_2x2_at(prev_view_z, vmb_origin)
     w2v_prev = jnp.asarray(sc["world_to_view_prev"])
     vmb_vv = nm.reconstruct_view_position(vmb_pixel_uv, sc["frustum_prev"][None, None, :],
                                           jnp.ones_like(view_z), 0.0)
     vmb_v = vmb_vv @ w2v_prev[:3, :3]  # RotateVectorInverse
     nox_curr = nm.dot(n, x_prev - sc["camera_delta"][None, None, :])
-    vmb_occ = []
-    for tap_idx, z_t in enumerate(z_taps_vmb):
-        z_t = unpack_view_z(sc, z_t)
-        zscale = jnp.where(sc["ortho_mode"] == 0.0, z_t, sc["ortho_mode"])
-        nox_prev = (n[..., 0] * vmb_v[..., 0] + n[..., 1] * vmb_v[..., 1]) * zscale \
-            + n[..., 2] * vmb_v[..., 2] * z_t
-        plane_dist = jnp.abs(nox_prev - nox_curr)
-        thr = vmb_thr * in_screen_vmb[..., tap_idx] - NRD_EPS
-        o = (plane_dist <= thr).astype(jnp.float32)
-        o = o * (rough_weights4[..., tap_idx] >= 0.5).astype(jnp.float32)
-        vmb_occ.append(o)
 
-    mat_taps_vmb = gather_2x2_at(prev_internal["material_id"], vmb_origin)
-    spec_taps_vmb = gather_2x2_at(prev_internal["spec_accum"], vmb_origin)
-    if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
-        for i in range(4):
-            same = (jnp.maximum(sm["material_id"], dc["spec_min_material"])
-                    == jnp.maximum(mat_taps_vmb[i],
-                                   dc["spec_min_material"])).astype(jnp.float32)
-            vmb_occ[i] = vmb_occ[i] * same
-    vmb_occ4 = jnp.stack(vmb_occ, -1)
+    if sampler is not None:
+        vmb_mvy, vmb_mvx = uv_to_mv_pix(vmb_pixel_uv, h, w, sc["rect_size_prev"])
+        vmb_bundle = sampler.vmb_bundle(
+            sc, dc, config, mv_pix_y=vmb_mvy, mv_pix_x=vmb_mvx, nox_curr=nox_curr,
+            vmb_thr=vmb_thr, n=n, vmb_v=vmb_v, ra=ra, rb=rb,
+            roughness_sigma=roughness_sigma,
+            parallax_sm=nm.smoothstep(1.0, 0.0, sm["parallax_max"]),
+            material_id_center=sm["material_id"],
+            smb_allow_catrom=sm["allow_catrom"].astype(jnp.float32),
+            prev_view_z=prev_view_z, prev_nr_packed=prev_normal_roughness,
+            prev_mat=prev_internal["material_id"],
+            spec_accum=prev_internal["spec_accum"], spec_hist4=spec_history,
+            spec_fast=spec_fast_history, prev_hdt=prev_spec_hitdist_for_tracking)
+        virtual_roughness_confidence = vmb_bundle["rough_conf"]
+        fbits_vmb = vmb_bundle["fbits_vmb"]
+        vmb_footprint_quality = jnp.sqrt(nm.saturate(vmb_bundle["footprint_raw"]))
+        vmb_spec_accum_speed = vmb_bundle["spec_accum_speed_raw"]
+        vmb_spec_accum_speed = vmb_spec_accum_speed * nm.lerp(
+            vmb_footprint_quality, 1.0, 1.0 / (1.0 + vmb_spec_accum_speed))
+        vmb_allow_catrom = vmb_bundle["allow_catrom"] > 0.5
+        vmb_occlusion_weights = None
+    else:
+        in_screen_vmb = resample.is_in_screen_bilinear(vmb_origin, sc["rect_size_prev"])
+        z_taps_vmb = gather_2x2_at(prev_view_z, vmb_origin)
+        vmb_occ = []
+        for tap_idx, z_t in enumerate(z_taps_vmb):
+            z_t = unpack_view_z(sc, z_t)
+            zscale = jnp.where(sc["ortho_mode"] == 0.0, z_t, sc["ortho_mode"])
+            nox_prev = (n[..., 0] * vmb_v[..., 0] + n[..., 1] * vmb_v[..., 1]) * zscale \
+                + n[..., 2] * vmb_v[..., 2] * z_t
+            plane_dist = jnp.abs(nox_prev - nox_curr)
+            thr = vmb_thr * in_screen_vmb[..., tap_idx] - NRD_EPS
+            o = (plane_dist <= thr).astype(jnp.float32)
+            o = o * (rough_weights4[..., tap_idx] >= 0.5).astype(jnp.float32)
+            vmb_occ.append(o)
 
-    fbits_vmb = (vmb_occ4[..., 0] * 16.0 + vmb_occ4[..., 1] * 32.0
-                 + vmb_occ4[..., 2] * 64.0 + vmb_occ4[..., 3] * 128.0)
+        mat_taps_vmb = gather_2x2_at(prev_internal["material_id"], vmb_origin)
+        spec_taps_vmb = gather_2x2_at(prev_internal["spec_accum"], vmb_origin)
+        if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+            for i in range(4):
+                same = (jnp.maximum(sm["material_id"], dc["spec_min_material"])
+                        == jnp.maximum(mat_taps_vmb[i],
+                                       dc["spec_min_material"])).astype(jnp.float32)
+                vmb_occ[i] = vmb_occ[i] * same
+        vmb_occ4 = jnp.stack(vmb_occ, -1)
 
-    vmb_occlusion_weights = nm.get_bilinear_custom_weights(vmb_frac, vmb_occ4)
-    vmb_spec_accum_speed = nm.apply_bilinear_custom_weights(
-        spec_taps_vmb[0][..., None], spec_taps_vmb[1][..., None],
-        spec_taps_vmb[2][..., None], spec_taps_vmb[3][..., None],
-        vmb_occlusion_weights)[..., 0]
-    vmb_footprint_quality = jnp.sqrt(nm.saturate(jnp.sum(vmb_occ4 * bwv, -1)))
-    vmb_spec_accum_speed = vmb_spec_accum_speed * nm.lerp(
-        vmb_footprint_quality, 1.0, 1.0 / (1.0 + vmb_spec_accum_speed))
+        fbits_vmb = (vmb_occ4[..., 0] * 16.0 + vmb_occ4[..., 1] * 32.0
+                     + vmb_occ4[..., 2] * 64.0 + vmb_occ4[..., 3] * 128.0)
 
-    vmb_allow_catrom = jnp.logical_and(jnp.sum(vmb_occ4, -1) > 3.5, sm["allow_catrom"])
+        vmb_occlusion_weights = nm.get_bilinear_custom_weights(vmb_frac, vmb_occ4)
+        vmb_spec_accum_speed = nm.apply_bilinear_custom_weights(
+            spec_taps_vmb[0][..., None], spec_taps_vmb[1][..., None],
+            spec_taps_vmb[2][..., None], spec_taps_vmb[3][..., None],
+            vmb_occlusion_weights)[..., 0]
+        vmb_footprint_quality = jnp.sqrt(nm.saturate(jnp.sum(vmb_occ4 * bwv, -1)))
+        vmb_spec_accum_speed = vmb_spec_accum_speed * nm.lerp(
+            vmb_footprint_quality, 1.0, 1.0 / (1.0 + vmb_spec_accum_speed))
+
+        vmb_allow_catrom = jnp.logical_and(jnp.sum(vmb_occ4, -1) > 3.5,
+                                           sm["allow_catrom"])
 
     # ---- curvature / lobe angles (lines 532-554) ----
     curvature_angle_tan = sm["pixel_size"] * jnp.abs(curvature)
@@ -888,9 +1086,12 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     virtual_history_amount = virtual_history_amount * virtual_normal_confidence
 
     # ---- parallax confidence (lines 561-577) ----
-    hdt_prev = resample.sample_bilinear(prev_spec_hitdist_for_tracking,
-                                        vmb_pixel_uv * sc["resolution_scale_prev"]
-                                        [None, None, :])
+    if sampler is not None:
+        hdt_prev = vmb_bundle["hdt_prev"]
+    else:
+        hdt_prev = resample.sample_bilinear(prev_spec_hitdist_for_tracking,
+                                            vmb_pixel_uv * sc["resolution_scale_prev"]
+                                            [None, None, :])
     x_virtual_prev = get_xvirtual(sc, hdt_prev, curvature, x, x_prev, n, v, roughness)
     vmb_pixel_uv_prev = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]),
                                          x_virtual_prev)
@@ -915,8 +1116,24 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         C.REBLUR_ROUGHNESS_SENSITIVITY_IN_TA)
     for it in range(1, C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM + 1):
         uv_pp = vmb_pixel_uv + vmb_dir * (it * step_between_taps)[..., None]
-        n_pp, r_pp, _ = _sample_normal_roughness_stochastic(sc, prev_normal_roughness,
-                                                            uv_pp, pixel_pos, config)
+        if sampler is not None:
+            uv_pp_s = _stochastic_bilinear_uv(sc, uv_pp, sc["rect_size_prev"], pixel_pos,
+                                              config)
+            (p0, p1, pr_raw), pp_valid = sampler.nearest(
+                [prev_normal_roughness[..., 0], prev_normal_roughness[..., 1],
+                 prev_normal_roughness[..., 2]], uv_pp_s)
+            n_pp = nm.decode_unit_vector(jnp.stack([p0, p1], -1), signed=False)
+            if config.roughness_encoding.name == "SQRT_LINEAR":
+                r_pp = pr_raw * pr_raw
+            elif config.roughness_encoding.name == "SQ_LINEAR":
+                r_pp = jnp.sqrt(nm.saturate(pr_raw))
+            else:
+                r_pp = pr_raw
+            in_screen = resample.is_in_screen_nearest(uv_pp) * pp_valid
+        else:
+            n_pp, r_pp, _ = _sample_normal_roughness_stochastic(sc, prev_normal_roughness,
+                                                                uv_pp, pixel_pos, config)
+            in_screen = resample.is_in_screen_nearest(uv_pp)
         wx = nm.get_encoding_aware_normal_weight(
             vmb_n, n_pp, lobe_half_angle,
             curvature_angle * (1.0 + it * step_between_taps), enc_err)
@@ -925,7 +1142,6 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
             wx = nm.lerp(1.0, wx, nm.saturate(step_between_taps))
             wy = nm.lerp(1.0, wy, nm.saturate(step_between_taps))
-        in_screen = resample.is_in_screen_nearest(uv_pp)
         wx = jnp.where(in_screen > 0.0, wx, 1.0)
         wy = jnp.where(in_screen > 0.0, wy, 1.0)
         virtual_normal_confidence = jnp.minimum(virtual_normal_confidence, wx)
@@ -936,12 +1152,16 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     virtual_history_amount = virtual_history_amount * virtual_roughness_confidence
 
     # ---- surface history + confidences (lines 617-654) ----
-    smb_spec_history = sample_history(spec_history, sm["smb_pixel_uv"],
-                                      sc["rect_size_prev"], sm["occlusion_weights"],
-                                      sm["allow_catrom"])
-    smb_spec_fast = sample_history_bilinear(spec_fast_history, sm["smb_pixel_uv"],
-                                            sc["rect_size_prev"],
-                                            sm["occlusion_weights"])
+    if samples is not None:
+        smb_spec_history = samples["history"]
+        smb_spec_fast = samples["fast"]
+    else:
+        smb_spec_history = sample_history(spec_history, sm["smb_pixel_uv"],
+                                          sc["rect_size_prev"], sm["occlusion_weights"],
+                                          sm["allow_catrom"])
+        smb_spec_fast = sample_history_bilinear(spec_fast_history, sm["smb_pixel_uv"],
+                                                sc["rect_size_prev"],
+                                                sm["occlusion_weights"])
 
     a_par = jnp.arctan(sm["parallax_max"] * sm["pixel_size"]
                        / jnp.maximum(nm.length(x), 1e-9))
@@ -989,10 +1209,16 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     virtual_history_amount = nm.saturate(virtual_history_amount)
 
     # ---- virtual history sample + accumulation (lines 708-754) ----
-    vmb_spec_history = sample_history(spec_history, vmb_pixel_uv, sc["rect_size_prev"],
-                                      vmb_occlusion_weights, vmb_allow_catrom)
-    vmb_spec_fast = sample_history_bilinear(spec_fast_history, vmb_pixel_uv,
-                                            sc["rect_size_prev"], vmb_occlusion_weights)
+    if sampler is not None:
+        vmb_spec_history = vmb_bundle["spec_hist"]
+        vmb_spec_fast = vmb_bundle["spec_fast"]
+    else:
+        vmb_spec_history = sample_history(spec_history, vmb_pixel_uv,
+                                          sc["rect_size_prev"],
+                                          vmb_occlusion_weights, vmb_allow_catrom)
+        vmb_spec_fast = sample_history_bilinear(spec_fast_history, vmb_pixel_uv,
+                                                sc["rect_size_prev"],
+                                                vmb_occlusion_weights)
 
     smb_spec_history = C.clamp_negative_to_zero(smb_spec_history, occlusion)
     vmb_spec_history = C.clamp_negative_to_zero(vmb_spec_history, occlusion)

@@ -98,3 +98,48 @@ def test_sigma_pallas_nopad_path(pallas_interpret):
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.97, corr
     assert np.abs(a - b).mean() < 0.04
+
+
+def _run_reblur_ds(n_frames, size=(128, 96), camera="static"):
+    import jax.numpy as jnp
+    from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+    HDP = jnp.asarray([3.0, 0.1, 20.0, -25.0])
+    gen = SceneGenerator(SceneSpec(size=size, noise=0.4), camera_mode=camera)
+    eng = Engine({0: Denoiser.REBLUR_DIFFUSE_SPECULAR}, resource_size=size)
+    outs = None
+    for i in range(n_frames):
+        fd = gen.frame(i)
+        eng.set_common_settings(fd.common_settings)
+        dn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
+                                         jnp.asarray(fd.view_z), HDP, 1.0)
+        sn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.spec_hit_dist),
+                                         jnp.asarray(fd.view_z), HDP,
+                                         jnp.asarray(fd.roughness))
+        pool = {
+            RT.IN_VIEWZ: fd.view_z,
+            RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+            RT.IN_MV: fd.mv,
+            RT.IN_DIFF_RADIANCE_HITDIST: np.asarray(
+                fe.reblur_pack_radiance_hitdist(jnp.asarray(fd.diff_noisy), dn)),
+            RT.IN_SPEC_RADIANCE_HITDIST: np.asarray(
+                fe.reblur_pack_radiance_hitdist(jnp.asarray(fd.spec_noisy), sn)),
+        }
+        outs = eng.denoise([0], pool)
+    return (np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST]),
+            np.asarray(outs[RT.OUT_SPEC_RADIANCE_HITDIST]))
+
+
+def test_reblur_ta_pallas_matches_xla(pallas_interpret):
+    """REBLUR_DIFFUSE_SPECULAR with the Pallas TA resolvers vs pure XLA (static camera)."""
+    d_p, s_p = _run_reblur_ds(4)
+    os.environ["NRDTPU_IMPL"] = "xla"
+    try:
+        d_x, s_x = _run_reblur_ds(4)
+    finally:
+        os.environ["NRDTPU_IMPL"] = "pallas"
+    for a, b, name in ((d_p, d_x, "diff"), (s_p, s_x, "spec")):
+        assert np.isfinite(a).all(), name
+        corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
+        assert corr > 0.98, (name, corr)
+        assert np.abs(a - b).mean() < 0.05, (name, np.abs(a - b).mean())
