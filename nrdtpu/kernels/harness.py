@@ -28,6 +28,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def pick_block(h: int, w: int, want=(64, 256), halo=(32, 128)):
+    """Deterministic block choice: prefer `want`, else a size that divides the image.
+
+    A block that does not divide the image forces the padded fallback (per-frame XLA
+    edge-pads of EVERY window and centre input - ~17 ms each at 1440p on this backend),
+    so exact division matters more than the preferred aspect: 1440p uses (96, 256).
+    Callers that precompute per-block data (reproject.block_motion_base) use the same
+    function so grids always agree with stencil_call."""
+    bh, bw = want
+    if h % bh or h < bh + 2 * halo[0]:
+        for cand in (96, 64, 128, 80, 48, 160, 32, 112, 144, 24, 16, 8):
+            if h % cand == 0 and h >= cand + 2 * halo[0]:
+                bh = cand
+                break
+    if w % bw or w < bw + 2 * halo[1]:
+        for cand in (256, 512, 384, 128, 640, 768):
+            if w % cand == 0 and w >= cand + 2 * halo[1]:
+                bw = cand
+                break
+    return bh, bw
+
+
 class Win:
     """A halo'd VMEM window around the current block, with cached base compensation.
 
@@ -98,7 +120,7 @@ def stencil_call(body, images: Sequence, n_windows: int, n_out: int, *,
     assert n_windows == len(images)
     h, w = images[0].shape[:2]
     hy, hx = halo
-    bh, bw = block
+    bh, bw = pick_block(h, w, block, halo)
     gh, gw = -(-h // bh), -(-w // bw)
     ph, pw = gh * bh, gw * bw
     win_h, win_w = bh + 2 * hy, bw + 2 * hx
@@ -186,6 +208,9 @@ def stencil_call(body, images: Sequence, n_windows: int, n_out: int, *,
         out_specs=out_specs if n_out > 1 else out_specs[0],
         out_shape=out_shape if n_out > 1 else out_shape[0],
         scratch_shapes=scratch_shapes,
+        # fat kernels (REBLUR blur/TA: ~20 windows + dozens of live window-sized rolls)
+        # exceed the default 16M scoped-vmem budget; v5e has far more physical VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     if n_out == 1:

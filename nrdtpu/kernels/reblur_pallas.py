@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from ..frontend import NRD_EPS
+from .. import math as nm
+from ..frontend import NRD_EPS, NRD_INF
 from . import reproject as rp
 from .harness import stencil_call
 
@@ -646,3 +647,714 @@ class PallasSampler:
 
     def vmb_bundle(self, sc, dc, config, **kw):
         return reblur_vmb_resolve(sc, dc, config, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Poisson spatial filter (REBLUR_Common_{Diffuse,Specular}SpatialFilter.hlsli tap loop)
+# ---------------------------------------------------------------------------
+
+RADIUS_LEVELS = (1.0, 2.0, 4.0, 7.0, 12.0, 20.0, 32.0)
+
+# SMEM layout for the blur kernel
+_B_DIRS = 0      # 16: 8 rotated unit dirs (x, y)
+_B_FRUSTUM = 16  # 4
+_B_MISC = 20     # view_z_scale, rect_w, rect_h, ortho, min_material, use_prepass, eps pad
+_B_HDP = 27      # 4: hit dist params
+_B_TOTAL = 31
+
+
+def _level_weights_blur(radius):
+    levels = RADIUS_LEVELS
+    ws = []
+    r = jnp.clip(radius, levels[0], levels[-1])
+    for i, lv in enumerate(levels):
+        lo = levels[i - 1] if i > 0 else levels[0]
+        hi = levels[i + 1] if i + 1 < len(levels) else levels[-1]
+        up = jnp.clip((r - lo) / max(lv - lo, 1e-6), 0.0, 1.0) if i > 0 \
+            else jnp.ones_like(r)
+        dn = jnp.clip((hi - r) / max(hi - lv, 1e-6), 0.0, 1.0) \
+            if i + 1 < len(levels) else jnp.ones_like(r)
+        ws.append(up * dn)
+    return ws
+
+
+def _acos_approx(x):
+    x = jnp.clip(x, -1.0, 1.0)
+    res = jnp.sqrt(jnp.clip(1.0 - jnp.abs(x), 0.0, 1.0)) * (np.pi / 2.0)
+    return jnp.where(x >= 0.0, res, np.pi - res)
+
+
+def _sstep10(x):
+    """smoothstep(1, 0, x)."""
+    t = jnp.clip(1.0 - x, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _exp_w(x):
+    """ComputeExponentialWeight: ExpApprox(-3|x|) = 1/(y^2 - y + 1), y = -3|x|."""
+    y = -3.0 * jnp.abs(x)
+    return 1.0 / (y * y - y + 1.0)
+
+
+def _blur_kernel(c, has_sh, spec, prepass, mat_occ, rough_sq, smem, bsm, wins, centers,
+                 outs, origin):
+    zw = wins[0]
+    nr = wins[1:5]
+    sig = wins[5:5 + c]
+    shw = wins[5 + c:5 + c + (3 if has_sh else 0)]
+    ci = iter(centers)
+    radius_r = next(ci); ga_r = next(ci); gb_r = next(ci); nwp_r = next(ci)
+    ha_r = next(ci); hb_r = next(ci); mhdw_r = next(ci); mat_r = next(ci)
+    n_r = [next(ci) for _ in range(3)]
+    nv_r = [next(ci) for _ in range(3)]
+    if spec:
+        wra_r = next(ci); wrb_r = next(ci)
+    if prepass:
+        hd_r = next(ci); rough_r = next(ci)
+        rnd_r = [next(ci) for _ in range(8)]
+
+    view_z_scale = smem[_B_MISC]
+    rect_w = smem[_B_MISC + 1]
+    rect_h = smem[_B_MISC + 2]
+    ortho = smem[_B_MISC + 3]
+    min_material = smem[_B_MISC + 4]
+    use_prepass = smem[_B_MISC + 5]
+    fx0, fy0, fdx, fdy = (smem[_B_FRUSTUM], smem[_B_FRUSTUM + 1],
+                          smem[_B_FRUSTUM + 2], smem[_B_FRUSTUM + 3])
+    hdp = [smem[_B_HDP + k] for k in range(4)]
+
+    bh, bw = radius_r.shape[:2]
+    inv_w = 1.0 / rect_w
+    inv_h = 1.0 / rect_h
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
+    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+
+    def view_pos(uu, vv, zz):
+        s = zz + (1.0 - zz) * jnp.abs(ortho)
+        return (uu * fdx + fx0) * s, (vv * fdy + fy0) * s, zz
+
+    radius = radius_r[:, :]
+    ga = ga_r[:, :]; gb = gb_r[:, :]
+    nwp = nwp_r[:, :]; ha = ha_r[:, :]; hb = hb_r[:, :]
+    mhdw = mhdw_r[:, :]
+    mat_c = mat_r[:, :]
+    ncx, ncy, ncz = n_r[0][:, :], n_r[1][:, :], n_r[2][:, :]
+    nvx, nvy, nvz = nv_r[0][:, :], nv_r[1][:, :], nv_r[2][:, :]
+    if spec:
+        wra = wra_r[:, :]; wrb = wrb_r[:, :]
+    if prepass:
+        hit_dist_c = hd_r[:, :]
+        rough_c = rough_r[:, :]
+        rough_term = jnp.clip((rough_c - 0.5) / 0.5, 0.0, 1.0)  # linearstep(.5,1,r)
+
+    view_z = jnp.abs(zw.tap()) * view_z_scale
+    xvx, xvy, xvz = view_pos(u, v, view_z)
+
+    lw_all = _level_weights_blur(radius)
+    gauss = [float(np.exp(-0.66 * t[2] * t[2])) for t in nm.SPECIAL_8]
+
+    sum_ = jnp.ones((bh, bw), jnp.float32)
+    acc = [sg.tap() for sg in sig]
+    acc_sh = [sw.tap() for sw in shw] if has_sh else None
+    hdt = None
+    if prepass:
+        hdt = jnp.where(hit_dist_c == 0.0, jnp.float32(NRD_INF), hit_dist_c)
+
+    for k in range(8):
+        dir_x = smem[_B_DIRS + 2 * k]
+        dir_y = smem[_B_DIRS + 2 * k + 1]
+        for li, lv in enumerate(RADIUS_LEVELS):
+            off_x = jnp.clip(jnp.round(dir_x * lv).astype(jnp.int32), -32, 32)
+            off_y = jnp.clip(jnp.round(dir_y * lv).astype(jnp.int32), -32, 32)
+
+            zs = jnp.abs(zw.tap_dyn(off_y, off_x)) * view_z_scale
+            n0 = nr[0].tap_dyn(off_y, off_x)
+            n1 = nr[1].tap_dyn(off_y, off_x)
+            rs_raw = nr[2].tap_dyn(off_y, off_x)
+            rs = rs_raw * rs_raw if rough_sq == 1 else (
+                jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
+            nsx, nsy, nsz = _decode_oct(n0, n1)
+
+            us = u + off_x.astype(jnp.float32) * inv_w
+            vs = v + off_y.astype(jnp.float32) * inv_h
+            angle = _acos_approx(ncx * nsx + ncy * nsy + ncz * nsz)
+            sx, sy, sz = view_pos(us, vs, zs)
+            w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)).astype(jnp.float32)
+            w_ = w_ * _sstep10(jnp.abs((nvx * sx + nvy * sy + nvz * sz) * ga + gb))
+            if mat_occ:
+                ms = nr[3].tap_dyn(off_y, off_x)
+                w_ = w_ * (jnp.maximum(mat_c, min_material)
+                           == jnp.maximum(ms, min_material)).astype(jnp.float32)
+            w_ = w_ * _sstep10(jnp.abs(angle * nwp))
+            if spec:
+                w_ = w_ * _sstep10(jnp.abs(rs * wra + wrb))
+
+            s_taps = [sg.tap_dyn(off_y, off_x) for sg in sig]
+            s_taps = [jnp.where(w_ == 0.0, 0.0, st) for st in s_taps]
+            s_hd = s_taps[-1]
+
+            if prepass:
+                hdn_s = (hdp[0] + zs * hdp[1]) * (
+                    1.0 + (hdp[2] - 1.0) * jnp.clip(jnp.exp2(hdp[3] * rs * rs), 0.0, 1.0))
+                hs = s_hd * hdn_s
+                dx_ = sx - xvx
+                dy_ = sy - xvy
+                dz_ = sz - xvz
+                d = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_) + NRD_EPS
+                gw = w_ * jnp.clip(hs / d, 0.0, 1.0)
+                take = (rnd_r[k][:, :] < gw) & (hs > 0.0)
+                hdt = jnp.where(take, jnp.minimum(hdt, hs), hdt)
+                w_ = w_ * use_prepass
+                t = hs / (d + hit_dist_c)
+                w_ = w_ * (jnp.clip(t, 0.0, 1.0)
+                           + (1.0 - jnp.clip(t, 0.0, 1.0)) * rough_term)
+
+            w_ = w_ * (mhdw + (1.0 - mhdw) * _exp_w(s_hd * ha + hb))
+            w_ = w_ * gauss[k] * lw_all[li]
+
+            sum_ = sum_ + w_
+            acc = [a + st * w_ for a, st in zip(acc, s_taps)]
+            if has_sh:
+                sh_taps = [sw.tap_dyn(off_y, off_x) for sw in shw]
+                acc_sh = [a + jnp.where(w_ == 0.0, 0.0, st) * w_
+                          for a, st in zip(acc_sh, sh_taps)]
+
+    inv = 1.0 / jnp.maximum(sum_, 1e-15)
+    k_ = 0
+    for a in acc:
+        outs[k_][:, :] = a * inv
+        k_ += 1
+    if has_sh:
+        for a in acc_sh:
+            outs[k_][:, :] = a * inv
+            k_ += 1
+    if prepass:
+        outs[k_][:, :] = jnp.where(hdt >= jnp.float32(NRD_INF), 0.0, hdt)
+
+
+def spatial_filter_taps_pallas(sc, dc, config, *, rotator, signal, sh, view_z_in,
+                               normal_roughness, blur_radius, ga, gb,
+                               normal_weight_param, ha, hb, min_hit_dist_weight,
+                               material_id, n, nv, wr_a=None, wr_b=None,
+                               hit_dist=None, roughness=None, rnd8=None,
+                               spec=False, prepass=False):
+    """The Poisson tap loop of the REBLUR spatial filters on Pallas.
+
+    All per-pixel weight parameters arrive as planes (computed by the XLA caller with the
+    exact reference formulas). Divergences (documented): per-pixel radius quantized to
+    RADIUS_LEVELS with hat blending; the per-axis skew is folded into the scalar radius;
+    taps snap to integer offsets of the rotated unit directions (the reference snaps to
+    pixel centers of continuously-scaled offsets).
+    Returns (signal_out (h,w,c), sh_out or None, hit_dist_for_tracking or None)."""
+    c = signal.shape[-1]
+    has_sh = sh is not None
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
+
+    dirs = []
+    for tap in nm.SPECIAL_8:
+        dirs.append(nm.rotate_vector2(jnp.asarray(rotator), jnp.asarray(tap[:2])))
+    dirs = jnp.stack(dirs).reshape(-1)
+    misc = jnp.stack([
+        jnp.asarray(sc["view_z_scale"], jnp.float32),
+        jnp.asarray(sc["rect_size"][0], jnp.float32),
+        jnp.asarray(sc["rect_size"][1], jnp.float32),
+        jnp.asarray(sc["ortho_mode"], jnp.float32),
+        jnp.asarray(dc.get("spec_min_material" if spec else "diff_min_material", 0.0),
+                    jnp.float32),
+        jnp.asarray(dc.get("use_prepass_not_only_for_specular_motion_estimation", 1.0),
+                    jnp.float32),
+        jnp.float32(0.0),
+    ])
+    scalars = jnp.concatenate([dirs, jnp.asarray(sc["frustum"], jnp.float32), misc,
+                               jnp.asarray(dc["hit_dist_params"], jnp.float32)])
+
+    windows = ([view_z_in] + _split(normal_roughness)[:4] + _split(signal)[:c]
+               + (_split(sh)[:3] if has_sh else []))
+    centers = [blur_radius, ga, gb, normal_weight_param, ha, hb, min_hit_dist_weight,
+               material_id, n[..., 0], n[..., 1], n[..., 2],
+               nv[..., 0], nv[..., 1], nv[..., 2]]
+    if spec:
+        centers += [wr_a, wr_b]
+    if prepass:
+        centers += [hit_dist, roughness] + list(rnd8)
+
+    n_out = c + (3 if has_sh else 0) + (1 if prepass else 0)
+    outs = stencil_call(
+        functools.partial(_blur_kernel, c, has_sh, spec, prepass, mat_occ, rough_sq),
+        windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
+        scalars=scalars, center_inputs=centers)
+    sig_out = jnp.stack(outs[:c], -1)
+    k = c
+    sh_out = None
+    if has_sh:
+        sh_out = jnp.concatenate([jnp.stack(outs[k:k + 3], -1), sh[..., 3:]], -1)
+        k += 3
+    hdt = outs[k] if prepass else None
+    return sig_out, sh_out, hdt
+
+
+# ---------------------------------------------------------------------------
+# HistoryFix taps + fast-history stencils (REBLUR_HistoryFix.hlsli)
+# ---------------------------------------------------------------------------
+
+STRIDE_LEVELS = (1.0, 2.0, 4.0, 8.0, 14.0)
+
+
+def _stride_weights(stride):
+    levels = STRIDE_LEVELS
+    ws = []
+    r = jnp.clip(stride, levels[0], levels[-1])
+    for i, lv in enumerate(levels):
+        lo = levels[i - 1] if i > 0 else levels[0]
+        hi = levels[i + 1] if i + 1 < len(levels) else levels[-1]
+        up = jnp.clip((r - lo) / max(lv - lo, 1e-6), 0.0, 1.0) if i > 0 \
+            else jnp.ones_like(r)
+        dn = jnp.clip((hi - r) / max(hi - lv, 1e-6), 0.0, 1.0) \
+            if i + 1 < len(levels) else jnp.ones_like(r)
+        ws.append(up * dn)
+    return ws
+
+
+def _hfix_kernel(c, has_sh, is_diffuse, mat_occ, rough_sq, anti_firefly, smem, bsm,
+                 wins, centers, outs, origin):
+    zw = wins[0]
+    nr = wins[1:5]
+    sig = wins[5:5 + c]
+    d1w = wins[5 + c]
+    fastw = wins[6 + c]
+    shw = wins[7 + c:7 + c + (3 if has_sh else 0)]
+    ci = iter(centers)
+    stride_r = next(ci); ga_r = next(ci); gb_r = next(ci); nwp_r = next(ci)
+    ha_r = next(ci); hb_r = next(ci)
+    fsz_r = next(ci); frm_r = next(ci); mat_r = next(ci); hds_r = next(ci)
+    n_r = [next(ci) for _ in range(3)]
+    nv_r = [next(ci) for _ in range(3)]
+    if not is_diffuse:
+        ra_r = next(ci); rb_r = next(ci); hd_r = next(ci); bguide_r = next(ci)
+
+    view_z_scale = smem[_B_MISC]
+    rect_w = smem[_B_MISC + 1]
+    rect_h = smem[_B_MISC + 2]
+    ortho = smem[_B_MISC + 3]
+    min_material = smem[_B_MISC + 4]
+    fx0, fy0, fdx, fdy = (smem[_B_FRUSTUM], smem[_B_FRUSTUM + 1],
+                          smem[_B_FRUSTUM + 2], smem[_B_FRUSTUM + 3])
+    hdp = [smem[_B_HDP + k] for k in range(4)]
+
+    bh, bw = stride_r.shape[:2]
+    inv_w = 1.0 / rect_w
+    inv_h = 1.0 / rect_h
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
+    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+
+    def view_pos(uu, vv, zz):
+        s = zz + (1.0 - zz) * jnp.abs(ortho)
+        return (uu * fdx + fx0) * s, (vv * fdy + fy0) * s, zz
+
+    stride = stride_r[:, :]
+    ga = ga_r[:, :]; gb = gb_r[:, :]; nwp = nwp_r[:, :]
+    ha = ha_r[:, :]; hb = hb_r[:, :]
+    frustum_size = fsz_r[:, :]
+    frame_num = frm_r[:, :]
+    mat_c = mat_r[:, :]
+    hd_scale = hds_r[:, :]
+    ncx, ncy, ncz = n_r[0][:, :], n_r[1][:, :], n_r[2][:, :]
+    nvx, nvy, nvz = nv_r[0][:, :], nv_r[1][:, :], nv_r[2][:, :]
+    if not is_diffuse:
+        ra = ra_r[:, :]; rb = rb_r[:, :]
+        hit_dist_c = hd_r[:, :]
+        bguide = bguide_r[:, :]
+
+    lw_all = _stride_weights(stride)
+
+    sum_ = 1.0 + frame_num
+    acc = [sg.tap() * sum_ for sg in sig]
+    acc_sh = [sw.tap() * sum_ for sw in shw] if has_sh else None
+
+    taps = [(i_, j_) for j_ in range(-2, 3) for i_ in range(-2, 3)
+            if not (i_ == 0 and j_ == 0) and abs(i_) + abs(j_) != 4]
+    for li, lv in enumerate(STRIDE_LEVELS):
+        for (i_, j_) in taps:
+            off_x = int(round(i_ * lv))
+            off_y = int(round(j_ * lv))
+            if abs(off_x) > 28 or abs(off_y) > 28:
+                off_x = max(-28, min(28, off_x))
+                off_y = max(-28, min(28, off_y))
+            zs = jnp.abs(zw.tap(off_y, off_x)) * view_z_scale
+            n0 = nr[0].tap(off_y, off_x)
+            n1 = nr[1].tap(off_y, off_x)
+            rs_raw = nr[2].tap(off_y, off_x)
+            rs = rs_raw * rs_raw if rough_sq == 1 else (
+                jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
+            nsx, nsy, nsz = _decode_oct(n0, n1)
+
+            us = u + off_x * inv_w
+            vs = v + off_y * inv_h
+            angle = _acos_approx(nsx * ncx + nsy * ncy + nsz * ncz)
+            sx, sy, sz = view_pos(us, vs, zs)
+            w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)).astype(jnp.float32)
+            w_ = w_ * _sstep10(jnp.abs((nvx * sx + nvy * sy + nvz * sz) * ga + gb))
+            if mat_occ:
+                ms = nr[3].tap(off_y, off_x)
+                w_ = w_ * (jnp.maximum(mat_c, min_material)
+                           == jnp.maximum(ms, min_material)).astype(jnp.float32)
+            w_ = w_ * _exp_w(angle * nwp)
+            if not is_diffuse:
+                w_ = w_ * _exp_w(rs * rs * ra + rb)
+            d1 = d1w.tap(off_y, off_x)
+            w_ = w_ * (1.0 + d1)
+
+            s_taps = [sg.tap(off_y, off_x) for sg in sig]
+            s_taps = [jnp.where(w_ == 0.0, 0.0, st) for st in s_taps]
+            hs = s_taps[-1] * hd_scale
+            hs_factor = jnp.clip(hs / frustum_size, 0.0, 1.0)
+            w_ = w_ * _exp_w(hs_factor * ha + hb)
+
+            if not is_diffuse:
+                d = jnp.abs(hit_dist_c - hs) / (jnp.maximum(hit_dist_c, hs) + 0.001)
+                t = jnp.clip((d - (0.2 + bguide)) / ((0.05 + bguide) - (0.2 + bguide)),
+                             0.0, 1.0)
+                w_ = w_ * (t * t * (3.0 - 2.0 * t))
+
+            w_ = w_ * lw_all[li]
+            sum_ = sum_ + w_
+            acc = [a + st * w_ for a, st in zip(acc, s_taps)]
+            if has_sh:
+                sh_t = [sw.tap(off_y, off_x) for sw in shw]
+                acc_sh = [a + jnp.where(w_ == 0.0, 0.0, st) * w_
+                          for a, st in zip(acc_sh, sh_t)]
+
+    inv = 1.0 / jnp.maximum(sum_, 1e-15)
+    k_ = 0
+    for a in acc:
+        outs[k_][:, :] = a * inv; k_ += 1
+    if has_sh:
+        for a in acc_sh:
+            outs[k_][:, :] = a * inv; k_ += 1
+
+    # fast-history 3x3 moments + anti-firefly ring moments (REBLUR_HistoryFix :169-244)
+    m1 = jnp.zeros((bh, bw), jnp.float32)
+    m2 = jnp.zeros((bh, bw), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            t = fastw.tap(dy, dx)
+            m1 = m1 + t
+            m2 = m2 + t * t
+    outs[k_][:, :] = m1 / 9.0; k_ += 1
+    outs[k_][:, :] = m2 / 9.0; k_ += 1
+    if anti_firefly:
+        am1 = jnp.zeros((bh, bw), jnp.float32)
+        am2 = jnp.zeros((bh, bw), jnp.float32)
+        cnt = 0
+        for dy in range(-4, 5):
+            for dx in range(-4, 5):
+                if abs(dy) <= 1 and abs(dx) <= 1:
+                    continue
+                t = fastw.tap(dy, dx)
+                am1 = am1 + t
+                am2 = am2 + t * t
+                cnt += 1
+        outs[k_][:, :] = am1 / cnt; k_ += 1
+        outs[k_][:, :] = am2 / cnt; k_ += 1
+
+
+def history_fix_taps_pallas(sc, dc, config, *, signal, sh, view_z_in, normal_roughness,
+                            data1, fast_history, stride, ga, gb, normal_weight_param,
+                            ha, hb, frustum_size, frame_num, material_id,
+                            hit_dist_scale, n, nv, is_diffuse, anti_firefly,
+                            ra=None, rb=None, hit_dist=None, bguide=None):
+    """HistoryFix sparse reconstruction + fast-history moments on Pallas.
+
+    Divergence: the per-pixel integer stride is resolved over STRIDE_LEVELS with hat
+    blending (the reference strides continuously). Returns (signal_out (h,w,c), sh_out,
+    m1, m2[, am1, am2])."""
+    c = signal.shape[-1]
+    has_sh = sh is not None
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
+
+    misc = jnp.stack([
+        jnp.asarray(sc["view_z_scale"], jnp.float32),
+        jnp.asarray(sc["rect_size"][0], jnp.float32),
+        jnp.asarray(sc["rect_size"][1], jnp.float32),
+        jnp.asarray(sc["ortho_mode"], jnp.float32),
+        jnp.asarray(dc["diff_min_material" if is_diffuse else "spec_min_material"],
+                    jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0),
+    ])
+    scalars = jnp.concatenate([jnp.zeros((16,), jnp.float32),
+                               jnp.asarray(sc["frustum"], jnp.float32), misc,
+                               jnp.asarray(dc["hit_dist_params"], jnp.float32)])
+
+    windows = ([view_z_in] + _split(normal_roughness)[:4] + _split(signal)[:c]
+               + [data1, fast_history] + (_split(sh)[:3] if has_sh else []))
+    centers = [stride, ga, gb, normal_weight_param, ha, hb, frustum_size, frame_num,
+               material_id, hit_dist_scale, n[..., 0], n[..., 1], n[..., 2],
+               nv[..., 0], nv[..., 1], nv[..., 2]]
+    if not is_diffuse:
+        centers += [ra, rb, hit_dist, bguide]
+
+    n_out = c + (3 if has_sh else 0) + 2 + (2 if anti_firefly else 0)
+    outs = stencil_call(
+        functools.partial(_hfix_kernel, c, has_sh, is_diffuse, mat_occ, rough_sq,
+                          anti_firefly),
+        windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
+        scalars=scalars, center_inputs=centers)
+    sig_out = jnp.stack(outs[:c], -1)
+    k = c
+    sh_out = None
+    if has_sh:
+        sh_out = jnp.concatenate([jnp.stack(outs[k:k + 3], -1), sh[..., 3:]], -1)
+        k += 3
+    m1, m2 = outs[k], outs[k + 1]
+    k += 2
+    af = (outs[k], outs[k + 1]) if anti_firefly else (None, None)
+    return sig_out, sh_out, m1, m2, af[0], af[1]
+
+
+# ---------------------------------------------------------------------------
+# HitDistReconstruction (REBLUR_HitDistReconstruction.hlsli)
+# ---------------------------------------------------------------------------
+
+
+def _hdrecon_kernel(radius, has_d, has_s, mat_unused, rough_sq, smem, bsm, wins,
+                    centers, outs, origin):
+    zw = wins[0]
+    nr = wins[1:5]
+    wi = 5
+    hdw_d = hdw_s = None
+    if has_d:
+        hdw_d = wins[wi]; wi += 1
+    if has_s:
+        hdw_s = wins[wi]; wi += 1
+    ci = iter(centers)
+    ga_r = next(ci); gb_r = next(ci); dnwp_r = next(ci); snwp_r = next(ci)
+    ra_r = next(ci); rb_r = next(ci)
+    n_r = [next(ci) for _ in range(3)]
+    nv_r = [next(ci) for _ in range(3)]
+
+    view_z_scale = smem[_B_MISC]
+    rect_w = smem[_B_MISC + 1]
+    rect_h = smem[_B_MISC + 2]
+    ortho = smem[_B_MISC + 3]
+    fx0, fy0, fdx, fdy = (smem[_B_FRUSTUM], smem[_B_FRUSTUM + 1],
+                          smem[_B_FRUSTUM + 2], smem[_B_FRUSTUM + 3])
+
+    ga = ga_r[:, :]; gb = gb_r[:, :]
+    dnwp = dnwp_r[:, :]; snwp = snwp_r[:, :]
+    ra = ra_r[:, :]; rb = rb_r[:, :]
+    ncx, ncy, ncz = n_r[0][:, :], n_r[1][:, :], n_r[2][:, :]
+    nvx, nvy, nvz = nv_r[0][:, :], nv_r[1][:, :], nv_r[2][:, :]
+
+    bh, bw = ga.shape[:2]
+    inv_w = 1.0 / rect_w
+    inv_h = 1.0 / rect_h
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
+    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+
+    def view_pos(uu, vv, zz):
+        s = zz + (1.0 - zz) * jnp.abs(ortho)
+        return (uu * fdx + fx0) * s, (vv * fdy + fy0) * s, zz
+
+    hd_d = hdw_d.tap() if has_d else None
+    hd_s = hdw_s.tap() if has_s else None
+    sum_d = 1000.0 * (hd_d != 0.0).astype(jnp.float32) if has_d else None
+    sum_s = 1000.0 * (hd_s != 0.0).astype(jnp.float32) if has_s else None
+    acc_d = hd_d * sum_d if has_d else None
+    acc_s = hd_s * sum_s if has_s else None
+
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy == 0 and dx == 0:
+                continue
+            zs = jnp.abs(zw.tap(dy, dx)) * view_z_scale
+            n0 = nr[0].tap(dy, dx)
+            n1 = nr[1].tap(dy, dx)
+            rs_raw = nr[2].tap(dy, dx)
+            rs = rs_raw * rs_raw if rough_sq == 1 else (
+                jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
+            nsx, nsy, nsz = _decode_oct(n0, n1)
+            o_len = float((dx * dx + dy * dy) ** 0.5)
+            us = u + dx * inv_w
+            vs = v + dy * inv_h
+            sx, sy, sz = view_pos(us, vs, zs)
+            w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)).astype(jnp.float32)
+            w_ = w_ * float(np.exp(-0.66 * (o_len * 0.5) ** 2))
+            w_ = w_ * _sstep10(jnp.abs((nvx * sx + nvy * sy + nvz * sz) * ga + gb))
+            angle = _acos_approx(nsx * ncx + nsy * ncy + nsz * ncz)
+            if has_d:
+                wd = w_ * _exp_w(angle * dnwp)
+                d_tap = hdw_d.tap(dy, dx)
+                wd = wd * (d_tap != 0.0).astype(jnp.float32)
+                acc_d = acc_d + d_tap * wd
+                sum_d = sum_d + wd
+            if has_s:
+                ws = w_ * _exp_w(angle * snwp)
+                ws = ws * _exp_w(rs * rs * ra + rb)
+                s_tap = hdw_s.tap(dy, dx)
+                ws = ws * (s_tap != 0.0).astype(jnp.float32)
+                acc_s = acc_s + s_tap * ws
+                sum_s = sum_s + ws
+
+    k_ = 0
+    if has_d:
+        outs[k_][:, :] = acc_d / jnp.maximum(sum_d, NRD_EPS); k_ += 1
+    if has_s:
+        outs[k_][:, :] = acc_s / jnp.maximum(sum_s, NRD_EPS); k_ += 1
+
+
+def hitdist_recon_pallas(sc, dc, config, *, radius, view_z_in, normal_roughness,
+                         hd_d, hd_s, ga, gb, diff_nwp, spec_nwp, ra, rb, n, nv):
+    """REBLUR hit-distance reconstruction taps on Pallas. Returns (new_hd_d, new_hd_s)."""
+    rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
+    misc = jnp.stack([
+        jnp.asarray(sc["view_z_scale"], jnp.float32),
+        jnp.asarray(sc["rect_size"][0], jnp.float32),
+        jnp.asarray(sc["rect_size"][1], jnp.float32),
+        jnp.asarray(sc["ortho_mode"], jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+    ])
+    scalars = jnp.concatenate([jnp.zeros((16,), jnp.float32),
+                               jnp.asarray(sc["frustum"], jnp.float32), misc,
+                               jnp.zeros((4,), jnp.float32)])
+    windows = [view_z_in] + _split(normal_roughness)[:4]
+    if hd_d is not None:
+        windows.append(hd_d)
+    if hd_s is not None:
+        windows.append(hd_s)
+    centers = [ga, gb, diff_nwp, spec_nwp, ra, rb,
+               n[..., 0], n[..., 1], n[..., 2], nv[..., 0], nv[..., 1], nv[..., 2]]
+    n_out = (hd_d is not None) + (hd_s is not None)
+    outs = stencil_call(
+        functools.partial(_hdrecon_kernel, radius, hd_d is not None, hd_s is not None,
+                          False, rough_sq),
+        windows, n_windows=len(windows), n_out=n_out, halo=(8, 128), block=BLOCK,
+        scalars=scalars, center_inputs=centers)
+    k = 0
+    new_d = new_s = None
+    if hd_d is not None:
+        new_d = outs[k]; k += 1
+    if hd_s is not None:
+        new_s = outs[k]
+    return new_d, new_s
+
+
+# ---------------------------------------------------------------------------
+# generic history sampling with given occlusion weights (TS) + 3x3 moments/min-max
+# ---------------------------------------------------------------------------
+
+
+def _hist_sample_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
+    ci = iter(centers)
+    mvy = next(ci)[:, :]
+    mvx = next(ci)[:, :]
+    occ = [next(ci)[:, :] for _ in range(4)]
+    allow = next(ci)[:, :] > 0.5
+    i, j = pl.program_id(0), pl.program_id(1)
+    base_y, base_x = bsm[0][i, j], bsm[1][i, j]
+    rect_w = smem[0]
+    rect_h = smem[1]
+
+    bh, bw = mvy.shape
+    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x)
+    qy = jnp.clip(qy, -1.0, 0.999)
+    qx = jnp.clip(qx, -1.0, 0.999)
+    my = qy < 0.0
+    mx = qx < 0.0
+    fy = qy - jnp.where(my, -1.0, 0.0)
+    fx = qx - jnp.where(mx, -1.0, 0.0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) \
+        + jnp.where(mx, -1.0, 0.0)
+    oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) \
+        + jnp.where(my, -1.0, 0.0)
+
+    def on_screen(i_, j_):
+        tx = ox + (i_ - 1)
+        ty = oy + (j_ - 1)
+        return ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+            .astype(jnp.float32)
+
+    bw00 = (1.0 - fx) * (1.0 - fy)
+    bw10 = fx * (1.0 - fy)
+    bw01 = (1.0 - fx) * fy
+    bw11 = fx * fy
+    bws = [bw00, bw10, bw01, bw11]
+    occ_w = [bws[k] * occ[k] * valid for k in range(4)]
+    occ_wsum = occ_w[0] + occ_w[1] + occ_w[2] + occ_w[3]
+
+    wxs = _catrom_w(fx)
+    wys = _catrom_w(fy)
+    cat_w = {}
+    cat_wsum = jnp.zeros((bh, bw), jnp.float32)
+    for j_ in range(4):
+        for i_ in range(4):
+            if (i_, j_) in _CORNER:
+                continue
+            w_ = wxs[i_] * wys[j_] * on_screen(i_, j_) * valid
+            cat_w[(i_, j_)] = w_
+            cat_wsum = cat_wsum + w_
+
+    for p in range(n_planes):
+        fp_ = FP(wins[p].shifted(base_y, base_x), my, mx)
+        cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
+        cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                        cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
+        bil_acc = sum(fp_.tap(i_, j_) * occ_w[k] for k, (i_, j_) in enumerate(_CENTER))
+        bil = jnp.where(occ_wsum < 1e-4, 0.0,
+                        bil_acc / jnp.where(occ_wsum < 1e-4, 1.0, occ_wsum))
+        outs[p][:, :] = jnp.where(allow, cat, bil)
+
+
+def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom):
+    """sample_history (CatRom-13 + bilinear-custom fallback) with caller-provided
+    per-tap occlusion (REBLUR TS: occlusion comes from the fbits of TA)."""
+    scalars = jnp.stack([jnp.asarray(sc["rect_size_prev"][0], jnp.float32),
+                         jnp.asarray(sc["rect_size_prev"][1], jnp.float32)])
+    base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
+    centers = [mv_pix_y, mv_pix_x, occ4[..., 0], occ4[..., 1], occ4[..., 2],
+               occ4[..., 3], allow_catrom]
+    outs = stencil_call(
+        functools.partial(_hist_sample_kernel, len(planes)), list(planes),
+        n_windows=len(planes), n_out=len(planes), halo=HALO, block=BLOCK,
+        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers)
+    return list(outs)
+
+
+def _moments_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
+    for p in range(n_planes):
+        w_ = wins[p]
+        c = w_.tap()
+        m1 = jnp.zeros_like(c)
+        m2 = jnp.zeros_like(c)
+        lmin = None
+        lmax = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                t = w_.tap(dy, dx)
+                m1 = m1 + t
+                m2 = m2 + t * t
+                if not (dy == 0 and dx == 0):
+                    lmin = t if lmin is None else jnp.minimum(lmin, t)
+                    lmax = t if lmax is None else jnp.maximum(lmax, t)
+        outs[4 * p][:, :] = m1 / 9.0
+        outs[4 * p + 1][:, :] = m2 / 9.0
+        outs[4 * p + 2][:, :] = lmin
+        outs[4 * p + 3][:, :] = lmax
+
+
+def moments_minmax_pallas(planes):
+    """3x3 moments + cross min/max (RCRS) per plane: [(m1, m2, lmin, lmax), ...]."""
+    outs = stencil_call(
+        functools.partial(_moments_kernel, len(planes)), list(planes),
+        n_windows=len(planes), n_out=4 * len(planes), halo=(8, 128), block=BLOCK)
+    return [tuple(outs[4 * p:4 * p + 4]) for p in range(len(planes))]

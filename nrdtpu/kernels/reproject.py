@@ -27,13 +27,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def block_motion_base(mv_pix_y, mv_pix_x, block=(64, 256), bound=(30, 126)):
+def block_motion_base(mv_pix_y, mv_pix_x, block=(64, 256), bound=(30, 126),
+                      halo=(32, 128)):
     """Per-block integer motion base (gh, gw) int32 pair, clipped to the halo budget.
 
     mv_pix_*: (H, W) f32 motion in pixels. Gather-free: reshape + mean + round.
-    """
+    The effective block is pick_block(h, w, block) - identical to what stencil_call
+    resolves, so the (gh, gw) grid always matches."""
+    from .harness import pick_block
+
     h, w = mv_pix_y.shape
-    bh, bw = block
+    bh, bw = pick_block(h, w, block, halo)
     gh, gw = -(-h // bh), -(-w // bw)
     ph, pw = gh * bh, gw * bw
     if (ph, pw) != (h, w):

@@ -181,6 +181,12 @@ class ReblurDenoiser:
         tile_map = K.classify_tiles(sc, view_z)
         dead = K.sky_pixel_mask(sc, tile_map, view_z)
 
+        from ...config import use_pallas
+        pallas_ok = (use_pallas()
+                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+                     and not self.sh and not self.directional
+                     and cfg.rect_size == cfg.resource_size)
+
         enable_hdrecon = (s.hitDistanceReconstructionMode
                           != HitDistanceReconstructionMode.OFF
                           and s.checkerboardMode == CheckerboardMode.OFF)
@@ -192,7 +198,8 @@ class ReblurDenoiser:
             radius = 2 if (s.hitDistanceReconstructionMode
                            == HitDistanceReconstructionMode.AREA_5X5) else 1
             diff_in, spec_in = K.hit_dist_reconstruction(
-                sc, dc, view_z, normal_roughness, diff_in, spec_in, cfg, radius=radius)
+                sc, dc, view_z, normal_roughness, diff_in, spec_in, cfg, radius=radius,
+                pallas=pallas_ok)
 
         # PREPASS
         spec_hdt_prepass = None
@@ -200,19 +207,14 @@ class ReblurDenoiser:
             if self.has_diffuse and not self.directional:
                 diff_in, diff_sh_in = K.diffuse_pre_pass(sc, dc, diff_in, view_z,
                                                          normal_roughness, cfg,
-                                                         sh=diff_sh_in)
+                                                         sh=diff_sh_in, pallas=pallas_ok)
             if self.has_specular:
                 spec_in, spec_sh_in, spec_hdt_prepass = K.specular_spatial_filter(
                     sc, dc, K.PRE_BLUR, spec_in, view_z, normal_roughness, None, cfg,
-                    sh=spec_sh_in, occlusion=False)
+                    sh=spec_sh_in, occlusion=False, pallas=pallas_ok)
 
         prev_internal = {k: state[k] for k in ("diff_accum", "spec_accum", "material_id")}
 
-        from ...config import use_pallas
-        pallas_ok = (use_pallas()
-                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
-                     and not self.sh and not self.directional
-                     and cfg.rect_size == cfg.resource_size)
         sampler = None
         diff_samples = None
         spec_samples = None
@@ -292,29 +294,31 @@ class ReblurDenoiser:
                 diff_fast1, cfg, is_diffuse=True, occlusion=self.occlusion,
                 anti_firefly=s.enableAntiFirefly and not self.occlusion
                 and not self.directional,
-                sh=diff_sh1, directional=self.directional)
+                sh=diff_sh1, directional=self.directional, pallas=pallas_ok)
         if self.has_specular:
             spec2, spec_fast2, spec_sh2 = K.history_fix(
                 sc, dc, view_z, normal_roughness, data1_diff, data1_spec, spec1,
                 spec_fast1, cfg, is_diffuse=False, occlusion=self.occlusion,
                 anti_firefly=s.enableAntiFirefly and not self.occlusion,
-                sh=spec_sh1)
+                sh=spec_sh1, pallas=pallas_ok)
 
         # BLUR + POST BLUR
         if self.has_diffuse:
             diff3, diff_sh3 = K.diffuse_spatial_filter(
                 sc, dc, K.BLUR, diff2, view_z, normal_roughness, data1_diff, cfg,
-                sh=diff_sh2, occlusion=self.occlusion, directional=self.directional)
+                sh=diff_sh2, occlusion=self.occlusion, directional=self.directional,
+                pallas=pallas_ok)
             diff4, diff_sh4 = K.diffuse_spatial_filter(
                 sc, dc, K.POST_BLUR, diff3, view_z, normal_roughness, data1_diff, cfg,
-                sh=diff_sh3, occlusion=self.occlusion, directional=self.directional)
+                sh=diff_sh3, occlusion=self.occlusion, directional=self.directional,
+                pallas=pallas_ok)
         if self.has_specular:
             spec3, spec_sh3, _ = K.specular_spatial_filter(
                 sc, dc, K.BLUR, spec2, view_z, normal_roughness, data1_spec, cfg,
-                sh=spec_sh2, occlusion=self.occlusion)
+                sh=spec_sh2, occlusion=self.occlusion, pallas=pallas_ok)
             spec4, spec_sh4, _ = K.specular_spatial_filter(
                 sc, dc, K.POST_BLUR, spec3, view_z, normal_roughness, data1_spec, cfg,
-                sh=spec_sh3, occlusion=self.occlusion)
+                sh=spec_sh3, occlusion=self.occlusion, pallas=pallas_ok)
 
         new_state = dict(state)
         keep = dead
@@ -341,7 +345,8 @@ class ReblurDenoiser:
                 has_diffuse=self.has_diffuse, has_specular=self.has_specular,
                 has_prepass=not skip_prepass, directional=self.directional,
                 diff_sh=diff_sh4 if self.has_diffuse and self.sh else None,
-                spec_sh=spec_sh4 if self.has_specular and self.sh else None)
+                spec_sh=spec_sh4 if self.has_specular and self.sh else None,
+                pallas=pallas_ok)
             if self.has_diffuse:
                 diff_out = ts["diff"]
                 diff_sh_out = ts.get("diff_sh")

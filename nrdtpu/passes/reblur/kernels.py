@@ -468,10 +468,12 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
 
 def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, signal,
                 fast_history, config, *, is_diffuse: bool, occlusion: bool,
-                anti_firefly: bool = False, sh=None, directional: bool = False):
+                anti_firefly: bool = False, sh=None, directional: bool = False,
+                pallas: bool = False):
     """Sparse 5x5-no-corners history reconstruction + fast-history color clamping.
 
     signal: (h, w, c) output of TA; fast_history: (h, w). Returns (signal_out, fast_out[,sh]).
+    pallas=True runs the taps + fast-history stencils in kernels/reblur_pallas.
     """
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
@@ -512,6 +514,50 @@ def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, sig
     hit_dist_factor = nm.get_hit_dist_factor(hit_dist, frustum_size)
     ha, hb = nm.get_hit_distance_weight_params(
         hit_dist_factor, nlas, jnp.ones_like(roughness) if is_diffuse else roughness)
+
+    if pallas:
+        from ...kernels.reblur_pallas import history_fix_taps_pallas
+
+        data1 = data1_diff if is_diffuse else data1_spec
+        kw = {}
+        if not is_diffuse:
+            ra_, rb_ = nm.get_relaxed_roughness_weight_params(
+                roughness * roughness, jnp.sqrt(dc["roughness_fraction"]))
+            kw = dict(ra=ra_, rb=rb_, hit_dist=hit_dist,
+                      bguide=nm.linearstep(0.03, 0.05, roughness))
+        use_af = anti_firefly
+        signal_out, sh_out, m1, m2, am1, am2 = history_fix_taps_pallas(
+            sc, dc, config, signal=signal, sh=sh, view_z_in=view_z_in,
+            normal_roughness=normal_roughness, data1=data1, fast_history=fast_history,
+            stride=stride, ga=ga, gb=gb, normal_weight_param=normal_weight_param,
+            ha=ha, hb=hb, frustum_size=frustum_size, frame_num=frame_num,
+            material_id=material_id, hit_dist_scale=hit_dist_scale, n=n, nv=nv,
+            is_diffuse=is_diffuse, anti_firefly=use_af, **kw)
+        use_fix = (stride != 0.0)
+        signal_out = jnp.where(use_fix[..., None], signal_out, signal)
+        sh_out = jnp.where(use_fix[..., None], sh_out, sh) if sh is not None else None
+
+        occ_like = occlusion or directional
+        center = fast_history
+        f = nm.saturate(frame_num / (dc["history_fix_frame_num"] + NRD_EPS))
+        if not is_diffuse:
+            f = nm.lerp(1.0, f, nm.get_spec_magic_curve(roughness))
+        fast_out = nm.lerp(C.get_luma(signal_out, occ_like), center, f)
+        sigma = nm.get_std_dev(m1, m2) * C.color_clamping_sigma_scale(occ_like)
+        luma = C.get_luma(signal_out, occ_like)
+        if use_af:
+            asig = nm.get_std_dev(am1, am2) * C.REBLUR_ANTI_FIREFLY_SIGMA_SCALE
+            luma = jnp.clip(luma, am1 - asig, am1 + asig)
+        luma_clamped = jnp.clip(luma, m1 - sigma, m1 + sigma)
+        fast_enabled = (dc["max_fast_accumulated_frame_num"]
+                        < dc["max_accumulated_frame_num"]).astype(jnp.float32)
+        luma = nm.lerp(luma_clamped, luma, 1.0 / (1.0 + fast_enabled * frame_num * 2.0))
+        signal_out = C.change_luma(signal_out, luma, occlusion, directional)
+        if sh_out is not None:
+            scale = C.get_luma_scale(nm.length(sh_out[..., :3]), luma)
+            sh_out = jnp.concatenate([sh_out[..., :3] * scale[..., None],
+                                      sh_out[..., 3:]], -1)
+        return signal_out, fast_out, sh_out
 
     sum_ = 1.0 + frame_num
     acc = signal * sum_[..., None]
@@ -637,10 +683,12 @@ POST_BLUR = 2
 
 
 def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, data1,
-                           config, sh=None, *, occlusion: bool, directional: bool = False):
+                           config, sh=None, *, occlusion: bool, directional: bool = False,
+                           pallas: bool = False):
     """Adaptive-radius 8-tap Poisson blur (screen-space sampling path).
 
     mode: BLUR or POST_BLUR. Returns (signal_out[, sh_out]).
+    pallas=True runs the tap loop in kernels/reblur_pallas.spatial_filter_taps_pallas.
     """
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
@@ -682,6 +730,18 @@ def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, da
     min_hit_dist_weight = dc["min_hit_distance_weight"] * fraction_scale
     if not occlusion:
         min_hit_dist_weight = min_hit_dist_weight * jnp.sqrt(nlas)
+
+    if pallas:
+        from ...kernels.reblur_pallas import spatial_filter_taps_pallas
+
+        mhdw = jnp.broadcast_to(jnp.asarray(min_hit_dist_weight, jnp.float32),
+                                view_z.shape)
+        return spatial_filter_taps_pallas(
+            sc, dc, config, rotator=rotator, signal=signal, sh=sh,
+            view_z_in=view_z_in, normal_roughness=normal_roughness,
+            blur_radius=blur_radius, ga=ga, gb=gb,
+            normal_weight_param=normal_weight_param, ha=ha, hb=hb,
+            min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv)[:2]
 
     # screen-space sampling (REBLUR_USE_SCREEN_SPACE_SAMPLING_FOR_DIFFUSE == 1)
     skew = nm.lerp(1.0 - jnp.abs(nv[..., :2]), 1.0, nov[..., None])
@@ -1301,11 +1361,12 @@ PRE_BLUR = 0
 
 
 def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, data1,
-                            config, sh=None, *, occlusion: bool):
+                            config, sh=None, *, occlusion: bool, pallas: bool = False):
     """Adaptive Poisson specular blur. mode: PRE_BLUR / BLUR / POST_BLUR.
 
     PRE_BLUR additionally estimates hitDistForTracking (stochastic min of weighted taps)
     and returns it. Returns (spec_out, sh_out, hit_dist_for_tracking_or_None).
+    pallas=True runs the tap loop in kernels/reblur_pallas.spatial_filter_taps_pallas.
     """
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
@@ -1382,6 +1443,36 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
     min_hit_dist_weight = dc["min_hit_distance_weight"] * fraction_scale * smc
     if mode != PRE_BLUR and not occlusion:
         min_hit_dist_weight = min_hit_dist_weight * jnp.sqrt(nlas)
+
+    if pallas:
+        from ...kernels.reblur_pallas import spatial_filter_taps_pallas
+
+        prepass = mode == PRE_BLUR
+        rnd8 = None
+        if prepass:
+            rnd8 = []
+            rng_state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]),
+                                     sc["frame_index"])
+            for _ in range(8):
+                rng_state, rnd = nm.hash_float(rng_state)
+                rnd8.append(rnd)
+        mhdw = jnp.broadcast_to(jnp.asarray(min_hit_dist_weight, jnp.float32),
+                                view_z.shape)
+        out, out_sh, hdt = spatial_filter_taps_pallas(
+            sc, dc, config, rotator=rotator, signal=spec, sh=sh, view_z_in=view_z_in,
+            normal_roughness=normal_roughness, blur_radius=blur_radius, ga=ga, gb=gb,
+            normal_weight_param=normal_weight_param, ha=ha, hb=hb,
+            min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv,
+            wr_a=wr_a, wr_b=wr_b, hit_dist=hit_dist, roughness=roughness, rnd8=rnd8,
+            spec=True, prepass=prepass)
+        if prepass:
+            disabled = dc["spec_prepass_blur_radius"] == 0.0
+            out = jnp.where(disabled, spec, out)
+            if out_sh is not None:
+                out_sh = jnp.where(disabled, sh, out_sh)
+            hdt = jnp.where(disabled, C.extract_hit_dist(spec), hdt)
+            return out, out_sh, hdt
+        return out, out_sh, None
 
     # screen-space sampling path (PRE_BLUR always; others via config default 0 -> but we
     # use screen-space everywhere for TPU friendliness; skew=1 mirrors the pre-pass)
@@ -1460,7 +1551,7 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
 
 
 def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, config,
-                     sh=None, *, occlusion: bool = False):
+                     sh=None, *, occlusion: bool = False, pallas: bool = False):
     """Diffuse PRE_BLUR: same as diffuse_spatial_filter but with pre-pass constants."""
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
@@ -1493,6 +1584,23 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
         nlas, dc["lobe_angle_fraction"], jnp.ones_like(roughness), enc_err) / fraction_scale
     ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(signal), nlas)
     min_hit_dist_weight = dc["min_hit_distance_weight"] * fraction_scale
+
+    if pallas:
+        from ...kernels.reblur_pallas import spatial_filter_taps_pallas
+
+        mhdw = jnp.broadcast_to(jnp.asarray(min_hit_dist_weight, jnp.float32),
+                                view_z.shape)
+        out, out_sh, _ = spatial_filter_taps_pallas(
+            sc, dc, config, rotator=rotator, signal=signal, sh=sh,
+            view_z_in=view_z_in, normal_roughness=normal_roughness,
+            blur_radius=blur_radius, ga=ga, gb=gb,
+            normal_weight_param=normal_weight_param, ha=ha, hb=hb,
+            min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv)
+        disabled = dc["diff_prepass_blur_radius"] == 0.0
+        out = jnp.where(disabled, signal, out)
+        if out_sh is not None:
+            out_sh = jnp.where(disabled, sh, out_sh)
+        return out, out_sh
 
     skew = jnp.ones_like(uv) * sc["rect_size_inv"][None, None, :] * blur_radius[..., None]
     scaled_rotator = nm.scale_rotator(jnp.broadcast_to(rotator, uv.shape[:2] + (4,)), skew)
@@ -1544,7 +1652,7 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
 
 
 def hit_dist_reconstruction(sc, dc, view_z_in, normal_roughness, diff, spec, config,
-                            *, radius: int):
+                            *, radius: int, pallas: bool = False):
     """Reconstruct hitT==0 holes from 3x3 (radius=1) / 5x5 (radius=2) neighbors.
 
     diff/spec are (h, w, c) signals or None; only the hit channel is modified.
@@ -1570,6 +1678,20 @@ def hit_dist_reconstruction(sc, dc, view_z_in, normal_roughness, diff, spec, con
 
     hd_d = C.extract_hit_dist(diff) if diff is not None else None
     hd_s = C.extract_hit_dist(spec) if spec is not None else None
+
+    if pallas:
+        from ...kernels.reblur_pallas import hitdist_recon_pallas
+
+        new_hd_d, new_hd_s = hitdist_recon_pallas(
+            sc, dc, config, radius=radius, view_z_in=view_z_in,
+            normal_roughness=normal_roughness, hd_d=hd_d, hd_s=hd_s, ga=ga, gb=gb,
+            diff_nwp=diff_nwp, spec_nwp=spec_nwp, ra=ra, rb=rb, n=n, nv=nv)
+        out_d = out_s = None
+        if diff is not None:
+            out_d = jnp.concatenate([diff[..., :-1], new_hd_d[..., None]], -1)
+        if spec is not None:
+            out_s = jnp.concatenate([spec[..., :-1], new_hd_s[..., None]], -1)
+        return out_d, out_s
 
     sum_d = 1000.0 * (hd_d != 0.0).astype(jnp.float32) if hd_d is not None else None
     sum_s = 1000.0 * (hd_s != 0.0).astype(jnp.float32) if hd_s is not None else None
@@ -1622,7 +1744,8 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
                            diff, spec, diff_luma_stab_history, spec_luma_stab_history,
                            spec_hitdist_for_tracking, base_color_metalness, config, *,
                            has_diffuse: bool, has_specular: bool, has_prepass: bool,
-                           diff_sh=None, spec_sh=None, directional: bool = False):
+                           diff_sh=None, spec_sh=None, directional: bool = False,
+                           pallas: bool = False):
     """Anti-lag output filter. Returns dict(diff, spec, diff_luma_stab, spec_luma_stab,
     data1_diff, data1_spec, mv_out[, diff_sh, spec_sh])."""
     h, w = view_z_in.shape
@@ -1664,28 +1787,41 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
     mv_out = mv_in
 
     def stabilize_channel(signal, luma_stab_history, data1, occ_weights, allow_catrom,
-                          quality, history_weight_extra, luma_is_last=False):
+                          quality, history_weight_extra, luma_is_last=False, occ4=None):
         luma = C.get_luma(signal, luma_is_last)
-        m1 = jnp.zeros_like(luma)
-        m2 = jnp.zeros_like(luma)
-        lmin = jnp.full_like(luma, NRD_INF)
-        lmax = jnp.full_like(luma, -NRD_INF)
-        for dy, dx in stencil.offsets_square(1):
-            t = stencil.shifted(luma, dy, dx)
-            m1 = m1 + t
-            m2 = m2 + t * t
-            if not (dy == 0 and dx == 0):
-                lmin = jnp.minimum(lmin, t)
-                lmax = jnp.maximum(lmax, t)
-        m1 = m1 / 9.0
-        m2 = m2 / 9.0
-        sigma = nm.get_std_dev(m1, m2)
-        # RCRS (lines 131-135)
-        luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0,
-                              jnp.clip(luma, lmin, lmax), luma)
+        if pallas:
+            from ...kernels.reblur_pallas import (hist_sample_pallas,
+                                                  moments_minmax_pallas)
 
-        smb_hist = sample_history(luma_stab_history[..., None], smb_pixel_uv,
-                                  sc["rect_size_prev"], occ_weights, allow_catrom)[..., 0]
+            (m1, m2, lmin, lmax), = moments_minmax_pallas([luma])
+            sigma = nm.get_std_dev(m1, m2)
+            luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0,
+                                  jnp.clip(luma, lmin, lmax), luma)
+            smb_mvy, smb_mvx = uv_to_mv_pix(smb_pixel_uv, h, w, sc["rect_size_prev"])
+            smb_hist = hist_sample_pallas(sc, [luma_stab_history], smb_mvy, smb_mvx,
+                                          occ4, allow_catrom.astype(jnp.float32))[0]
+        else:
+            m1 = jnp.zeros_like(luma)
+            m2 = jnp.zeros_like(luma)
+            lmin = jnp.full_like(luma, NRD_INF)
+            lmax = jnp.full_like(luma, -NRD_INF)
+            for dy, dx in stencil.offsets_square(1):
+                t = stencil.shifted(luma, dy, dx)
+                m1 = m1 + t
+                m2 = m2 + t * t
+                if not (dy == 0 and dx == 0):
+                    lmin = jnp.minimum(lmin, t)
+                    lmax = jnp.maximum(lmax, t)
+            m1 = m1 / 9.0
+            m2 = m2 / 9.0
+            sigma = nm.get_std_dev(m1, m2)
+            # RCRS (lines 131-135)
+            luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0,
+                                  jnp.clip(luma, lmin, lmax), luma)
+
+            smb_hist = sample_history(luma_stab_history[..., None], smb_pixel_uv,
+                                      sc["rect_size_prev"], occ_weights,
+                                      allow_catrom)[..., 0]
         smb_hist = jnp.maximum(smb_hist, 0.0)
         antilag = C.compute_antilag(sc, dc, smb_hist, m1, sigma, quality * data1)
         taw, ta_sigma_scale = C.get_temporal_accumulation_params(sc, quality, data1)
@@ -1703,7 +1839,7 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
         extra = (smb_pixel_uv[..., 0] >= sc["split_screen_prev"]).astype(jnp.float32)
         diff_luma_stab, diff_antilag, _, _ = stabilize_channel(
             diff, diff_luma_stab_history, data1_diff, smb_weights, smb_allow_catrom,
-            smb_quality, extra, luma_is_last=directional)
+            smb_quality, extra, luma_is_last=directional, occ4=smb_occ)
         diff_out = C.change_luma(diff, diff_luma_stab, False, directional)
         out["diff"] = diff_out
         out["diff_luma_stab"] = diff_luma_stab
@@ -1768,29 +1904,46 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
 
         # combine surface & virtual motion (lines 287-343)
         luma = C.get_luma(spec, False)
-        m1 = jnp.zeros_like(luma)
-        m2 = jnp.zeros_like(luma)
-        lmin = jnp.full_like(luma, NRD_INF)
-        lmax = jnp.full_like(luma, -NRD_INF)
-        for dy, dx in stencil.offsets_square(1):
-            t = stencil.shifted(luma, dy, dx)
-            m1 = m1 + t
-            m2 = m2 + t * t
-            if not (dy == 0 and dx == 0):
-                lmin = jnp.minimum(lmin, t)
-                lmax = jnp.maximum(lmax, t)
-        m1 = m1 / 9.0
-        m2 = m2 / 9.0
-        sigma = nm.get_std_dev(m1, m2)
-        luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0, jnp.clip(luma, lmin, lmax),
-                              luma)
+        if pallas:
+            from ...kernels.reblur_pallas import (hist_sample_pallas,
+                                                  moments_minmax_pallas)
 
-        smb_hist = sample_history(spec_luma_stab_history[..., None], smb_pixel_uv,
-                                  sc["rect_size_prev"], smb_weights,
-                                  smb_allow_catrom)[..., 0]
-        vmb_hist = sample_history(spec_luma_stab_history[..., None], vmb_pixel_uv,
-                                  sc["rect_size_prev"], vmb_weights,
-                                  vmb_allow_catrom)[..., 0]
+            (m1, m2, lmin, lmax), = moments_minmax_pallas([luma])
+            sigma = nm.get_std_dev(m1, m2)
+            luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0,
+                                  jnp.clip(luma, lmin, lmax), luma)
+            smb_mvy, smb_mvx = uv_to_mv_pix(smb_pixel_uv, h, w, sc["rect_size_prev"])
+            vmb_mvy, vmb_mvx = uv_to_mv_pix(vmb_pixel_uv, h, w, sc["rect_size_prev"])
+            smb_hist = hist_sample_pallas(sc, [spec_luma_stab_history], smb_mvy,
+                                          smb_mvx, smb_occ,
+                                          smb_allow_catrom.astype(jnp.float32))[0]
+            vmb_hist = hist_sample_pallas(sc, [spec_luma_stab_history], vmb_mvy,
+                                          vmb_mvx, vmb_occ,
+                                          vmb_allow_catrom.astype(jnp.float32))[0]
+        else:
+            m1 = jnp.zeros_like(luma)
+            m2 = jnp.zeros_like(luma)
+            lmin = jnp.full_like(luma, NRD_INF)
+            lmax = jnp.full_like(luma, -NRD_INF)
+            for dy, dx in stencil.offsets_square(1):
+                t = stencil.shifted(luma, dy, dx)
+                m1 = m1 + t
+                m2 = m2 + t * t
+                if not (dy == 0 and dx == 0):
+                    lmin = jnp.minimum(lmin, t)
+                    lmax = jnp.maximum(lmax, t)
+            m1 = m1 / 9.0
+            m2 = m2 / 9.0
+            sigma = nm.get_std_dev(m1, m2)
+            luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0,
+                                  jnp.clip(luma, lmin, lmax), luma)
+
+            smb_hist = sample_history(spec_luma_stab_history[..., None], smb_pixel_uv,
+                                      sc["rect_size_prev"], smb_weights,
+                                      smb_allow_catrom)[..., 0]
+            vmb_hist = sample_history(spec_luma_stab_history[..., None], vmb_pixel_uv,
+                                      sc["rect_size_prev"], vmb_weights,
+                                      vmb_allow_catrom)[..., 0]
         smb_hist = jnp.maximum(smb_hist, 0.0)
         vmb_hist = jnp.maximum(vmb_hist, 0.0)
         spec_hist = nm.lerp(smb_hist, vmb_hist, virtual_history_amount)
