@@ -172,13 +172,25 @@ def bench_config(name, raw, w, h):
     pool = {k: jax.device_put(v) for k, v in pool.items()}
 
     # warm the engine-level path (builds the jitted fn + state)
+    t0 = time.time()
     eng.denoise([0], pool)
+    jax.block_until_ready(eng._states[0])
+    t1 = time.time()
+    eng.denoise([0], pool)
+    jax.block_until_ready(eng._states[0])
+    probe_ms = (time.time() - t1) * 1e3
+
     inst = eng._instances[0]
     fn = inst.frame  # raw pure fn; time_frame_fn jits the scanned loop itself
     dc = inst.frame_constants(eng._consts, eng._settings[0])
     sc = eng._shared_consts()
     state = eng._states[0]
-    ms = time_frame_fn(fn, sc, dc, state, pool)
+    # slow configs (XLA reference path) get a reduced measurement budget
+    if probe_ms > 400.0:
+        ms = time_frame_fn(fn, sc, dc, state, pool, warmup=1, iters=2,
+                           frames_per_call=4)
+    else:
+        ms = time_frame_fn(fn, sc, dc, state, pool)
     return ms
 
 
@@ -190,32 +202,40 @@ def main():
 
     available = {d.name for d in _registry().keys()}
     results = {}
+    headline_printed = False
+    t_start = time.time()
+    budget_s = float(__import__("os").environ.get("NRDTPU_BENCH_BUDGET_S", "2400"))
+
     for name in HEADLINE_ORDER:
         if name not in available:
+            continue
+        # once the headline is in hand, stay within the wall-clock budget for details
+        if headline_printed and time.time() - t_start > budget_s:
+            results[name] = "SKIPPED: bench budget"
             continue
         try:
             results[name] = bench_config(name, raw, w, h)
         except Exception as e:  # pragma: no cover
-            results[name] = f"ERROR: {e}"
+            results[name] = f"ERROR: {type(e).__name__}: {e}"
+        if not headline_printed and isinstance(results.get(name), float):
+            ms = results[name]
+            print(json.dumps({
+                "metric": f"{name} frame time @1440p (1 TPU chip)",
+                "value": round(ms, 4),
+                "unit": "ms/frame",
+                "vs_baseline": round(BASELINES[name] / ms, 4),
+            }), flush=True)
+            headline_printed = True
 
     with open("bench_details.json", "w") as f:
         json.dump({"resolution": f"{w}x{h}", "results_ms": results,
                    "baselines_ms": BASELINES}, f, indent=2)
 
-    for name in HEADLINE_ORDER:
-        if isinstance(results.get(name), float):
-            ms = results[name]
-            base = BASELINES[name]
-            print(json.dumps({
-                "metric": f"{name} frame time @1440p (1 TPU chip)",
-                "value": round(ms, 4),
-                "unit": "ms/frame",
-                "vs_baseline": round(base / ms, 4),
-            }))
-            return 0
-    print(json.dumps({"metric": "no config available", "value": 0,
-                      "unit": "ms/frame", "vs_baseline": 0}))
-    return 1
+    if not headline_printed:
+        print(json.dumps({"metric": "no config available", "value": 0,
+                          "unit": "ms/frame", "vs_baseline": 0}))
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

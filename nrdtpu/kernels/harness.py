@@ -59,11 +59,12 @@ class Win:
     full(): the re-centred full window (centre at [hy:hy+bh, hx:hx+bw]).
     """
 
-    def __init__(self, ref, bh, bw, hy, hx, comp):
+    def __init__(self, ref, bh, bw, hy, hx, comp, upcast=False):
         self._ref = ref
         self.bh, self.bw, self.hy, self.hx = bh, bw, hy, hx
         self._comp = comp  # None (padded mode) or (dy, dx) runtime scalars
         self._full = None
+        self._upcast = upcast  # bf16 window -> f32 at the centre slice
 
     def full(self):
         if self._full is None:
@@ -75,19 +76,23 @@ class Win:
             self._full = val
         return self._full
 
+    def _center(self, val):
+        out = val[self.hy: self.hy + self.bh, self.hx: self.hx + self.bw]
+        return out.astype(jnp.float32) if self._upcast else out
+
     def tap(self, dy: int = 0, dx: int = 0):
         val = self.full()
         if dy != 0:
             val = pltpu.roll(val, (-dy) % val.shape[0], 0)
         if dx != 0:
             val = pltpu.roll(val, (-dx) % val.shape[1], 1)
-        return val[self.hy: self.hy + self.bh, self.hx: self.hx + self.bw]
+        return self._center(val)
 
     def tap_dyn(self, oy, ox):
         val = self.full()
         val = pltpu.roll(val, jnp.mod(-oy, val.shape[0]), 0)
         val = pltpu.roll(val, jnp.mod(-ox, val.shape[1]), 1)
-        return val[self.hy: self.hy + self.bh, self.hx: self.hx + self.bw]
+        return self._center(val)
 
     def shifted(self, oy, ox):
         """A rebased Win whose static taps read at (+oy, +ox) runtime-uniform offsets.
@@ -97,7 +102,8 @@ class Win:
         val = self.full()
         val = pltpu.roll(val, jnp.mod(-oy, val.shape[0]), 0)
         val = pltpu.roll(val, jnp.mod(-ox, val.shape[1]), 1)
-        w2 = Win(self._ref, self.bh, self.bw, self.hy, self.hx, None)
+        w2 = Win(self._ref, self.bh, self.bw, self.hy, self.hx, None,
+                 upcast=self._upcast)
         w2._full = val
         return w2
 
@@ -105,7 +111,7 @@ class Win:
 def stencil_call(body, images: Sequence, n_windows: int, n_out: int, *,
                  halo=(32, 128), block=(64, 256), scalars=None,
                  block_scalars: Sequence = (), center_inputs: Sequence = (),
-                 interpret: bool = False):
+                 window_dtypes: Sequence = None, interpret: bool = False):
     """Run `body(smem, bsm, wins, centers, outs, (y0, x0))` over halo'd blocks of `images`.
 
     images: (H, W) f32 arrays; the first n_windows get halo'd VMEM windows (manual DMA),
@@ -127,6 +133,15 @@ def stencil_call(body, images: Sequence, n_windows: int, n_out: int, *,
 
     nopad = (h == ph and w == pw and h % 8 == 0 and w % 128 == 0
              and h >= win_h and w >= win_w)
+
+    # bf16 windows halve the VMEM roll cost of the halo'd planes (the dominant vector
+    # work); taps upcast to f32 at the (bh, bw) centre slice. Callers mark which planes
+    # tolerate 8-bit-mantissa storage (UNORM-coded data, radiance mirroring the
+    # reference's fp16 textures) - viewZ stays f32 (plane-distance tests need it).
+    if window_dtypes is None:
+        window_dtypes = [None] * n_windows
+    images = [img if dt is None else img.astype(dt)
+              for img, dt in zip(images, window_dtypes)]
 
     if nopad:
         hbm_imgs = list(images)
@@ -182,7 +197,8 @@ def stencil_call(body, images: Sequence, n_windows: int, n_out: int, *,
         for c in copies:
             c.wait()
 
-        wins = [Win(r, bh, bw, hy, hx, comp) for r in win_refs]
+        wins = [Win(r, bh, bw, hy, hx, comp, upcast=dt is not None)
+                for r, dt in zip(win_refs, window_dtypes)]
         body(smem, bsm, wins, list(center_refs), list(out_refs), (y0, x0))
 
     in_specs = []
@@ -198,7 +214,9 @@ def stencil_call(body, images: Sequence, n_windows: int, n_out: int, *,
     out_shape = tuple(jax.ShapeDtypeStruct((ph, pw), jnp.float32)
                       for _ in range(n_out))
 
-    scratch_shapes = [pltpu.VMEM((win_h, win_w), jnp.float32)] * n_windows + \
+    scratch_shapes = [pltpu.VMEM((win_h, win_w),
+                                 jnp.float32 if dt is None else dt)
+                      for dt in window_dtypes] + \
                      [pltpu.SemaphoreType.DMA((n_windows,))]
 
     args = ([scalars] if num_scalars else []) + list(block_scalars) + hbm_imgs + centers

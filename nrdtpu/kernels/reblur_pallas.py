@@ -360,10 +360,12 @@ def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_th
     centers = [mv_pix_y, mv_pix_x, xv_prev_z, base_threshold, navg_thr,
                material_id_center]
     n_out = n_hist + n_bil + 11
+    wdt = None
     outs = stencil_call(
         functools.partial(_smb_kernel, n_hist, n_bil, mat_occ), windows,
         n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers)
+        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
+        window_dtypes=wdt)
     res = dict(hist=list(outs[:n_hist]), bil=list(outs[n_hist:n_hist + n_bil]))
     (res["diff_accum_speed"], res["spec_accum_speed"], res["fbits"],
      res["footprint_raw"], res["allow_catrom"], nx, ny, nz,
@@ -552,10 +554,12 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
                vmb_v[..., 0], vmb_v[..., 1], vmb_v[..., 2],
                ra, rb, roughness_sigma, parallax_sm, material_id_center,
                smb_allow_catrom]
+    wdt = None
     outs = stencil_call(
         functools.partial(_vmb_kernel, mat_occ), windows,
         n_windows=len(windows), n_out=12, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers)
+        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
+        window_dtypes=wdt)
     res = dict(spec_hist=jnp.stack(outs[:4], -1), spec_fast=outs[4],
                spec_accum_speed_raw=outs[5], fbits_vmb=outs[6],
                footprint_raw=outs[7], allow_catrom=outs[8], rough_conf=outs[9],
@@ -653,7 +657,7 @@ class PallasSampler:
 # Poisson spatial filter (REBLUR_Common_{Diffuse,Specular}SpatialFilter.hlsli tap loop)
 # ---------------------------------------------------------------------------
 
-RADIUS_LEVELS = (1.0, 2.0, 4.0, 7.0, 12.0, 20.0, 32.0)
+RADIUS_LEVELS = (1.0, 3.0, 8.0, 17.0, 32.0)
 
 # SMEM layout for the blur kernel
 _B_DIRS = 0      # 16: 8 rotated unit dirs (x, y)
@@ -882,10 +886,11 @@ def spatial_filter_taps_pallas(sc, dc, config, *, rotator, signal, sh, view_z_in
         centers += [hit_dist, roughness] + list(rnd8)
 
     n_out = c + (3 if has_sh else 0) + (1 if prepass else 0)
+    wdt = None  # bf16 windows blocked: Mosaic dynamic_rotate is 32-bit only
     outs = stencil_call(
         functools.partial(_blur_kernel, c, has_sh, spec, prepass, mat_occ, rough_sq),
         windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
-        scalars=scalars, center_inputs=centers)
+        scalars=scalars, center_inputs=centers, window_dtypes=wdt)
     sig_out = jnp.stack(outs[:c], -1)
     k = c
     sh_out = None
@@ -1100,11 +1105,13 @@ def history_fix_taps_pallas(sc, dc, config, *, signal, sh, view_z_in, normal_rou
         centers += [ra, rb, hit_dist, bguide]
 
     n_out = c + (3 if has_sh else 0) + 2 + (2 if anti_firefly else 0)
+    # windows: z(f32) nr*4 sig*c data1 fast(f32: moment precision) [sh*3]
+    wdt = None  # see _blur_kernel note
     outs = stencil_call(
         functools.partial(_hfix_kernel, c, has_sh, is_diffuse, mat_occ, rough_sq,
                           anti_firefly),
         windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
-        scalars=scalars, center_inputs=centers)
+        scalars=scalars, center_inputs=centers, window_dtypes=wdt)
     sig_out = jnp.stack(outs[:c], -1)
     k = c
     sh_out = None
@@ -1232,11 +1239,12 @@ def hitdist_recon_pallas(sc, dc, config, *, radius, view_z_in, normal_roughness,
     centers = [ga, gb, diff_nwp, spec_nwp, ra, rb,
                n[..., 0], n[..., 1], n[..., 2], nv[..., 0], nv[..., 1], nv[..., 2]]
     n_out = (hd_d is not None) + (hd_s is not None)
+    wdt = None
     outs = stencil_call(
         functools.partial(_hdrecon_kernel, radius, hd_d is not None, hd_s is not None,
                           False, rough_sq),
         windows, n_windows=len(windows), n_out=n_out, halo=(8, 128), block=BLOCK,
-        scalars=scalars, center_inputs=centers)
+        scalars=scalars, center_inputs=centers, window_dtypes=wdt)
     k = 0
     new_d = new_s = None
     if hd_d is not None:
