@@ -29,16 +29,18 @@ BASELINES = {
     "REFERENCE": 0.10,                  # estimated: 2 trivial passes over RGBA32f
 }
 
-# priority order for the headline metric (most flagship first)
+# priority order: headline first, then known-good Pallas configs, then the fragile
+# XLA-path configs LAST (their 1440p remote compiles can wedge the device for the
+# rest of the process - see bench_details notes).
 HEADLINE_ORDER = [
     "REBLUR_DIFFUSE_SPECULAR",
+    "SIGMA_SHADOW",
+    "REBLUR_DIFFUSE_OCCLUSION",
+    "REFERENCE",
+    "SIGMA_SHADOW_TRANSLUCENCY",
     "RELAX_DIFFUSE_SPECULAR",
     "REBLUR_DIFFUSE_SPECULAR_SH",
     "RELAX_DIFFUSE_SPECULAR_SH",
-    "REBLUR_DIFFUSE_OCCLUSION",
-    "SIGMA_SHADOW",
-    "SIGMA_SHADOW_TRANSLUCENCY",
-    "REFERENCE",
 ]
 
 
@@ -217,6 +219,16 @@ def main():
             results[name] = bench_config(name, raw, w, h)
         except Exception as e:  # pragma: no cover
             results[name] = f"ERROR: {type(e).__name__}: {e}"
+            if "TPU device error" in str(e) and headline_printed:
+                # the device is wedged for this process; further configs would all fail
+                results["_note"] = "stopped: device wedged by a previous config"
+                with open("bench_details.json", "w") as f:
+                    json.dump({"resolution": f"{w}x{h}", "results_ms": results,
+                               "baselines_ms": BASELINES}, f, indent=2)
+                break
+        with open("bench_details.json", "w") as f:  # incremental: survive timeouts
+            json.dump({"resolution": f"{w}x{h}", "results_ms": results,
+                       "baselines_ms": BASELINES}, f, indent=2)
         if not headline_printed and isinstance(results.get(name), float):
             ms = results[name]
             print(json.dumps({
