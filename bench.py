@@ -218,7 +218,7 @@ def main():
         try:
             results[name] = bench_config(name, raw, w, h)
         except Exception as e:  # pragma: no cover
-            results[name] = f"ERROR: {type(e).__name__}: {e}"
+            results[name] = f"ERROR: {type(e).__name__}: {str(e)[:300]}"
             if "TPU device error" in str(e) and headline_printed:
                 # the device is wedged for this process; further configs would all fail
                 results["_note"] = "stopped: device wedged by a previous config"
