@@ -1,0 +1,355 @@
+"""Pallas TPU kernels for the RELAX pipeline (a-trous wavelet filter first).
+
+Same pass semantics as passes/relax/kernels.py (the XLA reference path). The a-trous
+iteration is the pipeline's bulk cost (5+ invocations x 2 signals): a 3x3 tap cross at
+stride 2^i with plane-distance / normal / roughness / luminance edge-stopping weights
+(RELAX_Atrous.hlsli, RELAX_AtrousSmem.hlsli). Taps at a given iteration are uniform
+offsets -> Win.tap_dyn; the reference's per-pixel random jitter for strides > 4 becomes a
+per-BLOCK random jitter (documented divergence: decorrelates banding across blocks, not
+within a block).
+
+Iteration 0 (AtrousSmem) additionally runs the 3x3 gaussian variance prefilter and the
+5x5 spatial-variance-estimation fallback for short histories, all in the same kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..frontend import NRD_EPS
+from .harness import stencil_call
+
+HALO = (32, 128)
+BLOCK = (64, 256)
+_G3 = (0.44198, 0.27901)
+
+# scalar layout
+_A_FRUSTUM = 0   # 9: frustum_right, frustum_up, frustum_forward (world space)
+_A_MISC = 9      # view_z_scale, ortho, denoising_range, rough_edge_relax,
+#                  rough_edge_enabled, diff_phi, spec_phi, max_rel_d, max_rel_s,
+#                  min_mat_d, min_mat_s, rect_w, rect_h, history_threshold
+_A_TOTAL = 23
+
+
+def _decode_oct(px_, py_):
+    qx = px_ * 2.0 - 1.0
+    qy = py_ * 2.0 - 1.0
+    z = 1.0 - jnp.abs(qx) - jnp.abs(qy)
+    t = jnp.clip(-z, 0.0, 1.0)
+    nx = qx - t * jnp.where(qx >= 0.0, 1.0, -1.0)
+    ny = qy - t * jnp.where(qy >= 0.0, 1.0, -1.0)
+    inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + z * z, 1e-15))
+    return nx * inv, ny * inv, z * inv
+
+
+def _acos_approx(x):
+    x = jnp.clip(x, -1.0, 1.0)
+    res = jnp.sqrt(jnp.clip(1.0 - jnp.abs(x), 0.0, 1.0)) * (np.pi / 2.0)
+    return jnp.where(x >= 0.0, res, np.pi - res)
+
+
+def _sstep10(x):
+    t = jnp.clip(1.0 - x, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _smoothstep(a, b, x):
+    t = jnp.clip((x - a) / jnp.maximum(b - a, 1e-15), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _luma(r, g, b):
+    return 0.2126 * r + 0.7152 * g + 0.0722 * b
+
+
+def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
+                   smem, bsm, wins, centers, outs, origin):
+    wi = iter(wins)
+    zw = next(wi)
+    nr = [next(wi) for _ in range(4)]
+    dw = [next(wi) for _ in range(4)] if has_diff else None
+    sw = [next(wi) for _ in range(4)] if has_spec else None
+
+    ci = iter(centers)
+    thr_r = next(ci)
+    n_c = [next(ci)[:, :] for _ in range(3)]
+    x_c = [next(ci)[:, :] for _ in range(3)]
+    cv_c = [next(ci)[:, :] for _ in range(3)]
+    mat_c = next(ci)[:, :]
+    hl_c = next(ci)[:, :]
+    dnwp = next(ci)[:, :]
+    dlr = next(ci)[:, :]     # diff luminance relaxation
+    nwp_sve = next(ci)[:, :]
+    if has_spec:
+        snwp_simpl = next(ci)[:, :]
+        ra = next(ci)[:, :]
+        rb = next(ci)[:, :]
+        angle0 = next(ci)[:, :]
+        f0 = next(ci)[:, :]
+        slr = next(ci)[:, :]  # spec luminance relaxation
+
+    i, j = pl.program_id(0), pl.program_id(1)
+    jit_y = bsm[0][i, j] if bsm else 0
+    jit_x = bsm[1][i, j] if bsm else 0
+
+    fr = [smem[_A_FRUSTUM + k] for k in range(9)]  # right(3), up(3), forward(3)
+    view_z_scale = smem[_A_MISC]
+    ortho = smem[_A_MISC + 1]
+    denoising_range = smem[_A_MISC + 2]
+    rough_relax = smem[_A_MISC + 3]
+    rough_enabled = smem[_A_MISC + 4]
+    diff_phi = smem[_A_MISC + 5]
+    spec_phi = smem[_A_MISC + 6]
+    max_rel_d = smem[_A_MISC + 7]
+    max_rel_s = smem[_A_MISC + 8]
+    min_mat_d = smem[_A_MISC + 9]
+    min_mat_s = smem[_A_MISC + 10]
+    rect_w = smem[_A_MISC + 11]
+    rect_h = smem[_A_MISC + 12]
+    history_threshold = smem[_A_MISC + 13]
+
+    bh, bw = mat_c.shape
+    inv_w = 1.0 / rect_w
+    inv_h = 1.0 / rect_h
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
+    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+
+    def world_pos(uu, vv, zz):
+        cx = uu * 2.0 - 1.0
+        cy = vv * 2.0 - 1.0
+        out = []
+        for a in range(3):
+            persp = zz * (fr[6 + a] + fr[a] * cx - fr[3 + a] * cy)
+            orth = zz * fr[6 + a] + fr[a] * cx - fr[3 + a] * cy
+            out.append(jnp.where(ortho == 0.0, persp, orth))
+        return out
+
+    nx_, ny_, nz_ = n_c
+    xx_, xy_, xz_ = x_c
+    cvx, cvy, cvz = cv_c
+    thr = thr_r[:, :]
+
+    def T(w_, oy, ox):
+        # static offsets (no jitter) use the cheaper static roll path
+        if isinstance(oy, int) and isinstance(ox, int):
+            return w_.tap(oy, ox)
+        return w_.tap_dyn(oy, ox)
+
+    def sig_center(ws_):
+        return [ws_[c].tap() for c in range(4)]
+
+    def tap_planes(ws_, oy, ox):
+        return [T(ws_[c], oy, ox) for c in range(4)]
+
+    # iteration-0 variance prefilter (3x3 gaussian) or carried variance
+    def center_var(ws_, center):
+        if not is_first:
+            return jnp.maximum(center[3], 0.0)
+        kern = ((0.25, 0.125), (0.125, 0.0625))
+        acc = [jnp.zeros((bh, bw), jnp.float32) for _ in range(4)]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                k = kern[abs(dx)][abs(dy)]
+                for c in range(4):
+                    acc[c] = acc[c] + ws_[c].tap(dy, dx) * k
+        m1 = _luma(acc[0], acc[1], acc[2])
+        return jnp.maximum(0.0, acc[3] - m1 * m1)
+
+    results = []
+    for which, ws_ in (("diff", dw), ("spec", sw)):
+        if ws_ is None:
+            continue
+        is_spec = which == "spec"
+        center = sig_center(ws_)
+        cvar = center_var(ws_, center)
+        phi = spec_phi if is_spec else diff_phi
+        phi_inv = 1.0 / jnp.maximum(1e-4, phi * jnp.sqrt(cvar))
+        center_l = _luma(center[0], center[1], center[2])
+        max_rel = max_rel_s if is_spec else max_rel_d
+        min_mat = min_mat_s if is_spec else min_mat_d
+        lum_relax = slr if is_spec else dlr
+
+        w0 = _G3[0] * _G3[0]
+        wsum = jnp.full((bh, bw), w0, jnp.float32)
+        if is_first:
+            acc = [c_ * w0 for c_ in center]
+        else:
+            acc = [center[0] * w0, center[1] * w0, center[2] * w0,
+                   center[3] * w0 * w0]
+
+        for yy in range(-1, 2):
+            for xx in range(-1, 2):
+                if xx == 0 and yy == 0:
+                    continue
+                kern = _G3[abs(xx)] * _G3[abs(yy)]
+                oy = yy * step_size + jit_y
+                ox = xx * step_size + jit_x
+                us = u + ox * inv_w if isinstance(ox, int) else \
+                    u + ox.astype(jnp.float32) * inv_w
+                vs = v + oy * inv_h if isinstance(oy, int) else \
+                    v + oy.astype(jnp.float32) * inv_h
+                inside = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)) \
+                    .astype(jnp.float32)
+                zs = jnp.abs(T(zw, oy, ox)) * view_z_scale
+                n0 = T(nr[0], oy, ox)
+                n1 = T(nr[1], oy, ox)
+                rs_raw = T(nr[2], oy, ox)
+                rs = rs_raw * rs_raw if rough_sq == 1 else (
+                    jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
+                nsx, nsy, nsz = _decode_oct(n0, n1)
+                xsx, xsy, xsz = world_pos(us, vs, zs)
+
+                pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_
+                             + (xsz - xz_) * nz_)
+                gw = (pd < thr).astype(jnp.float32) * kern
+                gw = gw * inside * (zs < denoising_range).astype(jnp.float32)
+                angle = _acos_approx(nx_ * nsx + ny_ * nsy + nz_ * nsz)
+                if is_spec and not is_first:
+                    # sv = -normalize(xs + relax * x)
+                    tx = xsx + rough_relax * xx_
+                    ty = xsy + rough_relax * xy_
+                    tz = xsz + rough_relax * xz_
+                    inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-15))
+                    svx, svy, svz = -tx * inv, -ty * inv, -tz * inv
+                    cosa = jnp.minimum(nx_ * nsx + ny_ * nsy + nz_ * nsz,
+                                       cvx * svx + cvy * svy + cvz * svz)
+                    a_ = _smoothstep(0.0, angle0, _acos_approx(cosa))
+                    nw = jnp.clip(1.0 - a_ * f0, 0.0, 1.0)
+                    nw_simpl = _sstep10(jnp.abs(angle * snwp_simpl))
+                    rw = _sstep10(jnp.abs(rs * ra + rb))
+                    w_ = gw * jnp.where(rough_enabled != 0.0, nw * rw, nw_simpl)
+                else:
+                    w_ = gw * _sstep10(jnp.abs(angle * dnwp))
+                if mat_occ:
+                    ms = T(nr[3], oy, ox)
+                    w_ = w_ * (jnp.maximum(ms, min_mat)
+                               == jnp.maximum(mat_c, min_mat)).astype(jnp.float32)
+                s_t = tap_planes(ws_, oy, ox)
+                sl = _luma(s_t[0], s_t[1], s_t[2])
+                lw = jnp.minimum(max_rel, jnp.abs(center_l - sl) * phi_inv) * lum_relax
+                w_ = w_ * jnp.exp(-lw)
+                wsum = wsum + w_
+                if is_first:
+                    acc = [a + st * w_ for a, st in zip(acc, s_t)]
+                else:
+                    acc = [acc[0] + s_t[0] * w_, acc[1] + s_t[1] * w_,
+                           acc[2] + s_t[2] * w_, acc[3] + s_t[3] * w_ * w_]
+
+        if is_first:
+            out4 = [a / wsum for a in acc]
+            m1 = _luma(out4[0], out4[1], out4[2])
+            out4[3] = jnp.maximum(0.0, out4[3] - m1 * m1)
+        else:
+            out4 = [acc[0] / wsum, acc[1] / wsum, acc[2] / wsum,
+                    acc[3] / (wsum * wsum)]
+
+        if is_first:
+            # spatial variance estimation fallback (AtrousSmem lines 362-470)
+            swsum = jnp.zeros((bh, bw), jnp.float32)
+            s_acc = [jnp.zeros((bh, bw), jnp.float32) for _ in range(3)]
+            s_m1 = jnp.zeros((bh, bw), jnp.float32)
+            s_m2 = jnp.zeros((bh, bw), jnp.float32)
+            for dy in range(-2, 3):
+                for dx in range(-2, 3):
+                    n0 = nr[0].tap(dy, dx)
+                    n1 = nr[1].tap(dy, dx)
+                    nsx, nsy, nsz = _decode_oct(n0, n1)
+                    angle = _acos_approx(nx_ * nsx + ny_ * nsy + nz_ * nsz)
+                    w_ = _sstep10(jnp.abs(angle * nwp_sve))
+                    if mat_occ:
+                        ms = nr[3].tap(dy, dx)
+                        w_ = w_ * (jnp.maximum(ms, min_mat)
+                                   == jnp.maximum(mat_c, min_mat)).astype(jnp.float32)
+                    st = [ws_[c].tap(dy, dx) for c in range(4)]
+                    sl = _luma(st[0], st[1], st[2])
+                    swsum = swsum + w_
+                    for c in range(3):
+                        s_acc[c] = s_acc[c] + st[c] * w_
+                    s_m1 = s_m1 + sl * w_
+                    s_m2 = s_m2 + st[3] * w_
+            swsum = jnp.maximum(swsum, 1e-6)
+            s_rgb = [a / swsum for a in s_acc]
+            s_m1 = s_m1 / swsum
+            s_m2 = s_m2 / swsum
+            boost = jnp.maximum(1.0, 4.0 / (hl_c + 1.0))
+            s_var = jnp.maximum(0.0, s_m2 - s_m1 * s_m1) * boost
+            use_atrous = hl_c >= history_threshold
+            out4 = [jnp.where(use_atrous, o, sv)
+                    for o, sv in zip(out4, s_rgb + [s_var])]
+        results.extend(out4)
+
+    for k, vout in enumerate(results):
+        outs[k][:, :] = vout
+
+
+def relax_atrous_pallas(sc, dc, config, *, step_size, is_first, view_z_in,
+                        normal_roughness, history_length, diff, spec,
+                        depth_threshold, n, x, cv, material_id, diff_nwp,
+                        diff_lum_relax, nwp_sve, spec_nwp_simpl=None, ra=None, rb=None,
+                        angle0=None, f0=None, spec_lum_relax=None, jitter=None):
+    """RELAX a-trous tap loop on Pallas. Returns (diff_out or None, spec_out or None).
+
+    jitter: optional (gh, gw) int32 pair for strides > 4 (per-block random offset)."""
+    has_diff = diff is not None
+    has_spec = spec is not None
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
+
+    misc = jnp.stack([
+        jnp.asarray(sc["view_z_scale"], jnp.float32),
+        jnp.asarray(sc["ortho_mode"], jnp.float32),
+        jnp.asarray(sc["denoising_range"], jnp.float32),
+        jnp.asarray(dc["roughness_edge_stopping_relaxation"], jnp.float32),
+        jnp.asarray(dc["roughness_edge_stopping_enabled"], jnp.float32),
+        jnp.asarray(dc["diff_phi_luminance"], jnp.float32),
+        jnp.asarray(dc["spec_phi_luminance"], jnp.float32),
+        jnp.asarray(dc["diff_max_luminance_relative_difference"], jnp.float32),
+        jnp.asarray(dc["spec_max_luminance_relative_difference"], jnp.float32),
+        jnp.asarray(dc["diff_min_material"], jnp.float32),
+        jnp.asarray(dc["spec_min_material"], jnp.float32),
+        jnp.asarray(sc["rect_size"][0], jnp.float32),
+        jnp.asarray(sc["rect_size"][1], jnp.float32),
+        jnp.asarray(dc["history_threshold"], jnp.float32),
+    ])
+    scalars = jnp.concatenate([
+        jnp.asarray(sc["frustum_right"], jnp.float32),
+        jnp.asarray(sc["frustum_up"], jnp.float32),
+        jnp.asarray(sc["frustum_forward"], jnp.float32),
+        misc,
+    ])
+
+    windows = [view_z_in] + [normal_roughness[..., c] for c in range(4)]
+    if has_diff:
+        windows += [diff[..., c] for c in range(4)]
+    if has_spec:
+        windows += [spec[..., c] for c in range(4)]
+
+    centers = [depth_threshold, n[..., 0], n[..., 1], n[..., 2],
+               x[..., 0], x[..., 1], x[..., 2],
+               cv[..., 0], cv[..., 1], cv[..., 2],
+               material_id, history_length, diff_nwp, diff_lum_relax, nwp_sve]
+    if has_spec:
+        centers += [spec_nwp_simpl, ra, rb, angle0, f0, spec_lum_relax]
+
+    bsm = list(jitter) if jitter is not None else []
+    n_out = 4 * (int(has_diff) + int(has_spec))
+    outs = stencil_call(
+        functools.partial(_atrous_kernel, step_size, is_first, has_diff, has_spec,
+                          mat_occ, rough_sq),
+        windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
+        scalars=scalars, block_scalars=bsm, center_inputs=centers)
+    k = 0
+    diff_out = spec_out = None
+    if has_diff:
+        diff_out = jnp.stack(outs[k:k + 4], -1)
+        k += 4
+    if has_spec:
+        spec_out = jnp.stack(outs[k:k + 4], -1)
+    return diff_out, spec_out

@@ -247,13 +247,21 @@ class RelaxDenoiser:
         spec_cur = spec_slow
         diff_sh_cur = hc.get("diff_sh")
         spec_sh_cur = hc.get("spec_sh")
+        from ...config import use_pallas
+        pallas_ok = (use_pallas()
+                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+                     and not self.sh and cfg.rect_size == cfg.resource_size)
         for i in range(iterations):
+            # pallas taps are halo-bounded: strides above 28 px (iterations >= 6) fall
+            # back to the XLA path
+            use_p = pallas_ok and (1 << i) <= 28
             res = K.atrous(sc, dc, view_z, normal_roughness, history_length,
                            spec_conf_reproj, diff_cur, spec_cur, cfg,
                            step_size=1 << i, is_first=(i == 0),
                            is_last=(i == iterations - 1),
                            diff_confidence=diff_conf, spec_confidence=spec_conf,
-                           diff_sh=diff_sh_cur, spec_sh=spec_sh_cur, sh_mode=self.sh)
+                           diff_sh=diff_sh_cur, spec_sh=spec_sh_cur, sh_mode=self.sh,
+                           pallas=use_p)
             diff_cur = res.get("diff", diff_cur)
             spec_cur = res.get("spec", spec_cur)
             diff_sh_cur = res.get("diff_sh", diff_sh_cur)

@@ -1025,7 +1025,7 @@ _G3 = (0.44198, 0.27901)
 def atrous(sc, dc, view_z_in, normal_roughness, history_length, spec_reproj_confidence,
            diff, spec, config, *, step_size: int, is_first: bool, is_last: bool,
            diff_confidence=None, spec_confidence=None, diff_sh=None, spec_sh=None,
-           sh_mode: bool = False):
+           sh_mode: bool = False, pallas: bool = False):
     """One a-trous wavelet iteration.
 
     is_first: iteration 0 - 3x3 gaussian variance prefilter + spatial variance estimation
@@ -1086,6 +1086,48 @@ def atrous(sc, dc, view_z_in, normal_roughness, history_length, spec_reproj_conf
         dc["spec_lobe_angle_slack"])
 
     use_variance_estimation = is_first
+
+    if pallas and not sh_mode:
+        from ...kernels.relax_pallas import relax_atrous_pallas
+
+        nwp_sve = get_normal_weight_param2(jnp.ones_like(roughness),
+                                           dc["lobe_angle_fraction"])
+        jitter = None
+        if not is_first and step_size > 4:
+            from ...kernels.harness import pick_block
+
+            bh_, bw_ = pick_block(h, w, (64, 256), (32, 128))
+            gh_, gw_ = -(-h // bh_), -(-w // bw_)
+            gy = jnp.arange(gh_, dtype=jnp.int32)[:, None] * jnp.ones((1, gw_), jnp.int32)
+            gx = jnp.arange(gw_, dtype=jnp.int32)[None, :] * jnp.ones((gh_, 1), jnp.int32)
+            st = nm.hash_init((gy, gx), sc["frame_index"])
+            _, rnd = nm.hash_float2(st)
+            jit = jnp.floor(step_size * 0.5 * (rnd - 0.5)).astype(jnp.int32)
+            jitter = (jit[..., 1], jit[..., 0])
+        hl = history_length if history_length is not None else jnp.zeros_like(view_z)
+        d_out, s_out = relax_atrous_pallas(
+            sc, dc, config, step_size=step_size, is_first=is_first,
+            view_z_in=view_z_in, normal_roughness=normal_roughness,
+            history_length=hl, diff=diff, spec=spec,
+            depth_threshold=depth_threshold, n=n, x=x, cv=cv,
+            material_id=material_id, diff_nwp=diff_nwp,
+            diff_lum_relax=jnp.broadcast_to(jnp.asarray(diff_lum_relax, jnp.float32),
+                                            view_z.shape),
+            nwp_sve=nwp_sve,
+            spec_nwp_simpl=spec_nwp_simpl if spec is not None else None,
+            ra=ra if spec is not None else None,
+            rb=rb if spec is not None else None,
+            angle0=angle0 if spec is not None else None,
+            f0=f0 if spec is not None else None,
+            spec_lum_relax=jnp.broadcast_to(jnp.asarray(spec_lum_relax, jnp.float32),
+                                            view_z.shape) if spec is not None else None,
+            jitter=jitter)
+        results = {}
+        if d_out is not None:
+            results["diff"] = d_out
+        if s_out is not None:
+            results["spec"] = s_out
+        return results
 
     if is_first:
         # write-throughs for the recurrent G-buffer (AtrousSmem lines 120-141) are done by

@@ -143,3 +143,41 @@ def test_reblur_ta_pallas_matches_xla(pallas_interpret):
         corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
         assert corr > 0.98, (name, corr)
         assert np.abs(a - b).mean() < 0.05, (name, np.abs(a - b).mean())
+
+
+def _run_relax_ds(n_frames, size=(128, 96)):
+    import jax.numpy as jnp
+    from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+    gen = SceneGenerator(SceneSpec(size=size, noise=0.4), camera_mode="static")
+    eng = Engine({0: Denoiser.RELAX_DIFFUSE_SPECULAR}, resource_size=size)
+    outs = None
+    for i in range(n_frames):
+        fd = gen.frame(i)
+        eng.set_common_settings(fd.common_settings)
+        pool = {
+            RT.IN_VIEWZ: fd.view_z,
+            RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+            RT.IN_MV: fd.mv,
+            RT.IN_DIFF_RADIANCE_HITDIST: np.asarray(fe.relax_pack_radiance_hitdist(
+                jnp.asarray(fd.diff_noisy), jnp.asarray(fd.diff_hit_dist))),
+            RT.IN_SPEC_RADIANCE_HITDIST: np.asarray(fe.relax_pack_radiance_hitdist(
+                jnp.asarray(fd.spec_noisy), jnp.asarray(fd.spec_hit_dist))),
+        }
+        outs = eng.denoise([0], pool)
+    return (np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST]),
+            np.asarray(outs[RT.OUT_SPEC_RADIANCE_HITDIST]))
+
+
+def test_relax_atrous_pallas_matches_xla(pallas_interpret):
+    d_p, s_p = _run_relax_ds(3)
+    os.environ["NRDTPU_IMPL"] = "xla"
+    try:
+        d_x, s_x = _run_relax_ds(3)
+    finally:
+        os.environ["NRDTPU_IMPL"] = "pallas"
+    for a, b, name in ((d_p, d_x, "diff"), (s_p, s_x, "spec")):
+        assert np.isfinite(a).all(), name
+        corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
+        assert corr > 0.98, (name, corr)
+        assert np.abs(a[..., :3] - b[..., :3]).mean() < 0.05, name
