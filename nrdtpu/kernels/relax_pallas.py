@@ -353,3 +353,119 @@ def relax_atrous_pallas(sc, dc, config, *, step_size, is_first, view_z_in,
     if has_spec:
         spec_out = jnp.stack(outs[k:k + 4], -1)
     return diff_out, spec_out
+
+
+# ---------------------------------------------------------------------------
+# HistoryClamping 5x5 moments + AntiFirefly RCRS (static stencils)
+# ---------------------------------------------------------------------------
+
+
+def _clamp_moments_kernel(n_sig, smem, bsm, wins, centers, outs, origin):
+    valid_w = wins[0]
+    k_out = 0
+    for s_ in range(n_sig):
+        ry, rco, rcg, nr_, ng_, nb_ = wins[1 + 6 * s_: 7 + 6 * s_]
+        m1 = [None] * 3
+        m2 = [None] * 3
+        nm1 = [None] * 3
+        nm2 = None
+        wsum = None
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                w_ = valid_w.tap(dy, dx)
+                r3 = [ry.tap(dy, dx), rco.tap(dy, dx), rcg.tap(dy, dx)]
+                n3 = [nr_.tap(dy, dx), ng_.tap(dy, dx), nb_.tap(dy, dx)]
+                nl = _luma(n3[0], n3[1], n3[2])
+                for c in range(3):
+                    t1 = r3[c] * w_
+                    t2 = r3[c] * r3[c] * w_
+                    t3 = n3[c] * w_
+                    m1[c] = t1 if m1[c] is None else m1[c] + t1
+                    m2[c] = t2 if m2[c] is None else m2[c] + t2
+                    nm1[c] = t3 if nm1[c] is None else nm1[c] + t3
+                t4 = nl * nl * w_
+                nm2 = t4 if nm2 is None else nm2 + t4
+                wsum = w_ if wsum is None else wsum + w_
+        wsum = jnp.maximum(wsum, 1.0)
+        for c in range(3):
+            outs[k_out][:, :] = m1[c] / wsum; k_out += 1
+        for c in range(3):
+            outs[k_out][:, :] = m2[c] / wsum; k_out += 1
+        for c in range(3):
+            outs[k_out][:, :] = nm1[c] / wsum; k_out += 1
+        outs[k_out][:, :] = nm2 / wsum; k_out += 1
+
+
+def relax_clamp_moments_pallas(is_valid, sig_planes):
+    """5x5 validity-weighted moments for HistoryClamping (RELAX_HistoryClamping.hlsli
+    lines 95-140). sig_planes: list per signal of (resp_ycocg (h,w,3), noisy_rgb (h,w,3)).
+    Returns per signal (m1 (h,w,3), m2 (h,w,3), nm1 (h,w,3), nm2 (h,w))."""
+    windows = [is_valid]
+    for resp_y, noisy in sig_planes:
+        windows += [resp_y[..., c] for c in range(3)]
+        windows += [noisy[..., c] for c in range(3)]
+    n_sig = len(sig_planes)
+    outs = stencil_call(
+        functools.partial(_clamp_moments_kernel, n_sig), windows,
+        n_windows=len(windows), n_out=10 * n_sig, halo=(8, 128), block=BLOCK)
+    res = []
+    for s_ in range(n_sig):
+        o = outs[10 * s_: 10 * s_ + 10]
+        res.append((jnp.stack(o[0:3], -1), jnp.stack(o[3:6], -1),
+                    jnp.stack(o[6:9], -1), o[9]))
+    return res
+
+
+def _firefly_kernel(n_sig, mat_occ, smem, bsm, wins, centers, outs, origin):
+    mat_w = wins[0]
+    min_mats = [smem[0], smem[1]]
+    mat_c = mat_w.tap()
+    for s_ in range(n_sig):
+        r_, g_, b_ = wins[1 + 3 * s_: 4 + 3 * s_]
+        cr, cg, cb = r_.tap(), g_.tap(), b_.tap()
+        luma = _luma(cr, cg, cb)
+        best_max_l = jnp.full_like(luma, -1.0)
+        best_min_l = jnp.full_like(luma, 1e6)
+        bmax = [cr, cg, cb]
+        bmin = [cr, cg, cb]
+        min_mat = min_mats[s_]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                s3 = [r_.tap(dy, dx), g_.tap(dy, dx), b_.tap(dy, dx)]
+                sl = _luma(s3[0], s3[1], s3[2])
+                if mat_occ:
+                    ok = (jnp.maximum(mat_w.tap(dy, dx), min_mat)
+                          == jnp.maximum(mat_c, min_mat))
+                else:
+                    ok = jnp.ones_like(sl, bool)
+                gt = ok & (sl > best_max_l)
+                best_max_l = jnp.where(gt, sl, best_max_l)
+                bmax = [jnp.where(gt, t, b) for t, b in zip(s3, bmax)]
+                lt = ok & (sl < best_min_l)
+                best_min_l = jnp.where(lt, sl, best_min_l)
+                bmin = [jnp.where(lt, t, b) for t, b in zip(s3, bmin)]
+        hi = luma > best_max_l
+        lo = luma < best_min_l
+        for c, (cc, mx, mn) in enumerate(zip((cr, cg, cb), bmax, bmin)):
+            v = jnp.where(hi, mx, cc)
+            v = jnp.where(lo, mn, v)
+            outs[3 * s_ + c][:, :] = v
+
+
+def relax_antifirefly_pallas(sc, dc, config, material_id, sig_rgbs):
+    """Cross-bilateral RCRS (RELAX_AntiFirefly.hlsli). sig_rgbs: [(rgb, min_mat_key)...].
+    Returns list of filtered (h, w, 3)."""
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    scalars = jnp.stack([jnp.asarray(dc[k], jnp.float32)
+                         for _, k in sig_rgbs] + [jnp.float32(0.0)])
+    windows = [material_id]
+    for rgb, _ in sig_rgbs:
+        windows += [rgb[..., c] for c in range(3)]
+    n_sig = len(sig_rgbs)
+    outs = stencil_call(
+        functools.partial(_firefly_kernel, n_sig, mat_occ), windows,
+        n_windows=len(windows), n_out=3 * n_sig, halo=(8, 128), block=BLOCK,
+        scalars=scalars)
+    return [jnp.stack(outs[3 * s_: 3 * s_ + 3], -1) for s_ in range(n_sig)]

@@ -223,13 +223,18 @@ class RelaxDenoiser:
             spec_resp = jnp.where(fixmask, jnp.concatenate(
                 [spec_fix[..., :3], spec_resp[..., 3:]], -1), spec_resp)
 
+        from ...config import use_pallas
+        pallas_ok = (use_pallas()
+                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+                     and not self.sh and cfg.rect_size == cfg.resource_size)
+
         # HISTORY CLAMPING -> permanent histories
         hc = K.history_clamping(sc, dc, view_z, diff_p, spec_p,
                                 ta.get("diff"), ta.get("spec"), diff_resp, spec_resp,
                                 history_length, cfg,
                                 diff_sh=ta.get("diff_sh"), spec_sh=ta.get("spec_sh"),
                                 diff_sh_fast=ta.get("diff_sh_fast"),
-                                spec_sh_fast=ta.get("spec_sh_fast"))
+                                spec_sh_fast=ta.get("spec_sh_fast"), pallas=pallas_ok)
 
         diff_slow = hc.get("diff_slow")
         spec_slow = hc.get("spec_slow")
@@ -237,7 +242,7 @@ class RelaxDenoiser:
         # ANTI FIREFLY (RCRS on the slow history)
         if s.enableAntiFirefly:
             af_d, af_s = K.anti_firefly(sc, dc, view_z, normal_roughness,
-                                        diff_slow, spec_slow, cfg)
+                                        diff_slow, spec_slow, cfg, pallas=pallas_ok)
             diff_slow = af_d if af_d is not None else diff_slow
             spec_slow = af_s if af_s is not None else spec_slow
 
@@ -247,10 +252,6 @@ class RelaxDenoiser:
         spec_cur = spec_slow
         diff_sh_cur = hc.get("diff_sh")
         spec_sh_cur = hc.get("spec_sh")
-        from ...config import use_pallas
-        pallas_ok = (use_pallas()
-                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
-                     and not self.sh and cfg.rect_size == cfg.resource_size)
         for i in range(iterations):
             # pallas taps are halo-bounded: strides above 28 px (iterations >= 6) fall
             # back to the XLA path

@@ -863,37 +863,57 @@ def history_fix(sc, dc, view_z_in, normal_roughness, history_length, diff, spec,
 
 def history_clamping(sc, dc, view_z_in, noisy_diff, noisy_spec, diff_slow, spec_slow,
                      diff_resp, spec_resp, history_length, config,
-                     diff_sh=None, spec_sh=None, diff_sh_fast=None, spec_sh_fast=None):
+                     diff_sh=None, spec_sh=None, diff_sh_fast=None, spec_sh_fast=None,
+                     pallas: bool = False):
     """Sigma color-box clamp of slow history to responsive history + antilag
-    (acceleration + reset). Returns dict of updated histories."""
+    (acceleration + reset). Returns dict of updated histories.
+
+    pallas=True runs the 5x5 validity-weighted moments in kernels/relax_pallas;
+    everything else is elementwise."""
     view_z = unpack_view_z(sc, view_z_in)
     is_valid = (view_z < sc["denoising_range"]).astype(jnp.float32)
 
     out = {"history_length": history_length}
 
+    pallas_moments = None
+    if pallas:
+        from ...kernels.relax_pallas import relax_clamp_moments_pallas
+
+        sig_planes = []
+        if noisy_diff is not None:
+            sig_planes.append((nm.linear_to_ycocg(diff_resp[..., :3]),
+                               noisy_diff[..., :3]))
+        if noisy_spec is not None:
+            sig_planes.append((nm.linear_to_ycocg(spec_resp[..., :3]),
+                               noisy_spec[..., :3]))
+        pallas_moments = iter(relax_clamp_moments_pallas(is_valid, sig_planes))
+
     def run(noisy, slow, resp, sh, sh_fast, is_spec):
         # 5x5 moments of responsive (YCoCg) + noisy (lines 95-140)
         resp_ycocg = nm.linear_to_ycocg(resp[..., :3])
-        m1 = jnp.zeros_like(resp_ycocg)
-        m2 = jnp.zeros_like(resp_ycocg)
-        nm1 = jnp.zeros_like(resp_ycocg)
-        nm2 = jnp.zeros_like(view_z)
-        wsum = jnp.zeros_like(view_z)
-        for dy, dx in stencil.offsets_square(2):
-            w_ = stencil.shifted(is_valid, dy, dx)
-            ry = stencil.shifted(resp_ycocg, dy, dx)
-            nz = stencil.shifted(noisy[..., :3], dy, dx)
-            m1 = m1 + ry * w_[..., None]
-            m2 = m2 + ry * ry * w_[..., None]
-            nl = nm.luminance(nz)
-            nm1 = nm1 + nz * w_[..., None]
-            nm2 = nm2 + nl * nl * w_
-            wsum = wsum + w_
-        wsum = jnp.maximum(wsum, 1.0)
-        m1 = m1 / wsum[..., None]
-        m2 = m2 / wsum[..., None]
-        nm1 = nm1 / wsum[..., None]
-        nm2 = nm2 / wsum
+        if pallas_moments is not None:
+            m1, m2, nm1, nm2 = next(pallas_moments)
+        else:
+            m1 = jnp.zeros_like(resp_ycocg)
+            m2 = jnp.zeros_like(resp_ycocg)
+            nm1 = jnp.zeros_like(resp_ycocg)
+            nm2 = jnp.zeros_like(view_z)
+            wsum = jnp.zeros_like(view_z)
+            for dy, dx in stencil.offsets_square(2):
+                w_ = stencil.shifted(is_valid, dy, dx)
+                ry = stencil.shifted(resp_ycocg, dy, dx)
+                nz = stencil.shifted(noisy[..., :3], dy, dx)
+                m1 = m1 + ry * w_[..., None]
+                m2 = m2 + ry * ry * w_[..., None]
+                nl = nm.luminance(nz)
+                nm1 = nm1 + nz * w_[..., None]
+                nm2 = nm2 + nl * nl * w_
+                wsum = wsum + w_
+            wsum = jnp.maximum(wsum, 1.0)
+            m1 = m1 / wsum[..., None]
+            m2 = m2 / wsum[..., None]
+            nm1 = nm1 / wsum[..., None]
+            nm2 = nm2 / wsum
         sigma = jnp.sqrt(jnp.maximum(0.0, m2 - m1 * m1))
         cmin = m1 - dc["color_box_sigma_scale"] * sigma
         cmax = m1 + dc["color_box_sigma_scale"] * sigma
@@ -980,9 +1000,28 @@ def history_clamping(sc, dc, view_z_in, noisy_diff, noisy_spec, diff_slow, spec_
 # ---------------------------------------------------------------------------
 
 
-def anti_firefly(sc, dc, view_z_in, normal_roughness, diff, spec, config):
+def anti_firefly(sc, dc, view_z_in, normal_roughness, diff, spec, config,
+                 pallas: bool = False):
     """Replace the center with the min/max-luminance neighbor when it's an outlier."""
     n_all, _, material_id = unpack_nr(sc, normal_roughness, config)
+
+    if pallas:
+        from ...kernels.relax_pallas import relax_antifirefly_pallas
+
+        sig_rgbs = []
+        if diff is not None:
+            sig_rgbs.append((diff[..., :3], "diff_min_material"))
+        if spec is not None:
+            sig_rgbs.append((spec[..., :3], "spec_min_material"))
+        filtered = relax_antifirefly_pallas(sc, dc, config, material_id, sig_rgbs)
+        k = 0
+        diff_out = spec_out = None
+        if diff is not None:
+            diff_out = jnp.concatenate([filtered[k], diff[..., 3:]], -1)
+            k += 1
+        if spec is not None:
+            spec_out = jnp.concatenate([filtered[k], spec[..., 3:]], -1)
+        return diff_out, spec_out
 
     def run(signal, min_material):
         luma = nm.luminance(signal[..., :3])
