@@ -142,6 +142,10 @@ def stencil_call(body, images: Sequence, n_windows: int, n_out: int, *,
         window_dtypes = [None] * n_windows
     images = [img if dt is None else img.astype(dt)
               for img, dt in zip(images, window_dtypes)]
+    # weight-parameter planes are often scalars for default settings - broadcast to 2D
+    center_inputs = [c if getattr(c, "ndim", 2) == 2
+                     else jnp.broadcast_to(jnp.asarray(c), (h, w))
+                     for c in center_inputs]
 
     if nopad:
         hbm_imgs = list(images)

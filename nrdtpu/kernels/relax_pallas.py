@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from .. import math as nm
 from ..frontend import NRD_EPS
 from .harness import stencil_call
 
@@ -469,3 +470,205 @@ def relax_antifirefly_pallas(sc, dc, config, material_id, sig_rgbs):
         n_windows=len(windows), n_out=3 * n_sig, halo=(8, 128), block=BLOCK,
         scalars=scalars)
     return [jnp.stack(outs[3 * s_: 3 * s_ + 3], -1) for s_ in range(n_sig)]
+
+
+# ---------------------------------------------------------------------------
+# PrePass (RELAX_PrePass.hlsli) - Poisson spatial reuse
+# ---------------------------------------------------------------------------
+
+PRE_RADIUS_LEVELS = (1.0, 3.0, 8.0, 17.0, 32.0)
+
+
+def _pre_level_weights(radius):
+    levels = PRE_RADIUS_LEVELS
+    ws = []
+    r = jnp.clip(radius, levels[0], levels[-1])
+    for i, lv in enumerate(levels):
+        lo = levels[i - 1] if i > 0 else levels[0]
+        hi = levels[i + 1] if i + 1 < len(levels) else levels[-1]
+        up = jnp.clip((r - lo) / max(lv - lo, 1e-6), 0.0, 1.0) if i > 0 \
+            else jnp.ones_like(r)
+        dn = jnp.clip((hi - r) / max(hi - lv, 1e-6), 0.0, 1.0) \
+            if i + 1 < len(levels) else jnp.ones_like(r)
+        ws.append(up * dn)
+    return ws
+
+
+def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, origin):
+    wi = iter(wins)
+    zw = next(wi)
+    nr = [next(wi) for _ in range(4)]
+    sig = [next(wi) for _ in range(4)]
+
+    ci = iter(centers)
+    radius_r = next(ci)
+    thr_r = next(ci)          # depth_threshold * depth_threshold_scale
+    nwp_r = next(ci)
+    ha_r = next(ci)
+    hb_r = next(ci)
+    mhdw_r = next(ci)
+    hit_r = next(ci)
+    mat_r = next(ci)
+    n_c = [next(ci)[:, :] for _ in range(3)]
+    x_c = [next(ci)[:, :] for _ in range(3)]
+    if is_spec:
+        ra_r = next(ci)
+        rb_r = next(ci)
+        rough_r = next(ci)
+
+    # SMEM: dirs(16) frustum_rt/up/fwd(9) misc
+    dirs = [smem[k] for k in range(16)]
+    fr = [smem[16 + k] for k in range(9)]
+    view_z_scale = smem[25]
+    ortho = smem[26]
+    denoising_range = smem[27]
+    min_material = smem[28]
+    rect_w = smem[29]
+    rect_h = smem[30]
+
+    radius = radius_r[:, :]
+    thr = thr_r[:, :]
+    nwp = nwp_r[:, :]
+    ha = ha_r[:, :]
+    hb = hb_r[:, :]
+    mhdw = mhdw_r[:, :]
+    hit_c = hit_r[:, :]
+    mat_c = mat_r[:, :]
+    nx_, ny_, nz_ = n_c
+    xx_, xy_, xz_ = x_c
+    if is_spec:
+        ra = ra_r[:, :]
+        rb = rb_r[:, :]
+        rough_term = jnp.clip((rough_r[:, :] - 0.5) / 0.5, 0.0, 1.0)
+
+    bh, bw = radius.shape
+    inv_w = 1.0 / rect_w
+    inv_h = 1.0 / rect_h
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
+    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+
+    def world_pos(uu, vv, zz):
+        cx = uu * 2.0 - 1.0
+        cy = vv * 2.0 - 1.0
+        out = []
+        for a in range(3):
+            persp = zz * (fr[6 + a] + fr[a] * cx - fr[3 + a] * cy)
+            orth = zz * fr[6 + a] + fr[a] * cx - fr[3 + a] * cy
+            out.append(jnp.where(ortho == 0.0, persp, orth))
+        return out
+
+    lw_all = _pre_level_weights(radius)
+    gauss = [float(np.exp(-0.66 * t[2] * t[2])) for t in nm.SPECIAL_8]
+
+    acc = [sig[c].tap() for c in range(4)]
+    if is_spec:
+        acc[3] = jnp.zeros((bh, bw), jnp.float32)  # hit tracked as min, not averaged
+        min_hit = jnp.where(hit_c == 0.0, jnp.float32(65504.0 * 65504.0), hit_c)
+    wsum = jnp.ones((bh, bw), jnp.float32)
+
+    for k in range(8):
+        dir_x = dirs[2 * k]
+        dir_y = dirs[2 * k + 1]
+        for li, lv in enumerate(PRE_RADIUS_LEVELS):
+            ox = jnp.clip(jnp.round(dir_x * lv).astype(jnp.int32), -32, 32)
+            oy = jnp.clip(jnp.round(dir_y * lv).astype(jnp.int32), -32, 32)
+            us = u + ox.astype(jnp.float32) * inv_w
+            vs = v + oy.astype(jnp.float32) * inv_h
+            zs = jnp.abs(zw.tap_dyn(oy, ox)) * view_z_scale
+            n0 = nr[0].tap_dyn(oy, ox)
+            n1 = nr[1].tap_dyn(oy, ox)
+            rs_raw = nr[2].tap_dyn(oy, ox)
+            rs = rs_raw * rs_raw if rough_sq == 1 else (
+                jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
+            nsx, nsy, nsz = _decode_oct(n0, n1)
+            xsx, xsy, xsz = world_pos(us, vs, zs)
+
+            w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)).astype(jnp.float32)
+            w_ = w_ * (zs < denoising_range).astype(jnp.float32)
+            if mat_occ:
+                ms = nr[3].tap_dyn(oy, ox)
+                w_ = w_ * (jnp.maximum(mat_c, min_material)
+                           == jnp.maximum(ms, min_material)).astype(jnp.float32)
+            if is_spec:
+                w_ = w_ * _sstep10(jnp.abs(rs * ra + rb))
+            angle = _acos_approx(nx_ * nsx + ny_ * nsy + nz_ * nsz)
+            w_ = w_ * _sstep10(jnp.abs(angle * nwp))
+            pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_ + (xsz - xz_) * nz_)
+            w_ = w_ * (pd <= thr).astype(jnp.float32)
+
+            s_t = [sig[c].tap_dyn(oy, ox) for c in range(4)]
+            s_t = [jnp.where(w_ == 0.0, 0.0, st) for st in s_t]
+            y = -3.0 * jnp.abs(s_t[3] * ha + hb)
+            w_ = w_ * (mhdw + (1.0 - mhdw) * (1.0 / (y * y - y + 1.0)))
+            w_ = w_ * gauss[k] * lw_all[li]
+
+            if is_spec:
+                dx_ = xsx - xx_
+                dy_ = xsy - xy_
+                dz_ = xsz - xz_
+                d = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+                t = s_t[3] / (hit_c + d + NRD_EPS)
+                w_ = w_ * (jnp.clip(t, 0.0, 1.0)
+                           + (1.0 - jnp.clip(t, 0.0, 1.0)) * rough_term)
+                take = (w_ != 0.0) & (s_t[3] != 0.0)
+                min_hit = jnp.where(take, jnp.minimum(min_hit, s_t[3]), min_hit)
+
+            wsum = wsum + w_
+            for c in range(3):
+                acc[c] = acc[c] + s_t[c] * w_
+            if not is_spec:
+                acc[3] = acc[3] + s_t[3] * w_
+
+    for c in range(3):
+        outs[c][:, :] = acc[c] / wsum
+    if is_spec:
+        outs[3][:, :] = jnp.where(min_hit >= 65504.0 * 65504.0, 0.0, min_hit)
+    else:
+        outs[3][:, :] = acc[3] / wsum
+
+
+def relax_prepass_taps_pallas(sc, dc, config, *, is_spec, signal, view_z_in,
+                              normal_roughness, blur_radius, thr_eff, nwp, ha, hb,
+                              min_hd_weight, hit, material_id, n, x,
+                              ra=None, rb=None, roughness=None):
+    """RELAX PrePass Poisson taps on Pallas (radius-level quantized; radius capped at
+    32 px - the reference allows 50, documented divergence). Returns (h, w, 4) signal."""
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
+
+    dirs = []
+    for tap in nm.SPECIAL_8:
+        dirs.append(nm.rotate_vector2(jnp.asarray(sc["rotator_pre"]),
+                                      jnp.asarray(tap[:2])))
+    dirs = jnp.stack(dirs).reshape(-1)
+    scalars = jnp.concatenate([
+        dirs,
+        jnp.asarray(sc["frustum_right"], jnp.float32),
+        jnp.asarray(sc["frustum_up"], jnp.float32),
+        jnp.asarray(sc["frustum_forward"], jnp.float32),
+        jnp.stack([
+            jnp.asarray(sc["view_z_scale"], jnp.float32),
+            jnp.asarray(sc["ortho_mode"], jnp.float32),
+            jnp.asarray(sc["denoising_range"], jnp.float32),
+            jnp.asarray(dc["spec_min_material" if is_spec else "diff_min_material"],
+                        jnp.float32),
+            jnp.asarray(sc["rect_size"][0], jnp.float32),
+            jnp.asarray(sc["rect_size"][1], jnp.float32),
+        ]),
+    ])
+    windows = ([view_z_in] + [normal_roughness[..., c] for c in range(4)]
+               + [signal[..., c] for c in range(4)])
+    centers = [blur_radius, thr_eff, nwp, ha, hb,
+               jnp.broadcast_to(jnp.asarray(min_hd_weight, jnp.float32),
+                                view_z_in.shape),
+               hit, material_id, n[..., 0], n[..., 1], n[..., 2],
+               x[..., 0], x[..., 1], x[..., 2]]
+    if is_spec:
+        centers += [ra, rb, roughness]
+    outs = stencil_call(
+        functools.partial(_prepass_kernel, is_spec, mat_occ, rough_sq),
+        windows, n_windows=len(windows), n_out=4, halo=HALO, block=BLOCK,
+        scalars=scalars, center_inputs=centers)
+    return jnp.stack(outs, -1)

@@ -186,17 +186,23 @@ class RelaxDenoiser:
         tile_map = K.classify_tiles(sc, view_z)
         dead = K.dead_mask(sc, tile_map, view_z)
 
+        from ...config import use_pallas
+        pallas_ok = (use_pallas()
+                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+                     and not self.sh and cfg.rect_size == cfg.resource_size)
+
         if (s.hitDistanceReconstructionMode != HitDistanceReconstructionMode.OFF
                 and s.checkerboardMode == CheckerboardMode.OFF):
             radius = 2 if (s.hitDistanceReconstructionMode
                            == HitDistanceReconstructionMode.AREA_5X5) else 1
             diff_in, spec_in = RK.hit_dist_reconstruction(
-                sc, dc, view_z, normal_roughness, diff_in, spec_in, cfg, radius=radius)
+                sc, dc, view_z, normal_roughness, diff_in, spec_in, cfg, radius=radius,
+                pallas=pallas_ok)
 
         # PREPASS (always dispatched in the reference, radii gate internally)
         diff_p, spec_p, diff_sh_p, spec_sh_p = K.pre_pass(
             sc, dc, diff_in, spec_in, view_z, normal_roughness, cfg,
-            diff_sh=diff_sh_in, spec_sh=spec_sh_in)
+            diff_sh=diff_sh_in, spec_sh=spec_sh_in, pallas=pallas_ok)
 
         # TEMPORAL ACCUMULATION
         ta = K.temporal_accumulation(sc, dc, view_z, normal_roughness, mv,
@@ -222,11 +228,6 @@ class RelaxDenoiser:
             fixmask = (history_length <= dc["history_fix_frame_num"])[..., None]
             spec_resp = jnp.where(fixmask, jnp.concatenate(
                 [spec_fix[..., :3], spec_resp[..., 3:]], -1), spec_resp)
-
-        from ...config import use_pallas
-        pallas_ok = (use_pallas()
-                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
-                     and not self.sh and cfg.rect_size == cfg.resource_size)
 
         # HISTORY CLAMPING -> permanent histories
         hc = K.history_clamping(sc, dc, view_z, diff_p, spec_p,

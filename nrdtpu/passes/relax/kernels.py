@@ -136,7 +136,7 @@ def dead_mask(sc, tile_map, view_z):
 
 
 def pre_pass(sc, dc, diff, spec, view_z_in, normal_roughness, config,
-             diff_sh=None, spec_sh=None):
+             diff_sh=None, spec_sh=None, pallas: bool = False):
     """Poisson spatial reuse; specular also re-estimates min hitT. Checkerboard off.
 
     Returns (diff_out, spec_out, diff_sh_out, spec_sh_out). Any of diff/spec may be None.
@@ -186,6 +186,23 @@ def pre_pass(sc, dc, diff, spec, view_z_in, normal_roughness, config,
             min_hit = None
             radius_disabled = dc["diff_blur_radius"] <= 0.0
         blur_radius = jnp.where(hit == 0.0, jnp.maximum(blur_radius, 1.0), blur_radius)
+
+        if pallas and sh is None:
+            from ...kernels.relax_pallas import relax_prepass_taps_pallas
+
+            dts = jnp.where(sc["ortho_mode"] == 0.0, view_z, 1.0)
+            kw = {}
+            if is_spec:
+                kw = dict(ra=ra, rb=rb, roughness=roughness)
+            out = relax_prepass_taps_pallas(
+                sc, dc, config, is_spec=is_spec, signal=signal, view_z_in=view_z_in,
+                normal_roughness=normal_roughness, blur_radius=blur_radius,
+                thr_eff=dc["depth_threshold"] * dts, nwp=nwp, ha=ha, hb=hb,
+                min_hd_weight=min_hd_weight, hit=hit, material_id=material_id,
+                n=n, x=x, **kw)
+            out = jnp.where(radius_disabled, signal, out)
+            out = jnp.clip(out, 0.0, NRD_FP16_MAX)
+            return out, None
 
         acc = signal
         acc_sh = sh
