@@ -1366,3 +1366,63 @@ def moments_minmax_pallas(planes):
         functools.partial(_moments_kernel, len(planes)), list(planes),
         n_windows=len(planes), n_out=4 * len(planes), halo=(8, 128), block=BLOCK)
     return [tuple(outs[4 * p:4 * p + 4]) for p in range(len(planes))]
+
+
+def _bilinear_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
+    mvy = centers[0][:, :]
+    mvx = centers[1][:, :]
+    i, j = pl.program_id(0), pl.program_id(1)
+    base_y, base_x = bsm[0][i, j], bsm[1][i, j]
+    rect_w = smem[0]
+    rect_h = smem[1]
+    bh, bw = mvy.shape
+    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x)
+    qy = jnp.clip(qy, -1.0, 0.999)
+    qx = jnp.clip(qx, -1.0, 0.999)
+    my = qy < 0.0
+    mx = qx < 0.0
+    fy = qy - jnp.where(my, -1.0, 0.0)
+    fx = qx - jnp.where(mx, -1.0, 0.0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) \
+        + jnp.where(mx, -1.0, 0.0)
+    oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) \
+        + jnp.where(my, -1.0, 0.0)
+
+    bw00 = (1.0 - fx) * (1.0 - fy)
+    bw10 = fx * (1.0 - fy)
+    bw01 = (1.0 - fx) * fy
+    bw11 = fx * fy
+    bws = [bw00, bw10, bw01, bw11]
+    pw = []
+    for k, (i_, j_) in enumerate(_CENTER):
+        tx = ox + (i_ - 1)
+        ty = oy + (j_ - 1)
+        scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+            .astype(jnp.float32)
+        pw.append(bws[k] * scr * valid)
+    pws = pw[0] + pw[1] + pw[2] + pw[3]
+    for p in range(n_planes):
+        fp_ = FP(wins[p].shifted(base_y, base_x), my, mx)
+        acc = sum(fp_.tap(i_, j_) * pw[k] for k, (i_, j_) in enumerate(_CENTER))
+        outs[p][:, :] = jnp.where(pws < 1e-4, 0.0,
+                                  acc / jnp.where(pws < 1e-4, 1.0, pws))
+    outs[n_planes][:, :] = valid
+
+
+def bilinear_resolve(sc, planes, mv_pix_y, mv_pix_x):
+    """Plain bilinear sample of N planes at a reprojected per-pixel position
+    (replaces resample.sample_bilinear; off-screen/ out-of-budget taps excluded and
+    renormalized). Returns (resolved list, valid)."""
+    scalars = jnp.stack([jnp.asarray(sc["rect_size_prev"][0], jnp.float32),
+                         jnp.asarray(sc["rect_size_prev"][1], jnp.float32)])
+    base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
+    n = len(planes)
+    outs = stencil_call(
+        functools.partial(_bilinear_kernel, n), list(planes),
+        n_windows=n, n_out=n + 1, halo=HALO, block=BLOCK,
+        scalars=scalars, block_scalars=[base_y, base_x],
+        center_inputs=[mv_pix_y, mv_pix_x])
+    return list(outs[:n]), outs[n]

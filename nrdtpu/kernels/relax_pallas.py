@@ -672,3 +672,605 @@ def relax_prepass_taps_pallas(sc, dc, config, *, is_spec, signal, view_z_in,
         windows, n_windows=len(windows), n_out=4, halo=HALO, block=BLOCK,
         scalars=scalars, center_inputs=centers)
     return jnp.stack(outs, -1)
+
+
+# ---------------------------------------------------------------------------
+# TemporalAccumulation: surface-motion loader (RELAX_TemporalAccumulation.hlsli:30-218)
+# ---------------------------------------------------------------------------
+
+from . import reproject as _rp
+from .reblur_pallas import FP as _FP
+from .reblur_pallas import _catrom_w as _crw
+
+_CENTER4 = ((1, 1), (2, 1), (1, 2), (2, 2))
+_CORNER4 = ((0, 0), (3, 0), (0, 3), (3, 3))
+
+
+def _relax_smb_kernel(has_spec, n_hist, mat_occ, smem, bsm, wins, centers, outs,
+                      origin):
+    wi = iter(wins)
+    zp_w = next(wi)
+    mat_w = next(wi)
+    hl_w = next(wi)
+    ht_w = next(wi) if has_spec else None
+    nrp = [next(wi) for _ in range(4)]
+    hist_wins = [next(wi) for _ in range(n_hist)]
+    cnr = [next(wi), next(wi)]
+    chit_w = next(wi) if has_spec else None
+
+    ci = iter(centers)
+    mvy = next(ci)[:, :]
+    mvx = next(ci)[:, :]
+    xv_prev_z = next(ci)[:, :]
+    base_thr = next(ci)[:, :]
+    mat_c = next(ci)[:, :]
+
+    i, j = pl.program_id(0), pl.program_id(1)
+    base_y, base_x = bsm[0][i, j], bsm[1][i, j]
+
+    p2w = [smem[k] for k in range(9)]
+    min_material = smem[9]
+    rect_w = smem[10]
+    rect_h = smem[11]
+    view_z_scale = smem[12]
+
+    bh, bw = mvy.shape
+    qy, qx, valid = _rp.residual_and_validity(mvy, mvx, base_y, base_x)
+    qy = jnp.clip(qy, -1.0, 0.999)
+    qx = jnp.clip(qx, -1.0, 0.999)
+    my = qy < 0.0
+    mx = qx < 0.0
+    fy = qy - jnp.where(my, -1.0, 0.0)
+    fx = qx - jnp.where(mx, -1.0, 0.0)
+
+    # current 3x3: averaged normal (+ min spec hitT)
+    na = [jnp.zeros((bh, bw), jnp.float32) for _ in range(3)]
+    min_hit = None
+    if has_spec:
+        chit = chit_w.tap()
+        min_hit = jnp.where(chit == 0.0, jnp.float32(65504.0 * 65504.0), chit)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            ax, ay, az = _decode_oct(cnr[0].tap(dy, dx), cnr[1].tap(dy, dx))
+            na[0] = na[0] + ax
+            na[1] = na[1] + ay
+            na[2] = na[2] + az
+            if has_spec and not (dy == 0 and dx == 0):
+                t = chit_w.tap(dy, dx)
+                min_hit = jnp.minimum(min_hit,
+                                      jnp.where(t == 0.0,
+                                                jnp.float32(65504.0 * 65504.0), t))
+    na = [a / 9.0 for a in na]
+    inv_na = jax.lax.rsqrt(jnp.maximum(na[0] ** 2 + na[1] ** 2 + na[2] ** 2, 1e-15))
+    nau = [a * inv_na for a in na]
+
+    def fp(w_):
+        return _FP(w_.shifted(base_y, base_x), my, mx)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) \
+        + jnp.where(mx, -1.0, 0.0)
+    oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) \
+        + jnp.where(my, -1.0, 0.0)
+
+    def on_screen(i_, j_):
+        tx = ox + (i_ - 1)
+        ty = oy + (j_ - 1)
+        return ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+            .astype(jnp.float32)
+
+    zfp = fp(zp_w)
+    matfp = fp(mat_w)
+    occ = [[None] * 4 for _ in range(4)]
+    for j_ in range(4):
+        for i_ in range(4):
+            q = (1 if i_ >= 2 else 0) + (2 if j_ >= 2 else 0)
+            z_t = jnp.abs(zfp.tap(i_, j_)) * view_z_scale
+            thr = base_thr * on_screen(*(_CENTER4[q])) * valid - NRD_EPS
+            ok = (jnp.abs(z_t - xv_prev_z) <= thr).astype(jnp.float32)
+            if mat_occ:
+                ok = ok * (jnp.maximum(mat_c, min_material)
+                           == jnp.maximum(matfp.tap(i_, j_), min_material)) \
+                    .astype(jnp.float32)
+            occ[j_][i_] = ok
+    occ12 = sum(occ[j_][i_] for j_ in range(4) for i_ in range(4)
+                if (i_, j_) not in _CORNER4)
+    bicubic_valid = occ12 > 11.5
+    bval = [occ[j_][i_] for (i_, j_) in _CENTER4]
+
+    # prev flat normal: mean of the centre 2x2 packed taps (bilinear at frac 0.5)
+    nrfp = [fp(w_) for w_ in nrp]
+    flat = []
+    for c in range(4):
+        flat.append(0.25 * sum(nrfp[c].tap(i_, j_) for (i_, j_) in _CENTER4))
+    pn = [flat[0] * 2.0 - 1.0, flat[1] * 2.0 - 1.0, flat[2] * 2.0 - 1.0]
+    inv = jax.lax.rsqrt(jnp.maximum(pn[0] ** 2 + pn[1] ** 2 + pn[2] ** 2, 1e-15))
+    pn = [a * inv for a in pn]
+    pwx = p2w[0] * pn[0] + p2w[1] * pn[1] + p2w[2] * pn[2]
+    pwy = p2w[3] * pn[0] + p2w[4] * pn[1] + p2w[5] * pn[2]
+    pwz = p2w[6] * pn[0] + p2w[7] * pn[1] + p2w[8] * pn[2]
+    backface = (nau[0] * pwx + nau[1] * pwy + nau[2] * pwz) < 0.0
+    bval = [jnp.where(backface, 0.0, b) for b in bval]
+    bicubic_valid = jnp.logical_and(bicubic_valid, jnp.logical_not(backface))
+
+    bw00 = (1.0 - fx) * (1.0 - fy)
+    bw10 = fx * (1.0 - fy)
+    bw01 = (1.0 - fx) * fy
+    bw11 = fx * fy
+    bws = [bw00, bw10, bw01, bw11]
+    cw = [bws[k] * bval[k] for k in range(4)]
+    cwsum = cw[0] + cw[1] + cw[2] + cw[3]
+
+    def resolve_custom(fp_):
+        acc = sum(fp_.tap(i_, j_) * cw[k] for k, (i_, j_) in enumerate(_CENTER4))
+        return jnp.where(cwsum < 1e-4, 0.0, acc / jnp.where(cwsum < 1e-4, 1.0, cwsum))
+
+    hl_res = resolve_custom(fp(hl_w))
+    ht_res = resolve_custom(fp(ht_w)) if has_spec else None
+
+    wxs = _crw(fx)
+    wys = _crw(fy)
+    cat_w = {}
+    cat_wsum = jnp.zeros((bh, bw), jnp.float32)
+    for j_ in range(4):
+        for i_ in range(4):
+            if (i_, j_) in _CORNER4:
+                continue
+            w_ = wxs[i_] * wys[j_] * on_screen(i_, j_) * valid
+            cat_w[(i_, j_)] = w_
+            cat_wsum = cat_wsum + w_
+
+    hist_out = []
+    for hw_ in hist_wins:
+        fp_ = fp(hw_)
+        cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
+        cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                        cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
+        bil = resolve_custom(fp_)
+        hist_out.append(jnp.where(bicubic_valid, cat, bil))
+
+    k = 0
+    for v_ in hist_out:
+        outs[k][:, :] = v_
+        k += 1
+    outs[k][:, :] = hl_res; k += 1
+    outs[k][:, :] = bicubic_valid.astype(jnp.float32); k += 1
+    outs[k][:, :] = (bval[0] + bval[1] + bval[2] + bval[3] > 0.0) \
+        .astype(jnp.float32); k += 1
+    outs[k][:, :] = cwsum; k += 1
+    for a in nau:
+        outs[k][:, :] = a; k += 1
+    for a in na:
+        outs[k][:, :] = a; k += 1
+    if has_spec:
+        outs[k][:, :] = ht_res; k += 1
+        outs[k][:, :] = min_hit; k += 1
+
+
+def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr,
+                      material_id, cur_nr_packed, cur_spec_hit, prev_view_z, prev_mat,
+                      prev_hl, prev_ht, prev_nr_packed, hist_planes, has_spec):
+    """RELAX surface-motion loader: 4x4 occlusion, backface test, history length,
+    CatRom-with-fallback histories, current 3x3 n_avg (+ min spec hitT).
+
+    Returns dict(hist=[...], history_length, bicubic_valid, any_valid, custom_wsum,
+    n_avg_unit (h,w,3), n_avg (h,w,3)[, reflection_hit_t, min_hit])."""
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    min_material = jnp.minimum(dc["spec_min_material"], dc["diff_min_material"])
+    scalars = jnp.concatenate([
+        jnp.asarray(sc["world_prev_to_world"])[:3, :3].reshape(-1).astype(jnp.float32),
+        jnp.stack([jnp.asarray(min_material, jnp.float32),
+                   jnp.asarray(sc["rect_size_prev"][0], jnp.float32),
+                   jnp.asarray(sc["rect_size_prev"][1], jnp.float32),
+                   jnp.asarray(sc["view_z_scale"], jnp.float32)]),
+    ])
+    base_y, base_x = _rp.block_motion_base(mv_pix_y, mv_pix_x, BLOCK,
+                                           bound=(HALO[0] - 4, HALO[1] - 4))
+
+    windows = [prev_view_z, prev_mat, prev_hl]
+    if has_spec:
+        windows.append(prev_ht)
+    windows += [prev_nr_packed[..., c] for c in range(4)]
+    windows += list(hist_planes)
+    windows += [cur_nr_packed[..., 0], cur_nr_packed[..., 1]]
+    if has_spec:
+        windows.append(cur_spec_hit)
+    centers = [mv_pix_y, mv_pix_x, xv_prev_z, base_thr, material_id]
+
+    n_hist = len(hist_planes)
+    n_out = n_hist + 10 + (2 if has_spec else 0)
+    outs = stencil_call(
+        functools.partial(_relax_smb_kernel, has_spec, n_hist, mat_occ),
+        windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
+        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers)
+    res = dict(hist=list(outs[:n_hist]))
+    k = n_hist
+    res["history_length"] = outs[k]; k += 1
+    res["bicubic_valid"] = outs[k] > 0.5; k += 1
+    res["any_valid"] = outs[k] > 0.5; k += 1
+    res["custom_wsum"] = outs[k]; k += 1
+    res["n_avg_unit"] = jnp.stack(outs[k:k + 3], -1); k += 3
+    res["n_avg"] = jnp.stack(outs[k:k + 3], -1); k += 3
+    if has_spec:
+        res["reflection_hit_t"] = outs[k]; k += 1
+        res["min_hit"] = outs[k]
+    return res
+
+
+def _relax_vmb_kernel(mat_occ, smem, bsm, wins, centers, outs, origin):
+    wi = iter(wins)
+    zp_w = next(wi)
+    mat_w = next(wi)
+    ht_w = next(wi)
+    nrp = [next(wi) for _ in range(4)]
+    hists = [next(wi) for _ in range(8)]  # spec_illum(4) + spec_resp(4)
+
+    ci = iter(centers)
+    mvy = next(ci)[:, :]
+    mvx = next(ci)[:, :]
+    n_c = [next(ci)[:, :] for _ in range(3)]
+    xmd = [next(ci)[:, :] for _ in range(3)]   # x - camera_delta
+    thr_base = next(ci)[:, :]
+    mat_c = next(ci)[:, :]
+    smb_bicubic = next(ci)[:, :] > 0.5
+
+    i, j = pl.program_id(0), pl.program_id(1)
+    base_y, base_x = bsm[0][i, j], bsm[1][i, j]
+
+    fr = [smem[k] for k in range(9)]  # PREV frustum right/up/forward (world)
+    min_material = smem[9]
+    rect_w = smem[10]
+    rect_h = smem[11]
+    view_z_scale = smem[12]
+    ortho = smem[13]
+
+    bh, bw = mvy.shape
+    qy, qx, valid = _rp.residual_and_validity(mvy, mvx, base_y, base_x)
+    qy = jnp.clip(qy, -1.0, 0.999)
+    qx = jnp.clip(qx, -1.0, 0.999)
+    my = qy < 0.0
+    mx = qx < 0.0
+    fy = qy - jnp.where(my, -1.0, 0.0)
+    fx = qx - jnp.where(mx, -1.0, 0.0)
+
+    def fp(w_):
+        return _FP(w_.shifted(base_y, base_x), my, mx)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) \
+        + jnp.where(mx, -1.0, 0.0)
+    oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) \
+        + jnp.where(my, -1.0, 0.0)
+    inv_w = 1.0 / rect_w
+    inv_h = 1.0 / rect_h
+
+    def prev_world_pos(uu, vv, zz):
+        cx = uu * 2.0 - 1.0
+        cy = vv * 2.0 - 1.0
+        out = []
+        for a in range(3):
+            persp = zz * (fr[6 + a] + fr[a] * cx - fr[3 + a] * cy)
+            orth = zz * fr[6 + a] + fr[a] * cx - fr[3 + a] * cy
+            out.append(jnp.where(ortho == 0.0, persp, orth))
+        return out
+
+    zfp = fp(zp_w)
+    matfp = fp(mat_w)
+    vval = []
+    for k, (i_, j_) in enumerate(_CENTER4):
+        tx = ox + (i_ - 1)
+        ty = oy + (j_ - 1)
+        scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+            .astype(jnp.float32)
+        zp_ = jnp.abs(zfp.tap(i_, j_)) * view_z_scale
+        tap_u = (tx + 0.5) * inv_w
+        tap_v = (ty + 0.5) * inv_h
+        xpx, xpy, xpz = prev_world_pos(tap_u, tap_v, zp_)
+        pd = jnp.abs((xmd[0] - xpx) * n_c[0] + (xmd[1] - xpy) * n_c[1]
+                     + (xmd[2] - xpz) * n_c[2])
+        thr = thr_base * scr * valid - NRD_EPS
+        ok = (pd <= thr).astype(jnp.float32)
+        if mat_occ:
+            ok = ok * (jnp.maximum(mat_c, min_material)
+                       == jnp.maximum(matfp.tap(i_, j_), min_material)) \
+                .astype(jnp.float32)
+        vval.append(ok)
+
+    vany = (vval[0] + vval[1] + vval[2] + vval[3]) > 0.0
+    vall = (vval[0] * vval[1] * vval[2] * vval[3]) > 0.0
+    use_bicubic = smb_bicubic & vall
+
+    bw00 = (1.0 - fx) * (1.0 - fy)
+    bw10 = fx * (1.0 - fy)
+    bw01 = (1.0 - fx) * fy
+    bw11 = fx * fy
+    bws = [bw00, bw10, bw01, bw11]
+    cw = [bws[k] * vval[k] for k in range(4)]
+    cwsum = cw[0] + cw[1] + cw[2] + cw[3]
+
+    def resolve_custom(fp_):
+        acc = sum(fp_.tap(i_, j_) * cw[k] for k, (i_, j_) in enumerate(_CENTER4))
+        return jnp.where(cwsum < 1e-4, 0.0, acc / jnp.where(cwsum < 1e-4, 1.0, cwsum))
+
+    wxs = _crw(fx)
+    wys = _crw(fy)
+    cat_w = {}
+    cat_wsum = jnp.zeros((bh, bw), jnp.float32)
+    for j_ in range(4):
+        for i_ in range(4):
+            if (i_, j_) in _CORNER4:
+                continue
+            tx = ox + (i_ - 1)
+            ty = oy + (j_ - 1)
+            scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+                .astype(jnp.float32)
+            w_ = wxs[i_] * wys[j_] * scr * valid
+            cat_w[(i_, j_)] = w_
+            cat_wsum = cat_wsum + w_
+
+    k_out = 0
+    for hw_ in hists:
+        fp_ = fp(hw_)
+        cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
+        cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                        cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
+        bil = resolve_custom(fp_)
+        outs[k_out][:, :] = jnp.where(use_bicubic, cat, bil)
+        k_out += 1
+
+    # plain bilinear for reflection_hit_t + packed prev normal/roughness
+    pw = []
+    for k, (i_, j_) in enumerate(_CENTER4):
+        tx = ox + (i_ - 1)
+        ty = oy + (j_ - 1)
+        scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+            .astype(jnp.float32)
+        pw.append(bws[k] * scr * valid)
+    pws = pw[0] + pw[1] + pw[2] + pw[3]
+
+    def resolve_plain(fp_):
+        acc = sum(fp_.tap(i_, j_) * pw[k] for k, (i_, j_) in enumerate(_CENTER4))
+        return jnp.where(pws < 1e-4, 0.0, acc / jnp.where(pws < 1e-4, 1.0, pws))
+
+    outs[k_out][:, :] = resolve_plain(fp(ht_w)); k_out += 1
+    for c in range(4):
+        outs[k_out][:, :] = resolve_plain(fp(nrp[c])); k_out += 1
+    outs[k_out][:, :] = vany.astype(jnp.float32); k_out += 1
+    outs[k_out][:, :] = vall.astype(jnp.float32); k_out += 1
+
+
+def relax_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, n, x_minus_delta,
+                      thr_base, material_id, smb_bicubic, prev_view_z, prev_mat,
+                      prev_ht, prev_nr_packed, spec_illum_prev, spec_resp_prev):
+    """RELAX virtual-motion loader (TA lines 222-348): 2x2 plane-distance occlusion in
+    PREVIOUS camera space, CatRom spec histories, plain-bilinear hitT + packed normals.
+
+    Returns dict(spec_vmb (h,w,4), spec_vmb_resp (h,w,4), hit_t, nr_packed (h,w,4),
+    any, all)."""
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    scalars = jnp.concatenate([
+        jnp.asarray(sc["prev_frustum_right"], jnp.float32),
+        jnp.asarray(sc["prev_frustum_up"], jnp.float32),
+        jnp.asarray(sc["prev_frustum_forward"], jnp.float32),
+        jnp.stack([jnp.asarray(dc["spec_min_material"], jnp.float32),
+                   jnp.asarray(sc["rect_size_prev"][0], jnp.float32),
+                   jnp.asarray(sc["rect_size_prev"][1], jnp.float32),
+                   jnp.asarray(sc["view_z_scale"], jnp.float32),
+                   jnp.asarray(sc["ortho_mode"], jnp.float32)]),
+    ])
+    base_y, base_x = _rp.block_motion_base(mv_pix_y, mv_pix_x, BLOCK,
+                                           bound=(HALO[0] - 4, HALO[1] - 4))
+    windows = ([prev_view_z, prev_mat, prev_ht]
+               + [prev_nr_packed[..., c] for c in range(4)]
+               + [spec_illum_prev[..., c] for c in range(4)]
+               + [spec_resp_prev[..., c] for c in range(4)])
+    centers = [mv_pix_y, mv_pix_x, n[..., 0], n[..., 1], n[..., 2],
+               x_minus_delta[..., 0], x_minus_delta[..., 1], x_minus_delta[..., 2],
+               thr_base, material_id, smb_bicubic.astype(jnp.float32)]
+    outs = stencil_call(
+        functools.partial(_relax_vmb_kernel, mat_occ),
+        windows, n_windows=len(windows), n_out=15, halo=HALO, block=BLOCK,
+        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers)
+    return dict(spec_vmb=jnp.stack(outs[0:4], -1),
+                spec_vmb_resp=jnp.stack(outs[4:8], -1),
+                hit_t=outs[8], nr_packed=jnp.stack(outs[9:13], -1),
+                any=outs[13] > 0.5, all=outs[14] > 0.5)
+
+
+# ---------------------------------------------------------------------------
+# HistoryFix (RELAX_HistoryFix.hlsli) - sparse 5x5 cross-bilateral at per-pixel stride
+# ---------------------------------------------------------------------------
+
+HF_STRIDE_LEVELS = (1.0, 2.0, 4.0, 8.0, 14.0)
+
+
+def _hf_stride_weights(stride):
+    levels = HF_STRIDE_LEVELS
+    ws = []
+    r = jnp.clip(stride, levels[0], levels[-1])
+    for i, lv in enumerate(levels):
+        lo = levels[i - 1] if i > 0 else levels[0]
+        hi = levels[i + 1] if i + 1 < len(levels) else levels[-1]
+        up = jnp.clip((r - lo) / max(lv - lo, 1e-6), 0.0, 1.0) if i > 0 \
+            else jnp.ones_like(r)
+        dn = jnp.clip((hi - r) / max(hi - lv, 1e-6), 0.0, 1.0) \
+            if i + 1 < len(levels) else jnp.ones_like(r)
+        ws.append(up * dn)
+    return ws
+
+
+def _relax_hfix_kernel(has_diff, has_spec, mat_occ, smem, bsm, wins, centers, outs,
+                       origin):
+    wi = iter(wins)
+    zw = next(wi)
+    nr = [next(wi) for _ in range(4)]
+    dsig = [next(wi) for _ in range(4)] if has_diff else None
+    ssig = [next(wi) for _ in range(4)] if has_spec else None
+
+    ci = iter(centers)
+    stride_r = next(ci)
+    thr_r = next(ci)
+    n_c = [next(ci)[:, :] for _ in range(3)]
+    x_c = [next(ci)[:, :] for _ in range(3)]
+    cv_c = [next(ci)[:, :] for _ in range(3)]
+    mat_c = next(ci)[:, :]
+    if has_spec:
+        angle0 = next(ci)[:, :]
+        f0 = next(ci)[:, :]
+
+    fr = [smem[k] for k in range(9)]
+    view_z_scale = smem[9]
+    ortho = smem[10]
+    norm_power = smem[11]
+    rough_relax = smem[12]
+    min_mat_d = smem[13]
+    min_mat_s = smem[14]
+    rect_w = smem[15]
+    rect_h = smem[16]
+
+    stride = stride_r[:, :]
+    thr = thr_r[:, :]
+    nx_, ny_, nz_ = n_c
+    xx_, xy_, xz_ = x_c
+    cvx, cvy, cvz = cv_c
+
+    bh, bw = stride.shape
+    inv_w = 1.0 / rect_w
+    inv_h = 1.0 / rect_h
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
+    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+
+    def world_pos(uu, vv, zz):
+        cx = uu * 2.0 - 1.0
+        cy = vv * 2.0 - 1.0
+        out = []
+        for a in range(3):
+            persp = zz * (fr[6 + a] + fr[a] * cx - fr[3 + a] * cy)
+            orth = zz * fr[6 + a] + fr[a] * cx - fr[3 + a] * cy
+            out.append(jnp.where(ortho == 0.0, persp, orth))
+        return out
+
+    lw_all = _hf_stride_weights(stride)
+
+    d_acc = [dsig[c].tap() for c in range(4)] if has_diff else None
+    s_acc = [ssig[c].tap() for c in range(4)] if has_spec else None
+    d_wsum = jnp.ones((bh, bw), jnp.float32)
+    s_wsum = jnp.ones((bh, bw), jnp.float32)
+
+    for li, lv in enumerate(HF_STRIDE_LEVELS):
+        for j_ in range(-2, 3):
+            for i_ in range(-2, 3):
+                if i_ == 0 and j_ == 0:
+                    continue
+                ox = max(-28, min(28, int(round(i_ * lv))))
+                oy = max(-28, min(28, int(round(j_ * lv))))
+                us = u + ox * inv_w
+                vs = v + oy * inv_h
+                inside = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)) \
+                    .astype(jnp.float32)
+                zs = jnp.abs(zw.tap(oy, ox)) * view_z_scale
+                n0 = nr[0].tap(oy, ox)
+                n1 = nr[1].tap(oy, ox)
+                nsx, nsy, nsz = _decode_oct(n0, n1)
+                xsx, xsy, xsz = world_pos(us, vs, zs)
+                pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_
+                             + (xsz - xz_) * nz_)
+                gw = (pd < thr).astype(jnp.float32) * lw_all[li]
+                ndn = nx_ * nsx + ny_ * nsy + nz_ * nsz
+                if has_diff:
+                    dw = gw * jnp.exp(jnp.log(jnp.maximum(0.01, ndn))
+                                      * jnp.maximum(norm_power, 0.01))
+                    dw = dw * inside
+                    if mat_occ:
+                        ms = nr[3].tap(oy, ox)
+                        dw = dw * (jnp.maximum(ms, min_mat_d)
+                                   == jnp.maximum(mat_c, min_mat_d)) \
+                            .astype(jnp.float32)
+                    keep = dw > 1e-4
+                    for c in range(4):
+                        s_t = dsig[c].tap(oy, ox)
+                        d_acc[c] = d_acc[c] + jnp.where(keep, s_t * dw, 0.0)
+                    d_wsum = d_wsum + jnp.where(keep, dw, 0.0)
+                if has_spec:
+                    tx = xsx + rough_relax * xx_
+                    ty = xsy + rough_relax * xy_
+                    tz = xsz + rough_relax * xz_
+                    inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz,
+                                                    1e-15))
+                    svx, svy, svz = -tx * inv, -ty * inv, -tz * inv
+                    cosa = jnp.minimum(ndn, cvx * svx + cvy * svy + cvz * svz)
+                    a_ = _smoothstep(0.0, angle0, _acos_approx(cosa))
+                    sw_ = gw * jnp.clip(1.0 - a_ * f0, 0.0, 1.0)
+                    sw_ = sw_ * inside
+                    if mat_occ:
+                        ms = nr[3].tap(oy, ox)
+                        sw_ = sw_ * (jnp.maximum(ms, min_mat_s)
+                                     == jnp.maximum(mat_c, min_mat_s)) \
+                            .astype(jnp.float32)
+                    keep = sw_ > 1e-4
+                    for c in range(4):
+                        s_t = ssig[c].tap(oy, ox)
+                        s_acc[c] = s_acc[c] + jnp.where(keep, s_t * sw_, 0.0)
+                    s_wsum = s_wsum + jnp.where(keep, sw_, 0.0)
+
+    k = 0
+    if has_diff:
+        for c in range(4):
+            outs[k][:, :] = d_acc[c] / d_wsum
+            k += 1
+    if has_spec:
+        for c in range(4):
+            outs[k][:, :] = s_acc[c] / s_wsum
+            k += 1
+
+
+def relax_history_fix_pallas(sc, dc, config, *, stride, thr_eff, n, x, cv, material_id,
+                             view_z_in, normal_roughness, diff, spec, angle0=None,
+                             f0=None):
+    """RELAX HistoryFix sparse 5x5 taps on Pallas; per-pixel stride via HF_STRIDE_LEVELS
+    hat blending (documented divergence vs continuous stride)."""
+    has_diff = diff is not None
+    has_spec = spec is not None
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    scalars = jnp.concatenate([
+        jnp.asarray(sc["frustum_right"], jnp.float32),
+        jnp.asarray(sc["frustum_up"], jnp.float32),
+        jnp.asarray(sc["frustum_forward"], jnp.float32),
+        jnp.stack([
+            jnp.asarray(sc["view_z_scale"], jnp.float32),
+            jnp.asarray(sc["ortho_mode"], jnp.float32),
+            jnp.asarray(dc["history_fix_edge_stopping_normal_power"], jnp.float32),
+            jnp.asarray(dc["roughness_edge_stopping_relaxation"], jnp.float32),
+            jnp.asarray(dc["diff_min_material"], jnp.float32),
+            jnp.asarray(dc["spec_min_material"], jnp.float32),
+            jnp.asarray(sc["rect_size"][0], jnp.float32),
+            jnp.asarray(sc["rect_size"][1], jnp.float32),
+        ]),
+    ])
+    windows = [view_z_in] + [normal_roughness[..., c] for c in range(4)]
+    if has_diff:
+        windows += [diff[..., c] for c in range(4)]
+    if has_spec:
+        windows += [spec[..., c] for c in range(4)]
+    centers = [stride, thr_eff, n[..., 0], n[..., 1], n[..., 2],
+               x[..., 0], x[..., 1], x[..., 2],
+               cv[..., 0], cv[..., 1], cv[..., 2], material_id]
+    if has_spec:
+        centers += [angle0, f0]
+    n_out = 4 * (int(has_diff) + int(has_spec))
+    outs = stencil_call(
+        functools.partial(_relax_hfix_kernel, has_diff, has_spec, mat_occ),
+        windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
+        scalars=scalars, center_inputs=centers)
+    k = 0
+    d_out = s_out = None
+    if has_diff:
+        d_out = jnp.stack(outs[k:k + 4], -1)
+        k += 4
+    if has_spec:
+        s_out = jnp.stack(outs[k:k + 4], -1)
+    return d_out, s_out

@@ -208,7 +208,8 @@ class RelaxDenoiser:
         ta = K.temporal_accumulation(sc, dc, view_z, normal_roughness, mv,
                                      diff_p, spec_p, state, cfg,
                                      diff_confidence=diff_conf, spec_confidence=spec_conf,
-                                     dt_mix=dt_mix, diff_sh=diff_sh_p, spec_sh=spec_sh_p)
+                                     dt_mix=dt_mix, diff_sh=diff_sh_p, spec_sh=spec_sh_p,
+                                     pallas=pallas_ok)
         history_length = ta["history_length"]
         spec_conf_reproj = ta.get("spec_reprojection_confidence")
 
@@ -216,7 +217,7 @@ class RelaxDenoiser:
         diff_fix, spec_fix, diff_sh_fix, spec_sh_fix = K.history_fix(
             sc, dc, view_z, normal_roughness, history_length,
             ta.get("diff"), ta.get("spec"), cfg,
-            diff_sh=ta.get("diff_sh"), spec_sh=ta.get("spec_sh"))
+            diff_sh=ta.get("diff_sh"), spec_sh=ta.get("spec_sh"), pallas=pallas_ok)
         diff_resp = ta.get("diff_fast")
         spec_resp = ta.get("spec_fast")
         # the reference applies the fix to the RESPONSIVE (pong) buffers

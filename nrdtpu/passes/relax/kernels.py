@@ -18,6 +18,7 @@ from ... import frontend as fe
 from ... import math as nm
 from ...frontend import NRD_EPS, NRD_FP16_MAX, NRD_INF
 from ...ops import resample, stencil, tiles
+from ..reblur.kernels import uv_to_mv_pix as _uv2mv
 
 RELAX_NORMAL_ULP = 1.5 / 255.0
 RELAX_MAX_ACCUM_FRAME_NUM = 255.0
@@ -291,7 +292,8 @@ def _bicubic_or_bilinear(img, sample_pos, use_bicubic, custom_weights):
 
 def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec,
                           state, config, diff_confidence=None, spec_confidence=None,
-                          dt_mix=None, diff_sh=None, spec_sh=None):
+                          dt_mix=None, diff_sh=None, spec_sh=None,
+                          pallas: bool = False):
     """Port of the RELAX TA. Returns a dict of outputs.
 
     state planes: diff/spec_illum_prev (slow rgb+m2), diff/spec_responsive_prev,
@@ -327,20 +329,21 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
     uv_smb = jnp.where(is_world_mv, uv_smb_world, uv_smb_screen)
 
     # 3x3: min spec hitT + averaged normal (lines 432-453)
-    n_avg = jnp.zeros_like(n)
-    if has_spec:
-        hit_src = spec[..., 3]
-        min_hit = jnp.where(hit_src == 0.0, NRD_INF, hit_src)
-    for dy, dx in stencil.offsets_square(1):
-        ns, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, dy, dx), config)
-        n_avg = n_avg + ns
-        if has_spec and not (dy == 0 and dx == 0):
-            t = stencil.shifted(hit_src, dy, dx)
-            min_hit = jnp.minimum(min_hit, jnp.where(t == 0.0, NRD_INF, t))
-    n_avg = n_avg / 9.0
-    n_avg_unit = nm.normalize(n_avg)
+    if not pallas:
+        n_avg = jnp.zeros_like(n)
+        if has_spec:
+            hit_src = spec[..., 3]
+            min_hit = jnp.where(hit_src == 0.0, NRD_INF, hit_src)
+        for dy, dx in stencil.offsets_square(1):
+            ns, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, dy, dx), config)
+            n_avg = n_avg + ns
+            if has_spec and not (dy == 0 and dx == 0):
+                t = stencil.shifted(hit_src, dy, dx)
+                min_hit = jnp.minimum(min_hit, jnp.where(t == 0.0, NRD_INF, t))
+        n_avg = n_avg / 9.0
+        n_avg_unit = nm.normalize(n_avg)
 
-    if has_spec:
+    if has_spec and not pallas:
         roughness_modified = jnp.sqrt(nm.saturate(
             roughness * roughness + nm.saturate(1.0 - nm.length(n_avg) ** 2)
             / jnp.maximum(nm.length(n_avg) * (3.0 - nm.length(n_avg) ** 2), 1e-15)))
@@ -373,63 +376,116 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
     slope_scale = 1.0 / nm.lerp(nm.lerp(0.05, 1.0, nov), 1.0,
                                 nm.saturate(parallax_max / 30.0))
     base_thr = nm.saturate(disocclusion_threshold * slope_scale) * frustum_size
-    in_screen4 = resample.is_in_screen_bilinear(bilinear_origin, sc["rect_size_prev"])
-    quad_thr = [base_thr * in_screen4[..., q] - NRD_EPS for q in range(4)]
 
-    z_taps = [[None] * 4 for _ in range(4)]
-    mat_taps = [[None] * 4 for _ in range(4)]
-    x0 = bilinear_origin[..., 0].astype(jnp.int32) - 1
-    y0 = bilinear_origin[..., 1].astype(jnp.int32) - 1
-    for j in range(4):
-        for i in range(4):
-            z_taps[j][i] = unpack_view_z(sc, resample.texel_fetch(state["view_z_prev"],
-                                                                  x0 + i, y0 + j))
-            mat_taps[j][i] = resample.texel_fetch(state["material_id_prev"], x0 + i, y0 + j)
+    xv_prev_z_p = (x_prev @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2]
+    smb_bundle = None
+    if pallas:
+        from ...kernels.relax_pallas import relax_smb_resolve
 
-    xv_prev_z = (x_prev @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2]
-    CORNERS = ((0, 0), (3, 0), (0, 3), (3, 3))
-    min_material = jnp.minimum(dc["spec_min_material"], dc["diff_min_material"])
-    occ = [[None] * 4 for _ in range(4)]
-    for j in range(4):
-        for i in range(4):
-            q = (1 if i >= 2 else 0) + (2 if j >= 2 else 0)
-            ok = (jnp.abs(z_taps[j][i] - xv_prev_z) <= quad_thr[q]).astype(jnp.float32)
-            if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
-                ok = ok * (jnp.maximum(material_id, min_material)
-                           == jnp.maximum(mat_taps[j][i], min_material)).astype(jnp.float32)
-            occ[j][i] = ok
-    occ12 = sum(occ[j][i] for j in range(4) for i in range(4) if (i, j) not in CORNERS)
-    bicubic_valid = (occ12 > 11.5).astype(jnp.float32)
-    bilinear_valid = jnp.stack([occ[1][1], occ[1][2], occ[2][1], occ[2][2]], -1)
+        smb_mvy, smb_mvx = _uv2mv(uv_smb, h, w, sc["rect_size_prev"])
+        hist_planes = []
+        if has_diff:
+            hist_planes += [state["diff_illum_prev"][..., c] for c in range(4)]
+            hist_planes += [state["diff_responsive_prev"][..., c] for c in range(4)]
+        if has_spec:
+            hist_planes += [state["spec_illum_prev"][..., c] for c in range(4)]
+            hist_planes += [state["spec_responsive_prev"][..., c] for c in range(4)]
+        smb_bundle = relax_smb_resolve(
+            sc, dc, config, mv_pix_y=smb_mvy, mv_pix_x=smb_mvx,
+            xv_prev_z=xv_prev_z_p, base_thr=base_thr, material_id=material_id,
+            cur_nr_packed=normal_roughness,
+            cur_spec_hit=spec[..., 3] if has_spec else None,
+            prev_view_z=state["view_z_prev"], prev_mat=state["material_id_prev"],
+            prev_hl=state["history_length"],
+            prev_ht=state.get("reflection_hit_t"),
+            prev_nr_packed=state["normal_roughness_prev"],
+            hist_planes=hist_planes, has_spec=has_spec)
+        n_avg = smb_bundle["n_avg"]
+        n_avg_unit = smb_bundle["n_avg_unit"]
+        if has_spec:
+            min_hit = smb_bundle["min_hit"]
+            roughness_modified = jnp.sqrt(nm.saturate(
+                roughness * roughness + nm.saturate(1.0 - nm.length(n_avg) ** 2)
+                / jnp.maximum(nm.length(n_avg) * (3.0 - nm.length(n_avg) ** 2),
+                              1e-15)))
+        use_bicubic = smb_bundle["bicubic_valid"]
+        any_valid = smb_bundle["any_valid"]
+        sample_pos = uv_smb * rect_prev
+        custom_w = None
+        smb_found = jnp.where(any_valid, jnp.where(use_bicubic, 2.0, 1.0), 0.0)
+        footprint_quality = jnp.where(use_bicubic, 1.0, smb_bundle["custom_wsum"])
+        footprint_quality = jnp.where(any_valid, footprint_quality, 0.0)
+    if pallas:
+        history_length = jnp.minimum(smb_bundle["history_length"] + 1.0,
+                                     RELAX_MAX_ACCUM_FRAME_NUM)
+        x0 = y0 = None
+        out = {}
+    else:
+        in_screen4 = resample.is_in_screen_bilinear(bilinear_origin,
+                                                    sc["rect_size_prev"])
+        quad_thr = [base_thr * in_screen4[..., q] - NRD_EPS for q in range(4)]
 
-    # prev flat normal via bilinear at footprint center (lines 124-135)
-    center_uv = (bilinear_origin + 1.0) / sc["resource_size"][None, None, :] \
-        if "resource_size" in sc else (bilinear_origin + 1.0) / rect_prev
-    prev_nr_bilin = resample.sample_bilinear(state["normal_roughness_prev"], center_uv)
-    prev_normal_flat, _ = unpack_prev_normal_roughness(prev_nr_bilin)
-    prev_normal_flat = prev_normal_flat @ jnp.asarray(sc["world_prev_to_world"])[:3, :3].T
-    backface = nm.dot(n_avg_unit, prev_normal_flat) < 0.0
-    bilinear_valid = jnp.where(backface[..., None], 0.0, bilinear_valid)
-    bicubic_valid = jnp.where(backface, 0.0, bicubic_valid)
+        z_taps = [[None] * 4 for _ in range(4)]
+        mat_taps = [[None] * 4 for _ in range(4)]
+        x0 = bilinear_origin[..., 0].astype(jnp.int32) - 1
+        y0 = bilinear_origin[..., 1].astype(jnp.int32) - 1
+        for j in range(4):
+            for i in range(4):
+                z_taps[j][i] = unpack_view_z(
+                    sc, resample.texel_fetch(state["view_z_prev"], x0 + i, y0 + j))
+                mat_taps[j][i] = resample.texel_fetch(state["material_id_prev"],
+                                                      x0 + i, y0 + j)
 
-    custom_w = nm.get_bilinear_custom_weights(bilinear_frac, bilinear_valid)
-    use_bicubic = bicubic_valid > 0.0
-    sample_pos = uv_smb * rect_prev
+        xv_prev_z = xv_prev_z_p
+        CORNERS = ((0, 0), (3, 0), (0, 3), (3, 3))
+        min_material = jnp.minimum(dc["spec_min_material"], dc["diff_min_material"])
+        occ = [[None] * 4 for _ in range(4)]
+        for j in range(4):
+            for i in range(4):
+                q = (1 if i >= 2 else 0) + (2 if j >= 2 else 0)
+                ok = (jnp.abs(z_taps[j][i] - xv_prev_z)
+                      <= quad_thr[q]).astype(jnp.float32)
+                if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+                    ok = ok * (jnp.maximum(material_id, min_material)
+                               == jnp.maximum(mat_taps[j][i],
+                                              min_material)).astype(jnp.float32)
+                occ[j][i] = ok
+        occ12 = sum(occ[j][i] for j in range(4) for i in range(4)
+                    if (i, j) not in CORNERS)
+        bicubic_valid = (occ12 > 11.5).astype(jnp.float32)
+        bilinear_valid = jnp.stack([occ[1][1], occ[1][2], occ[2][1], occ[2][2]], -1)
 
-    any_valid = jnp.any(bilinear_valid > 0.0, -1)
-    smb_found = jnp.where(any_valid, jnp.where(use_bicubic, 2.0, 1.0), 0.0)
-    footprint_quality = jnp.where(use_bicubic, 1.0, jnp.sum(custom_w, -1))
-    footprint_quality = jnp.where(any_valid, footprint_quality, 0.0)
+        # prev flat normal via bilinear at footprint center (lines 124-135)
+        center_uv = (bilinear_origin + 1.0) / sc["resource_size"][None, None, :] \
+            if "resource_size" in sc else (bilinear_origin + 1.0) / rect_prev
+        prev_nr_bilin = resample.sample_bilinear(state["normal_roughness_prev"],
+                                                 center_uv)
+        prev_normal_flat, _ = unpack_prev_normal_roughness(prev_nr_bilin)
+        prev_normal_flat = prev_normal_flat @ jnp.asarray(
+            sc["world_prev_to_world"])[:3, :3].T
+        backface = nm.dot(n_avg_unit, prev_normal_flat) < 0.0
+        bilinear_valid = jnp.where(backface[..., None], 0.0, bilinear_valid)
+        bicubic_valid = jnp.where(backface, 0.0, bicubic_valid)
 
-    out = {}
+        custom_w = nm.get_bilinear_custom_weights(bilinear_frac, bilinear_valid)
+        use_bicubic = bicubic_valid > 0.0
+        sample_pos = uv_smb * rect_prev
 
-    # history length (lines 191-199)
-    len_taps = [resample.texel_fetch(state["history_length"], x0 + 1 + dx, y0 + 1 + dy)
-                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))]
-    history_length = nm.apply_bilinear_custom_weights(
-        len_taps[0][..., None], len_taps[1][..., None], len_taps[2][..., None],
-        len_taps[3][..., None], custom_w)[..., 0]
-    history_length = jnp.minimum(history_length + 1.0, RELAX_MAX_ACCUM_FRAME_NUM)
+        any_valid = jnp.any(bilinear_valid > 0.0, -1)
+        smb_found = jnp.where(any_valid, jnp.where(use_bicubic, 2.0, 1.0), 0.0)
+        footprint_quality = jnp.where(use_bicubic, 1.0, jnp.sum(custom_w, -1))
+        footprint_quality = jnp.where(any_valid, footprint_quality, 0.0)
+
+        out = {}
+
+        # history length (lines 191-199)
+        len_taps = [resample.texel_fetch(state["history_length"],
+                                         x0 + 1 + dx, y0 + 1 + dy)
+                    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))]
+        history_length = nm.apply_bilinear_custom_weights(
+            len_taps[0][..., None], len_taps[1][..., None], len_taps[2][..., None],
+            len_taps[3][..., None], custom_w)[..., 0]
+        history_length = jnp.minimum(history_length + 1.0, RELAX_MAX_ACCUM_FRAME_NUM)
 
     # footprint quality refinements (lines 547-562)
     v_prev = jnp.where(sc["ortho_mode"] == 0.0,
@@ -456,11 +512,15 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
         if diff_confidence is not None:
             dmax = dmax * diff_confidence
             dmax_fast = dmax_fast * diff_confidence
-        prev_diff = _bicubic_or_bilinear(state["diff_illum_prev"], sample_pos,
-                                         use_bicubic, custom_w)
+        if pallas:
+            prev_diff = jnp.stack(smb_bundle["hist"][0:4], -1)
+            prev_diff_resp = jnp.stack(smb_bundle["hist"][4:8], -1)
+        else:
+            prev_diff = _bicubic_or_bilinear(state["diff_illum_prev"], sample_pos,
+                                             use_bicubic, custom_w)
+            prev_diff_resp = _bicubic_or_bilinear(state["diff_responsive_prev"],
+                                                  sample_pos, use_bicubic, custom_w)
         prev_diff = jnp.maximum(prev_diff, 0.0)
-        prev_diff_resp = _bicubic_or_bilinear(state["diff_responsive_prev"], sample_pos,
-                                              use_bicubic, custom_w)
         prev_diff_resp = jnp.maximum(prev_diff_resp, 0.0)
         found = smb_found > 0.0
         alpha = jnp.where(found, jnp.maximum(1.0 / (dmax + 1.0), 1.0 / history_length), 1.0)
@@ -522,15 +582,27 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
         dulf = parallax_min * (1.0 + sc["framerate_scale"] * bayer)
         motion_uv_high = (jnp.floor((uv + dulf[..., None] * delta_uv * rect_inv) * rect)
                           + 0.5) / rect
-        z_high = unpack_view_z(sc, resample.sample_nearest(view_z_in, motion_uv_high))
+        if pallas:
+            from ...kernels.reblur_pallas import nearest_resolve
+
+            hmvy, hmvx = _uv2mv(motion_uv_high, h, w,
+                                jnp.asarray([w, h], jnp.float32))
+            (zh_raw, nh0, nh1), high_valid = nearest_resolve(
+                [view_z_in, normal_roughness[..., 0], normal_roughness[..., 1]],
+                hmvy, hmvx)
+            z_high = unpack_view_z(sc, zh_raw)
+            n_high = nm.decode_unit_vector(jnp.stack([nh0, nh1], -1), signed=False)
+            in_screen_high = resample.is_in_screen_nearest(motion_uv_high) * high_valid
+        else:
+            z_high = unpack_view_z(sc, resample.sample_nearest(view_z_in,
+                                                               motion_uv_high))
+            n_high, _, _ = unpack_nr(sc, resample.sample_nearest(normal_roughness,
+                                                                 motion_uv_high), config)
+            in_screen_high = resample.is_in_screen_nearest(motion_uv_high)
         x_high = world_pos_from_uv(sc, motion_uv_high, z_high)
-        n_high, _, _ = unpack_nr(sc, resample.sample_nearest(normal_roughness,
-                                                             motion_uv_high), config)
         z_err = jnp.abs(z_high - view_z) / jnp.maximum(jnp.maximum(z_high, view_z), 1e-15)
         rep = jnp.logical_and(z_err < NRD_CURVATURE_Z_THRESHOLD,
-                              jnp.logical_and(dulf > 1.0,
-                                              resample.is_in_screen_nearest(motion_uv_high)
-                                              > 0.0))
+                              jnp.logical_and(dulf > 1.0, in_screen_high > 0.0))
         x_edge = jnp.where(rep[..., None], x_high, x_edge)
         n_edge = jnp.where(rep[..., None], n_high, n_edge)
         edge = x_edge - x
@@ -551,48 +623,76 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
         x_minus_delta = x - cam_delta
         vmb_thr_base = disocclusion_threshold * jnp.where(sc["ortho_mode"] == 0.0,
                                                           view_z, 1.0)
-        in_screen_vmb = resample.is_in_screen_bilinear(vmb_origin, sc["rect_size_prev"])
-        vmb_valid = []
-        vx0 = vmb_origin[..., 0].astype(jnp.int32)
-        vy0 = vmb_origin[..., 1].astype(jnp.int32)
-        uv_grid_prev = None
-        for tap_idx, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            zp = unpack_view_z(sc, resample.texel_fetch(state["view_z_prev"],
-                                                        vx0 + dx, vy0 + dy))
-            tap_uv = (jnp.stack([(vx0 + dx).astype(jnp.float32),
-                                 (vy0 + dy).astype(jnp.float32)], -1) + 0.5) / rect_prev
-            xp = world_pos_from_uv(sc, tap_uv, zp, prev=True)
-            thr = vmb_thr_base * in_screen_vmb[..., tap_idx] - NRD_EPS
-            ok = (jnp.abs(nm.dot(x_minus_delta - xp, n)) <= thr).astype(jnp.float32)
-            mp = resample.texel_fetch(state["material_id_prev"], vx0 + dx, vy0 + dy)
-            if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
-                ok = ok * (jnp.maximum(material_id, dc["spec_min_material"])
-                           == jnp.maximum(mp, dc["spec_min_material"])).astype(jnp.float32)
-            vmb_valid.append(ok)
-        vmb_valid4 = jnp.stack(vmb_valid, -1)
-        vmb_any = jnp.any(vmb_valid4 > 0.0, -1)
-        vmb_all = jnp.all(vmb_valid4 > 0.0, -1)
-        vmb_found = vmb_all.astype(jnp.float32)
+        if pallas:
+            from ...kernels.relax_pallas import relax_vmb_resolve
 
-        vmb_custom_w = nm.get_bilinear_custom_weights(vmb_frac, vmb_valid4)
-        vmb_use_bicubic = jnp.logical_and(use_bicubic, vmb_all)
-        vmb_sample_pos = uv_vmb * rect_prev
+            vmvy, vmvx = _uv2mv(uv_vmb, h, w, sc["rect_size_prev"])
+            vmb_bundle = relax_vmb_resolve(
+                sc, dc, config, mv_pix_y=vmvy, mv_pix_x=vmvx, n=n,
+                x_minus_delta=x_minus_delta, thr_base=vmb_thr_base,
+                material_id=material_id, smb_bicubic=use_bicubic,
+                prev_view_z=state["view_z_prev"], prev_mat=state["material_id_prev"],
+                prev_ht=state["reflection_hit_t"],
+                prev_nr_packed=state["normal_roughness_prev"],
+                spec_illum_prev=state["spec_illum_prev"],
+                spec_resp_prev=state["spec_responsive_prev"])
+            vmb_any = vmb_bundle["any"]
+            vmb_all = vmb_bundle["all"]
+            vmb_found = vmb_all.astype(jnp.float32)
+            prev_spec_vmb = jnp.maximum(vmb_bundle["spec_vmb"], 0.0)
+            prev_spec_vmb_resp = jnp.maximum(vmb_bundle["spec_vmb_resp"], 0.0)
+            prev_hit_t_vmb = jnp.maximum(0.001, vmb_bundle["hit_t"])
+            prev_normal_vmb, prev_roughness_vmb = unpack_prev_normal_roughness(
+                vmb_bundle["nr_packed"])
+        else:
+            in_screen_vmb = resample.is_in_screen_bilinear(vmb_origin,
+                                                           sc["rect_size_prev"])
+            vmb_valid = []
+            vx0 = vmb_origin[..., 0].astype(jnp.int32)
+            vy0 = vmb_origin[..., 1].astype(jnp.int32)
+            uv_grid_prev = None
+            for tap_idx, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                zp = unpack_view_z(sc, resample.texel_fetch(state["view_z_prev"],
+                                                            vx0 + dx, vy0 + dy))
+                tap_uv = (jnp.stack([(vx0 + dx).astype(jnp.float32),
+                                     (vy0 + dy).astype(jnp.float32)], -1)
+                          + 0.5) / rect_prev
+                xp = world_pos_from_uv(sc, tap_uv, zp, prev=True)
+                thr = vmb_thr_base * in_screen_vmb[..., tap_idx] - NRD_EPS
+                ok = (jnp.abs(nm.dot(x_minus_delta - xp, n)) <= thr).astype(jnp.float32)
+                mp = resample.texel_fetch(state["material_id_prev"], vx0 + dx, vy0 + dy)
+                if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+                    ok = ok * (jnp.maximum(material_id, dc["spec_min_material"])
+                               == jnp.maximum(mp, dc["spec_min_material"]))                         .astype(jnp.float32)
+                vmb_valid.append(ok)
+            vmb_valid4 = jnp.stack(vmb_valid, -1)
+            vmb_any = jnp.any(vmb_valid4 > 0.0, -1)
+            vmb_all = jnp.all(vmb_valid4 > 0.0, -1)
+            vmb_found = vmb_all.astype(jnp.float32)
 
-        prev_spec_vmb = _bicubic_or_bilinear(state["spec_illum_prev"], vmb_sample_pos,
-                                             vmb_use_bicubic, vmb_custom_w)
-        prev_spec_vmb = jnp.maximum(prev_spec_vmb, 0.0)
-        prev_spec_vmb_resp = _bicubic_or_bilinear(state["spec_responsive_prev"],
-                                                  vmb_sample_pos, vmb_use_bicubic,
-                                                  vmb_custom_w)
-        prev_spec_vmb_resp = jnp.maximum(prev_spec_vmb_resp, 0.0)
-        prev_hit_t_vmb = resample.sample_bilinear(state["reflection_hit_t"],
-                                                  uv_vmb * sc["resolution_scale_prev"]
-                                                  [None, None, :])
-        prev_hit_t_vmb = jnp.maximum(0.001, prev_hit_t_vmb)
-        prev_nr_vmb = resample.sample_bilinear(state["normal_roughness_prev"],
-                                               uv_vmb * sc["resolution_scale_prev"]
-                                               [None, None, :])
-        prev_normal_vmb, prev_roughness_vmb = unpack_prev_normal_roughness(prev_nr_vmb)
+            vmb_custom_w = nm.get_bilinear_custom_weights(vmb_frac, vmb_valid4)
+            vmb_use_bicubic = jnp.logical_and(use_bicubic, vmb_all)
+            vmb_sample_pos = uv_vmb * rect_prev
+
+            prev_spec_vmb = _bicubic_or_bilinear(state["spec_illum_prev"],
+                                                 vmb_sample_pos, vmb_use_bicubic,
+                                                 vmb_custom_w)
+            prev_spec_vmb = jnp.maximum(prev_spec_vmb, 0.0)
+            prev_spec_vmb_resp = _bicubic_or_bilinear(state["spec_responsive_prev"],
+                                                      vmb_sample_pos, vmb_use_bicubic,
+                                                      vmb_custom_w)
+            prev_spec_vmb_resp = jnp.maximum(prev_spec_vmb_resp, 0.0)
+            prev_hit_t_vmb = resample.sample_bilinear(state["reflection_hit_t"],
+                                                      uv_vmb
+                                                      * sc["resolution_scale_prev"]
+                                                      [None, None, :])
+            prev_hit_t_vmb = jnp.maximum(0.001, prev_hit_t_vmb)
+            prev_nr_vmb = resample.sample_bilinear(state["normal_roughness_prev"],
+                                                   uv_vmb
+                                                   * sc["resolution_scale_prev"]
+                                                   [None, None, :])
+            prev_normal_vmb, prev_roughness_vmb = unpack_prev_normal_roughness(
+                prev_nr_vmb)
         prev_normal_vmb = prev_normal_vmb @ jnp.asarray(sc["world_prev_to_world"])[:3, :3].T
         prev_normal_vmb = jnp.where(vmb_any[..., None], prev_normal_vmb, n)
         prev_roughness_vmb = jnp.where(vmb_any, prev_roughness_vmb, 0.0)
@@ -601,17 +701,24 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
         prev_spec_vmb_resp = jnp.where(vmb_any[..., None], prev_spec_vmb_resp, 0.0)
 
         # surface-motion specular history (from the smb loader)
-        prev_spec_smb = _bicubic_or_bilinear(state["spec_illum_prev"], sample_pos,
-                                             use_bicubic, custom_w)
+        if pallas:
+            hofs = 8 if has_diff else 0
+            prev_spec_smb = jnp.stack(smb_bundle["hist"][hofs:hofs + 4], -1)
+            prev_spec_smb_resp = jnp.stack(smb_bundle["hist"][hofs + 4:hofs + 8], -1)
+            prev_hit_t_smb = smb_bundle["reflection_hit_t"]
+        else:
+            prev_spec_smb = _bicubic_or_bilinear(state["spec_illum_prev"], sample_pos,
+                                                 use_bicubic, custom_w)
+            prev_spec_smb_resp = _bicubic_or_bilinear(state["spec_responsive_prev"],
+                                                      sample_pos, use_bicubic, custom_w)
+            ht_taps = [resample.texel_fetch(state["reflection_hit_t"],
+                                            x0 + 1 + dx, y0 + 1 + dy)
+                       for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))]
+            prev_hit_t_smb = nm.apply_bilinear_custom_weights(
+                ht_taps[0][..., None], ht_taps[1][..., None], ht_taps[2][..., None],
+                ht_taps[3][..., None], custom_w)[..., 0]
         prev_spec_smb = jnp.maximum(prev_spec_smb, 0.0)
-        prev_spec_smb_resp = _bicubic_or_bilinear(state["spec_responsive_prev"],
-                                                  sample_pos, use_bicubic, custom_w)
         prev_spec_smb_resp = jnp.maximum(prev_spec_smb_resp, 0.0)
-        ht_taps = [resample.texel_fetch(state["reflection_hit_t"], x0 + 1 + dx, y0 + 1 + dy)
-                   for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1))]
-        prev_hit_t_smb = nm.apply_bilinear_custom_weights(
-            ht_taps[0][..., None], ht_taps[1][..., None], ht_taps[2][..., None],
-            ht_taps[3][..., None], custom_w)[..., 0]
         prev_hit_t_smb = jnp.maximum(0.001, prev_hit_t_smb)
 
         # virtual history amount (lines 766-813)
@@ -650,12 +757,24 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
         rw = jnp.ones_like(view_z)
         for k in (1.0, 2.0):
             back_uv = uv_vmb + k * uv_dir
-            b_nr = resample.sample_bilinear(state["normal_roughness_prev"],
-                                            back_uv * sc["resolution_scale_prev"]
-                                            [None, None, :])
-            bn, br = unpack_prev_normal_roughness(b_nr)
-            bn = bn @ jnp.asarray(sc["world_prev_to_world"])[:3, :3].T
-            in_s = resample.is_in_screen_nearest(back_uv) > 0.0
+            if pallas:
+                from ...kernels.reblur_pallas import bilinear_resolve
+
+                bmvy, bmvx = _uv2mv(back_uv, h, w, sc["rect_size_prev"])
+                b_planes, b_valid = bilinear_resolve(
+                    sc, [state["normal_roughness_prev"][..., c] for c in range(4)],
+                    bmvy, bmvx)
+                b_nr = jnp.stack(b_planes, -1)
+                bn, br = unpack_prev_normal_roughness(b_nr)
+                bn = bn @ jnp.asarray(sc["world_prev_to_world"])[:3, :3].T
+                in_s = (resample.is_in_screen_nearest(back_uv) * b_valid) > 0.0
+            else:
+                b_nr = resample.sample_bilinear(state["normal_roughness_prev"],
+                                                back_uv * sc["resolution_scale_prev"]
+                                                [None, None, :])
+                bn, br = unpack_prev_normal_roughness(b_nr)
+                bn = bn @ jnp.asarray(sc["world_prev_to_world"])[:3, :3].T
+                in_s = resample.is_in_screen_nearest(back_uv) > 0.0
             wk = nm.get_encoding_aware_normal_weight(prev_normal_vmb, bn, lobe_half_angle,
                                                      curvature_angle * (k + 1.0),
                                                      RELAX_NORMAL_ULP, remap=True)
@@ -775,7 +894,7 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
 
 
 def history_fix(sc, dc, view_z_in, normal_roughness, history_length, diff, spec, config,
-                diff_sh=None, spec_sh=None):
+                diff_sh=None, spec_sh=None, pallas: bool = False):
     """Sparse 5x5 cross-bilateral reconstruction of the RESPONSIVE history after
     disocclusion. Returns (diff_out, spec_out, diff_sh_out, spec_sh_out)."""
     view_z = unpack_view_z(sc, view_z_in)
@@ -794,6 +913,22 @@ def history_fix(sc, dc, view_z_in, normal_roughness, history_length, diff, spec,
     stride = jnp.floor(dc["history_fix_base_pixel_stride"] / (1.0 + history_length) + 0.5)
     apply_fix = jnp.logical_and(history_length <= dc["history_fix_frame_num"],
                                 dc["history_fix_frame_num"] != 1.0)
+
+    if pallas and diff_sh is None and spec_sh is None:
+        from ...kernels.relax_pallas import relax_history_fix_pallas
+
+        kw = {}
+        if spec is not None:
+            kw = dict(angle0=angle0, f0=f0)
+        d_fix, s_fix = relax_history_fix_pallas(
+            sc, dc, config, stride=stride, thr_eff=depth_threshold, n=n, x=x, cv=cv,
+            material_id=material_id, view_z_in=view_z_in,
+            normal_roughness=normal_roughness, diff=diff, spec=spec, **kw)
+        outs_p = []
+        for fixed, orig in ((d_fix, diff), (s_fix, spec)):
+            outs_p.append(None if orig is None
+                          else jnp.where(apply_fix[..., None], fixed, orig))
+        return outs_p[0], outs_p[1], None, None
 
     pos_grid = resample.pixel_pos_grid(h, w).astype(jnp.float32)
 
