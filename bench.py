@@ -90,34 +90,52 @@ def make_inputs(w, h, seed=0):
     }
 
 
-def time_frame_fn(fn, sc, dc, state, inputs, warmup=2, iters=8, frames_per_call=32):
+def time_frame_fn(fn, sc, dc, state, inputs, warmup=2, iters=6, frames_per_call=32):
     """Median device ms/frame of `fn(sc, dc, state, inputs) -> (outs, state)`.
 
-    The axon tunnel adds ~30 ms host<->device latency per dispatch, so we chain
-    `frames_per_call` frames inside ONE jit with lax.scan (device-resident recurrence -
-    exactly how the engine runs in production via lax.scan carries) and divide.
+    The axon tunnel dispatches ASYNCHRONOUSLY: `block_until_ready` returns before remote
+    execution finishes; only a host data fetch waits for completion. So each timed sample
+    fetches a scalar reduced from the final state, and the ~30 ms fixed tunnel latency is
+    cancelled by timing two chain lengths and taking the slope (verified against the
+    analytic cost of a 4096^3 matmul - see bench_micro.py).
     """
     import jax
+    import jax.numpy as jnp
 
     def step(state, _):
         outs, new_state = fn(sc, dc, state, inputs)
         return new_state, None
 
-    @jax.jit
-    def run(state):
-        state, _ = jax.lax.scan(step, state, None, length=frames_per_call)
-        return state
+    def make_run(n):
+        @jax.jit
+        def run(state):
+            out, _ = jax.lax.scan(step, state, None, length=n)
+            leaves = [jnp.ravel(x)[0].astype(jnp.float32) for x in jax.tree.leaves(out)]
+            return out, jnp.sum(jnp.stack(leaves))
+        return run
+
+    n2 = frames_per_call
+    n1 = max(frames_per_call // 4, 1)
+    run1, run2 = make_run(n1), make_run(n2)
+
+    def sample(run):
+        nonlocal state
+        state, s = run(state)
+        _ = np.asarray(s)  # forces remote completion
+        return s
 
     for _ in range(warmup):
-        state = run(state)
-    jax.block_until_ready(state)
-    times = []
+        sample(run2)
+    t1s, t2s = [], []
     for _ in range(iters):
         t0 = time.perf_counter()
-        state = run(state)
-        jax.block_until_ready(state)
-        times.append((time.perf_counter() - t0) * 1e3 / frames_per_call)
-    return float(np.median(times))
+        sample(run1)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sample(run2)
+        t2s.append(time.perf_counter() - t0)
+    t1, t2 = float(np.median(t1s)), float(np.median(t2s))
+    return (t2 - t1) * 1e3 / (n2 - n1)
 
 
 def bench_config(name, raw, w, h):

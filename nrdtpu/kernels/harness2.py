@@ -1,0 +1,246 @@
+"""Halo-window kernel harness v2: static-slice taps over edge-normalized VMEM windows.
+
+v1 (`harness.py`) materialized each halo'd window as a value and applied `pltpu.roll`
+per tap - runtime-uniform lane rotates are the single most expensive vector op in these
+kernels (~21 us per full-res tap-plane measured, see bench_micro.py) and the cached
+full-window values create register/VMEM spill pressure in fat kernels.
+
+v2 exploits a structural fact: with block/halo geometry that divides the image, the DMA
+start clamping offset ("comp") is nonzero ONLY for edge blocks and is then exactly +-halo.
+So the window is normalized ONCE, in place, under `pl.when(comp != 0)` - interior blocks
+(the majority) pay one scalar compare - and every tap afterwards is a *static slice of the
+scratch ref* (one unaligned vector load, ~10.6 us per full-res tap-plane, no live
+window-sized values). Dynamic runtime-uniform shifts (reprojection motion bases) roll the
+window once into a shadow scratch and re-tap statically from there.
+
+bf16 windows are supported: taps upcast at the slice. The normalization/shift rolls (which
+Mosaic restricts to 32-bit) go through an f32 upcast-roll-downcast, paid only on edge
+blocks / per shift. Pass bf16 *arrays* in if the plane already lives in bf16 - converting
+an f32 plane at the call site costs an extra HBM round trip that usually cancels the win.
+
+Reference analogue: the CTA groupshared preload of Common.hlsli:109-150.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .harness import pick_block
+
+
+class Win2:
+    """A halo'd, edge-normalized VMEM window; taps are static slices of the ref.
+
+    tap(dy, dx): (bh, bw) f32 block at static integer offset (dy, dx) from the center.
+    shift(oy, ox): roll the window by runtime-uniform scalars into `shadow` (a second
+      scratch ref) and return a Win2 over it - subsequent static taps are plain slices.
+      Offsets beyond the halo wrap; kernels mask with in-screen weights.
+    """
+
+    def __init__(self, ref, bh, bw, hy, hx, upcast=False, shadow=None):
+        self._ref = ref
+        self.bh, self.bw, self.hy, self.hx = bh, bw, hy, hx
+        self._upcast = upcast
+        self._shadow = shadow
+
+    def tap(self, dy: int = 0, dx: int = 0):
+        assert isinstance(dy, int) and isinstance(dx, int), "static taps only"
+        assert abs(dy) <= self.hy and abs(dx) <= self.hx, (dy, dx, self.hy, self.hx)
+        val = self._ref[self.hy + dy: self.hy + dy + self.bh,
+                        self.hx + dx: self.hx + dx + self.bw]
+        return val.astype(jnp.float32) if self._upcast else val
+
+    def band(self, dy0: int, dy1: int, dx: int = 0):
+        """(bh + dy1 - dy0, bw) static slice: rows [dy0, bh + dy1) around the center.
+
+        Building block for separable box sums (row-sum bands then column sums)."""
+        val = self._ref[self.hy + dy0: self.hy + dy1 + self.bh,
+                        self.hx + dx: self.hx + dx + self.bw]
+        return val.astype(jnp.float32) if self._upcast else val
+
+    def full(self):
+        val = self._ref[:, :]
+        return val.astype(jnp.float32) if self._upcast else val
+
+    def shift(self, oy, ox):
+        assert self._shadow is not None, "mark this window shiftable in stencil_call2"
+        val = self._ref[:, :].astype(jnp.float32)
+        val = pltpu.roll(val, jnp.mod(-oy, val.shape[0]), 0)
+        val = pltpu.roll(val, jnp.mod(-ox, val.shape[1]), 1)
+        self._shadow[:, :] = val
+        return Win2(self._shadow, self.bh, self.bw, self.hy, self.hx, upcast=False)
+
+
+def _normalize(ref, cy, cx):
+    """Roll the window in place so the block center sits at (hy, hx).
+
+    comp is +-halo at image-edge blocks and 0 elsewhere; predicated so interior blocks
+    pay one scalar compare. 32-bit-only Mosaic rolls -> f32 round trip for bf16 refs.
+    """
+
+    @pl.when((cy != 0) | (cx != 0))
+    def _():
+        val = ref[:, :]
+        bf16 = val.dtype == jnp.bfloat16
+        if bf16:
+            val = val.astype(jnp.float32)
+        val = pltpu.roll(val, jnp.mod(-cy, val.shape[0]), 0)
+        val = pltpu.roll(val, jnp.mod(-cx, val.shape[1]), 1)
+        ref[:, :] = val.astype(jnp.bfloat16) if bf16 else val
+
+
+def stencil_call2(body, images: Sequence, n_out: int, *,
+                  halo=(32, 128), block=(160, 512), scalars=None,
+                  block_scalars: Sequence = (), center_inputs: Sequence = (),
+                  shiftable: Sequence = None, scratch_blocks: int = 0,
+                  interpret: bool = False):
+    """Run `body(smem, bsm, wins, centers, outs, (y0, x0), scratch)` over halo'd blocks.
+
+    images: (H, W) arrays (f32 or bf16 - dtype taken from the array) delivered as
+      halo'd VMEM windows via manual DMA; `center_inputs` as plain (bh, bw) VMEM blocks
+      (upcast to f32 on read is the body's job if it passes bf16 arrays).
+    n_out: number of (H, W) f32 outputs.
+    scalars: optional (N,) f32 SMEM array of frame constants.
+    block_scalars: (gh, gw) arrays in SMEM, indexed by the body with program ids.
+    shiftable: per-window bools; True allocates an f32 shadow scratch enabling Win2.shift.
+    scratch_blocks: extra (bh, bw) f32 VMEM scratch refs handed to the body (accumulators
+      for predicated multi-level loops).
+    """
+    n_windows = len(images)
+    h, w = images[0].shape[:2]
+    hy, hx = halo
+    bh, bw = pick_block(h, w, block, halo)
+    gh, gw = -(-h // bh), -(-w // bw)
+    ph, pw = gh * bh, gw * bw
+    win_h, win_w = bh + 2 * hy, bw + 2 * hx
+    if shiftable is None:
+        shiftable = [False] * n_windows
+
+    # comp-in-{0, +-halo} requires exact division + alignment; otherwise edge-pad (tests)
+    nopad = (h == ph and w == pw and h % 8 == 0 and w % 128 == 0
+             and hy % 8 == 0 and hx % 128 == 0 and bh % 8 == 0 and bw % 128 == 0
+             and h >= win_h and w >= win_w)
+
+    center_inputs = [c if getattr(c, "ndim", 2) == 2
+                     else jnp.broadcast_to(jnp.asarray(c), (h, w))
+                     for c in center_inputs]
+    if nopad:
+        hbm_imgs = list(images)
+        centers = list(center_inputs)
+    else:
+        hbm_imgs = [jnp.pad(img, ((hy, hy + ph - h), (hx, hx + pw - w)), mode="edge")
+                    for img in images]
+        centers = [jnp.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
+                   for c in center_inputs]
+
+    num_scalars = 0 if scalars is None else scalars.shape[0]
+    n_center = len(centers)
+    n_bs = len(block_scalars)
+    n_shadow = sum(bool(s) for s in shiftable)
+    win_dtypes = [img.dtype for img in hbm_imgs]
+
+    def kernel(*refs):
+        idx = 0
+        smem = None
+        if num_scalars:
+            smem = refs[0]
+            idx = 1
+        bsm = list(refs[idx: idx + n_bs])
+        idx += n_bs
+        hbm_refs = refs[idx: idx + n_windows]
+        center_refs = refs[idx + n_windows: idx + n_windows + n_center]
+        out_refs = refs[idx + n_windows + n_center:
+                        idx + n_windows + n_center + n_out]
+        scratch = refs[idx + n_windows + n_center + n_out:]
+        win_refs = scratch[:n_windows]
+        shadow_refs = list(scratch[n_windows:n_windows + n_shadow])
+        blk_scratch = list(scratch[n_windows + n_shadow:
+                                   n_windows + n_shadow + scratch_blocks])
+        sem = scratch[n_windows + n_shadow + scratch_blocks]
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        y0 = i * bh
+        x0 = j * bw
+
+        if nopad:
+            sy = jnp.clip(y0 - hy, 0, h - win_h)
+            sx = jnp.clip(x0 - hx, 0, w - win_w)
+            sy = pl.multiple_of(sy, 8)
+            sx = pl.multiple_of(sx, 128)
+            cy, cx = (y0 - hy) - sy, (x0 - hx) - sx
+        else:
+            sy = pl.multiple_of(y0, 8)
+            sx = pl.multiple_of(x0, 128)
+            cy = cx = None
+
+        copies = [pltpu.make_async_copy(
+            src.at[pl.ds(sy, win_h), pl.ds(sx, win_w)], dst, sem.at[k])
+            for k, (src, dst) in enumerate(zip(hbm_refs, win_refs))]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        if nopad:
+            for r in win_refs:
+                _normalize(r, cy, cx)
+
+        sh_iter = iter(shadow_refs)
+        wins = [Win2(r, bh, bw, hy, hx, upcast=dt == jnp.bfloat16,
+                     shadow=next(sh_iter) if sf else None)
+                for r, dt, sf in zip(win_refs, win_dtypes, shiftable)]
+        body(smem, bsm, wins, list(center_refs), list(out_refs), (y0, x0),
+             blk_scratch)
+
+    in_specs = []
+    if num_scalars:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_bs
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_windows
+    in_specs += [pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)] * n_center
+
+    out_specs = tuple(pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM) for _ in range(n_out))
+    out_shape = tuple(jax.ShapeDtypeStruct((ph, pw), jnp.float32)
+                      for _ in range(n_out))
+
+    scratch_shapes = (
+        [pltpu.VMEM((win_h, win_w), dt) for dt in win_dtypes]
+        + [pltpu.VMEM((win_h, win_w), jnp.float32)
+           for s in shiftable if s]
+        + [pltpu.VMEM((bh, bw), jnp.float32) for _ in range(scratch_blocks)]
+        + [pltpu.SemaphoreType.DMA((n_windows,))])
+
+    args = ([scalars] if num_scalars else []) + list(block_scalars) + hbm_imgs + centers
+    outs = pl.pallas_call(
+        kernel, grid=(gh, gw),
+        in_specs=in_specs,
+        out_specs=out_specs if n_out > 1 else out_specs[0],
+        out_shape=out_shape if n_out > 1 else out_shape[0],
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    if n_out == 1:
+        outs = (outs,)
+    return tuple(o[:h, :w] for o in outs)
+
+
+def block_minmax(plane, block=(160, 512), halo=(32, 128)):
+    """Per-block (min, max) of a plane as (gh, gw) f32 arrays for block_scalars.
+
+    Uses the same block choice as stencil_call2 so grids agree.
+    """
+    h, w = plane.shape
+    bh, bw = pick_block(h, w, block, halo)
+    gh, gw = -(-h // bh), -(-w // bw)
+    if gh * bh != h or gw * bw != w:
+        plane = jnp.pad(plane, ((0, gh * bh - h), (0, gw * bw - w)), mode="edge")
+    t = plane.reshape(gh, bh, gw, bw)
+    return t.min((1, 3)), t.max((1, 3))

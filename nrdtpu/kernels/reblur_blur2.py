@@ -1,0 +1,284 @@
+"""REBLUR adaptive Poisson blur, v2: static tap offsets + per-block level predication.
+
+The v1 kernel (reblur_pallas.spatial_filter_taps_pallas) rotated the 8-tap Poisson disk
+by the per-frame rotator, making every tap offset runtime-uniform -> 2 dynamic window
+rolls per tap-plane (~21 us each at 1440p, ~500 of them per blur = ~11 ms/pass).
+
+v2 redesign (TPU-first, divergences documented in the caller's docstring):
+  * tap offsets are COMPILE-TIME integers: the unrotated SPECIAL_8 disk scaled by each
+    RADIUS_LEVELS entry. The per-frame rotator is dropped: its purpose (decorrelating a
+    sparse 8-tap pattern across frames) is largely subsumed by the 8x5 static tap lattice
+    + per-pixel hat blending over levels, which is denser than any single rotated ring.
+  * per-BLOCK level skipping: the hat weights give each pixel <=2 active levels; blocks
+    are spatially coherent in radius, so a per-block (min,max) radius prunes the level
+    loop with `pl.when` - typically 2-3 of 5 levels run per block.
+  * all taps are static slices of the normalized window ref (harness2) - no rolls, no
+    live window-sized values.
+
+Reference: REBLUR_Common_{Diffuse,Specular}SpatialFilter.hlsli tap loop;
+Poisson.hlsli g_Special8; radius/weight formulas per REBLUR_Blur.hlsli:22-66.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .. import math as nm
+from .harness2 import block_minmax, stencil_call2
+from .reblur_pallas import (
+    _B_DIRS, _B_FRUSTUM, _B_HDP, _B_MISC, NRD_EPS, NRD_INF, RADIUS_LEVELS,
+    _acos_approx, _decode_oct, _exp_w, _split, _sstep10,
+)
+
+BLOCK2 = (160, 512)
+HALO2 = (32, 128)
+
+# level hat supports: weight for level i is nonzero iff radius in (lo_i, hi_i)
+_LEV = RADIUS_LEVELS
+_LO = [-1e9] + list(_LEV[:-1])
+_HI = list(_LEV[1:]) + [1e9]
+
+
+def _static_offsets():
+    """8 dirs x len(RADIUS_LEVELS) compile-time integer offsets (+ gauss weights)."""
+    out = []
+    for tap in np.asarray(nm.SPECIAL_8):
+        gauss = float(np.exp(-0.66 * tap[2] * tap[2]))
+        per_level = []
+        for lv in _LEV:
+            ox = int(np.clip(round(float(tap[0]) * lv), -32, 32))
+            oy = int(np.clip(round(float(tap[1]) * lv), -32, 32))
+            per_level.append((oy, ox))
+        out.append((gauss, per_level))
+    return out
+
+
+def _level_hat(radius, li):
+    """Hat weight of level li for per-pixel radius (radius pre-clipped to level range)."""
+    lv = _LEV[li]
+    up = jnp.ones_like(radius) if li == 0 else \
+        jnp.clip((radius - _LEV[li - 1]) / max(lv - _LEV[li - 1], 1e-6), 0.0, 1.0)
+    dn = jnp.ones_like(radius) if li + 1 == len(_LEV) else \
+        jnp.clip((_LEV[li + 1] - radius) / max(_LEV[li + 1] - lv, 1e-6), 0.0, 1.0)
+    return up * dn
+
+
+def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, rough_sq, smem, bsm, wins,
+                  centers, outs, origin, scratch):
+    zw = wins[0]
+    nr = wins[1:5]
+    sig = wins[5:5 + c]
+    shw = wins[5 + c:5 + c + (3 if has_sh else 0)]
+    ci = iter(centers)
+    radius_r = next(ci); ga_r = next(ci); gb_r = next(ci); nwp_r = next(ci)
+    ha_r = next(ci); hb_r = next(ci); mhdw_r = next(ci); mat_r = next(ci)
+    n_r = [next(ci) for _ in range(3)]
+    nv_r = [next(ci) for _ in range(3)]
+    if spec:
+        wra_r = next(ci); wrb_r = next(ci)
+    if prepass:
+        hd_r = next(ci); rough_r = next(ci)
+        rnd_r = [next(ci) for _ in range(8)]
+
+    rmin_b, rmax_b = bsm[0], bsm[1]
+    sum_ref = scratch[0]
+
+    view_z_scale = smem[_B_MISC]
+    rect_w = smem[_B_MISC + 1]
+    rect_h = smem[_B_MISC + 2]
+    ortho = smem[_B_MISC + 3]
+    min_material = smem[_B_MISC + 4]
+    use_prepass = smem[_B_MISC + 5]
+    fx0, fy0, fdx, fdy = (smem[_B_FRUSTUM], smem[_B_FRUSTUM + 1],
+                          smem[_B_FRUSTUM + 2], smem[_B_FRUSTUM + 3])
+    hdp = [smem[_B_HDP + k] for k in range(4)]
+
+    bh, bw = radius_r.shape[:2]
+    inv_w = 1.0 / rect_w
+    inv_h = 1.0 / rect_h
+    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
+    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+
+    def view_pos(uu, vv, zz):
+        s = zz + (1.0 - zz) * jnp.abs(ortho)
+        return (uu * fdx + fx0) * s, (vv * fdy + fy0) * s, zz
+
+    radius = jnp.clip(radius_r[:, :], _LEV[0], _LEV[-1])
+    ga = ga_r[:, :]; gb = gb_r[:, :]
+    nwp = nwp_r[:, :]; ha = ha_r[:, :]; hb = hb_r[:, :]
+    mhdw = mhdw_r[:, :]
+    mat_c = mat_r[:, :]
+    ncx, ncy, ncz = n_r[0][:, :], n_r[1][:, :], n_r[2][:, :]
+    nvx, nvy, nvz = nv_r[0][:, :], nv_r[1][:, :], nv_r[2][:, :]
+    if spec:
+        wra = wra_r[:, :]; wrb = wrb_r[:, :]
+    if prepass:
+        hit_dist_c = hd_r[:, :]
+        rough_c = rough_r[:, :]
+        rough_term = jnp.clip((rough_c - 0.5) / 0.5, 0.0, 1.0)
+
+    view_z = jnp.abs(zw.tap()) * view_z_scale
+    xvx, xvy, xvz = view_pos(u, v, view_z)
+
+    i_b = pl.program_id(0)
+    j_b = pl.program_id(1)
+    rmin = jnp.maximum(rmin_b[i_b, j_b], jnp.float32(_LEV[0]))
+    rmax = jnp.minimum(rmax_b[i_b, j_b], jnp.float32(_LEV[-1]))
+
+    # init: center contribution
+    sum_ref[:, :] = jnp.ones((bh, bw), jnp.float32)
+    n_sig_out = c + (3 if has_sh else 0)
+    for k_, sg in enumerate(sig):
+        outs[k_][:, :] = sg.tap()
+    if has_sh:
+        for k_, sw in enumerate(shw):
+            outs[c + k_][:, :] = sw.tap()
+    if prepass:
+        outs[n_sig_out][:, :] = jnp.where(hit_dist_c == 0.0, jnp.float32(NRD_INF),
+                                          hit_dist_c)
+
+    taps = _static_offsets()
+    for li in range(len(_LEV)):
+        active = (rmax > jnp.float32(_LO[li])) & (rmin < jnp.float32(_HI[li]))
+
+        @pl.when(active)
+        def _(li=li):
+            lw = _level_hat(radius, li)
+            sum_acc = sum_ref[:, :]
+            acc = [outs[k_][:, :] for k_ in range(n_sig_out)]
+            hdt = outs[n_sig_out][:, :] if prepass else None
+            for k in range(8):
+                gauss, per_level = taps[k]
+                off_y, off_x = per_level[li]
+                zs = jnp.abs(zw.tap(off_y, off_x)) * view_z_scale
+                n0 = nr[0].tap(off_y, off_x)
+                n1 = nr[1].tap(off_y, off_x)
+                rs_raw = nr[2].tap(off_y, off_x)
+                rs = rs_raw * rs_raw if rough_sq == 1 else (
+                    jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
+                nsx, nsy, nsz = _decode_oct(n0, n1)
+
+                us = u + jnp.float32(off_x) * inv_w
+                vs = v + jnp.float32(off_y) * inv_h
+                angle = _acos_approx(ncx * nsx + ncy * nsy + ncz * nsz)
+                sx, sy, sz = view_pos(us, vs, zs)
+                w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
+                      & (vs < 1.0)).astype(jnp.float32)
+                w_ = w_ * _sstep10(jnp.abs((nvx * sx + nvy * sy + nvz * sz) * ga + gb))
+                if mat_occ:
+                    ms = nr[3].tap(off_y, off_x)
+                    w_ = w_ * (jnp.maximum(mat_c, min_material)
+                               == jnp.maximum(ms, min_material)).astype(jnp.float32)
+                w_ = w_ * _sstep10(jnp.abs(angle * nwp))
+                if spec:
+                    w_ = w_ * _sstep10(jnp.abs(rs * wra + wrb))
+
+                s_taps = [sg.tap(off_y, off_x) for sg in sig]
+                s_taps = [jnp.where(w_ == 0.0, 0.0, st) for st in s_taps]
+                s_hd = s_taps[-1]
+
+                if prepass:
+                    hdn_s = (hdp[0] + zs * hdp[1]) * (
+                        1.0 + (hdp[2] - 1.0)
+                        * jnp.clip(jnp.exp2(hdp[3] * rs * rs), 0.0, 1.0))
+                    hs = s_hd * hdn_s
+                    dx_ = sx - xvx
+                    dy_ = sy - xvy
+                    dz_ = sz - xvz
+                    d = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_) + NRD_EPS
+                    gw_ = w_ * jnp.clip(hs / d, 0.0, 1.0)
+                    take = (rnd_r[k][:, :] < gw_) & (hs > 0.0)
+                    hdt = jnp.where(take, jnp.minimum(hdt, hs), hdt)
+                    w_ = w_ * use_prepass
+                    t = hs / (d + hit_dist_c)
+                    w_ = w_ * (jnp.clip(t, 0.0, 1.0)
+                               + (1.0 - jnp.clip(t, 0.0, 1.0)) * rough_term)
+
+                w_ = w_ * (mhdw + (1.0 - mhdw) * _exp_w(s_hd * ha + hb))
+                w_ = w_ * (gauss * lw)
+
+                sum_acc = sum_acc + w_
+                acc = [a + st * w_ for a, st in zip(acc, s_taps)]
+                if has_sh:
+                    sh_taps = [sw.tap(off_y, off_x) for sw in shw]
+                    for t_, st in enumerate(sh_taps):
+                        acc[c + t_] = acc[c + t_] + jnp.where(w_ == 0.0, 0.0, st) * w_
+
+            sum_ref[:, :] = sum_acc
+            for k_ in range(n_sig_out):
+                outs[k_][:, :] = acc[k_]
+            if prepass:
+                outs[n_sig_out][:, :] = hdt
+
+    inv = 1.0 / jnp.maximum(sum_ref[:, :], 1e-15)
+    for k_ in range(n_sig_out):
+        outs[k_][:, :] = outs[k_][:, :] * inv
+    if prepass:
+        hdt = outs[n_sig_out][:, :]
+        outs[n_sig_out][:, :] = jnp.where(hdt >= jnp.float32(NRD_INF), 0.0, hdt)
+
+
+def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_in,
+                                normal_roughness, blur_radius, ga, gb,
+                                normal_weight_param, ha, hb, min_hit_dist_weight,
+                                material_id, n, nv, wr_a=None, wr_b=None,
+                                hit_dist=None, roughness=None, rnd8=None,
+                                spec=False, prepass=False):
+    """Drop-in replacement for reblur_pallas.spatial_filter_taps_pallas (v2 kernel).
+
+    Additional documented divergence vs v1: the per-frame rotator is ignored (static tap
+    lattice, see module docstring) - `rotator` is accepted for interface parity.
+    """
+    c = signal.shape[-1]
+    has_sh = sh is not None
+    mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
+
+    misc = jnp.stack([
+        jnp.asarray(sc["view_z_scale"], jnp.float32),
+        jnp.asarray(sc["rect_size"][0], jnp.float32),
+        jnp.asarray(sc["rect_size"][1], jnp.float32),
+        jnp.asarray(sc["ortho_mode"], jnp.float32),
+        jnp.asarray(dc.get("spec_min_material" if spec else "diff_min_material", 0.0),
+                    jnp.float32),
+        jnp.asarray(dc.get("use_prepass_not_only_for_specular_motion_estimation", 1.0),
+                    jnp.float32),
+        jnp.float32(0.0),
+    ])
+    dirs_pad = jnp.zeros((16,), jnp.float32)  # SMEM layout parity with v1
+    scalars = jnp.concatenate([dirs_pad, jnp.asarray(sc["frustum"], jnp.float32), misc,
+                               jnp.asarray(dc["hit_dist_params"], jnp.float32)])
+
+    windows = ([view_z_in] + _split(normal_roughness)[:4] + _split(signal)[:c]
+               + (_split(sh)[:3] if has_sh else []))
+    centers = [blur_radius, ga, gb, normal_weight_param, ha, hb, min_hit_dist_weight,
+               material_id, n[..., 0], n[..., 1], n[..., 2],
+               nv[..., 0], nv[..., 1], nv[..., 2]]
+    if spec:
+        centers += [wr_a, wr_b]
+    if prepass:
+        centers += [hit_dist, roughness] + list(rnd8)
+
+    rmin_b, rmax_b = block_minmax(blur_radius, BLOCK2, HALO2)
+
+    n_out = c + (3 if has_sh else 0) + (1 if prepass else 0)
+    outs = stencil_call2(
+        functools.partial(_blur2_kernel, c, has_sh, spec, prepass, mat_occ, rough_sq),
+        windows, n_out=n_out, halo=HALO2, block=BLOCK2,
+        scalars=scalars, block_scalars=[rmin_b, rmax_b], center_inputs=centers,
+        scratch_blocks=1)
+    sig_out = jnp.stack(outs[:c], -1)
+    k = c
+    sh_out = None
+    if has_sh:
+        sh_out = jnp.concatenate([jnp.stack(outs[k:k + 3], -1), sh[..., 3:]], -1)
+        k += 3
+    hdt = outs[k] if prepass else None
+    return sig_out, sh_out, hdt

@@ -516,7 +516,9 @@ def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, sig
         hit_dist_factor, nlas, jnp.ones_like(roughness) if is_diffuse else roughness)
 
     if pallas:
-        from ...kernels.reblur_pallas import history_fix_taps_pallas
+        from ...kernels import get_history_fix
+
+        history_fix_taps_pallas = get_history_fix()
 
         data1 = data1_diff if is_diffuse else data1_spec
         kw = {}
@@ -732,7 +734,9 @@ def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, da
         min_hit_dist_weight = min_hit_dist_weight * jnp.sqrt(nlas)
 
     if pallas:
-        from ...kernels.reblur_pallas import spatial_filter_taps_pallas
+        from ...kernels import get_spatial_filter
+
+        spatial_filter_taps_pallas = get_spatial_filter()
 
         mhdw = jnp.broadcast_to(jnp.asarray(min_hit_dist_weight, jnp.float32),
                                 view_z.shape)
@@ -1445,7 +1449,9 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
         min_hit_dist_weight = min_hit_dist_weight * jnp.sqrt(nlas)
 
     if pallas:
-        from ...kernels.reblur_pallas import spatial_filter_taps_pallas
+        from ...kernels import get_spatial_filter
+
+        spatial_filter_taps_pallas = get_spatial_filter()
 
         prepass = mode == PRE_BLUR
         rnd8 = None
@@ -1586,7 +1592,9 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
     min_hit_dist_weight = dc["min_hit_distance_weight"] * fraction_scale
 
     if pallas:
-        from ...kernels.reblur_pallas import spatial_filter_taps_pallas
+        from ...kernels import get_spatial_filter
+
+        spatial_filter_taps_pallas = get_spatial_filter()
 
         mhdw = jnp.broadcast_to(jnp.asarray(min_hit_dist_weight, jnp.float32),
                                 view_z.shape)

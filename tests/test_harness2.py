@@ -1,0 +1,111 @@
+"""Harness v2 (static-slice taps over edge-normalized windows) unit tests.
+
+Runs in interpret mode on CPU. Geometry chosen to exercise the nopad path (exact
+block division + alignment) so the pl.when edge normalization is covered.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.experimental.pallas as pl_mod
+import jax.numpy as jnp
+
+from nrdtpu.kernels.harness2 import block_minmax, stencil_call2
+
+
+@pytest.fixture()
+def interpret(monkeypatch):
+    orig = pl_mod.pallas_call
+
+    def interp(*a, **k):
+        k = dict(k)
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl_mod, "pallas_call", interp)
+    yield
+
+
+def test_static_taps_nopad_interior_exact(interpret):
+    # (192, 1280) with want (160,512) resolves to (96, 256) blocks: nopad path
+    h, w = 192, 1280
+    rng = np.random.default_rng(0)
+    img = rng.random((h, w)).astype(np.float32)
+
+    def body(smem, bsm, wins, centers, outs, origin, scratch):
+        outs[0][:, :] = wins[0].tap(5, -7) * 2.0 + wins[0].tap(-32, 128)
+
+    (out,) = stencil_call2(body, [jnp.asarray(img)], n_out=1)
+    out = np.asarray(out)
+    exp = np.roll(img, (-5, 7), (0, 1)) * 2.0 + np.roll(img, (32, -128), (0, 1))
+    sl = (slice(33, h - 33), slice(129, w - 129))
+    np.testing.assert_allclose(out[sl], exp[sl], rtol=0, atol=0)
+
+
+def test_bf16_window_and_shift(interpret):
+    h, w = 192, 1280
+    rng = np.random.default_rng(1)
+    img = rng.random((h, w)).astype(np.float32)
+
+    def body(smem, bsm, wins, centers, outs, origin, scratch):
+        sh = wins[0].shift(jnp.int32(3), jnp.int32(-9))
+        outs[0][:, :] = sh.tap(1, 2)  # total offset (4, -7)
+        outs[1][:, :] = wins[1].tap(2, 3)  # bf16 upcast tap
+
+    (a, b) = stencil_call2(
+        body, [jnp.asarray(img), jnp.asarray(img, jnp.bfloat16)], n_out=2,
+        shiftable=[True, False])
+    sl = (slice(33, h - 33), slice(129, w - 129))
+    np.testing.assert_allclose(np.asarray(a)[sl], np.roll(img, (-4, 7), (0, 1))[sl],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(b)[sl], np.roll(img, (-2, -3), (0, 1))[sl],
+                               rtol=0.01, atol=0.01)  # bf16 storage error
+
+
+def test_block_minmax_agrees_with_grid():
+    h, w = 192, 1280
+    rng = np.random.default_rng(2)
+    img = rng.random((h, w)).astype(np.float32)
+    mn, mx = block_minmax(jnp.asarray(img))
+    mn, mx = np.asarray(mn), np.asarray(mx)
+    assert mn.shape == mx.shape
+    gh, gw = mn.shape
+    bh, bw = h // gh, w // gw
+    t = img.reshape(gh, bh, gw, bw)
+    np.testing.assert_allclose(mn, t.min((1, 3)))
+    np.testing.assert_allclose(mx, t.max((1, 3)))
+
+
+def test_blur2_matches_v1_identity_rotator(interpret):
+    """v2's static tap lattice == v1's rotated lattice when the rotator is identity."""
+    from nrdtpu.engine import DenoiserConfig
+    from nrdtpu.kernels.reblur_blur2 import spatial_filter_taps_pallas2 as v2
+    from nrdtpu.kernels.reblur_pallas import spatial_filter_taps_pallas as v1
+    from nrdtpu.settings import Denoiser
+
+    H, W = 96, 128
+    rng = np.random.default_rng(0)
+    sc = {"view_z_scale": 1.0, "rect_size": np.array([W, H], np.float32),
+          "ortho_mode": 0.0, "frustum": np.array([-1.0, -1.0, 2.0, 2.0], np.float32)}
+    dc = {"hit_dist_params": np.array([3.0, 0.1, 20.0, -25.0], np.float32),
+          "diff_min_material": 0.0}
+    config = DenoiserConfig(denoiser=Denoiser.REBLUR_DIFFUSE, rect_size=(W, H),
+                            resource_size=(W, H))
+    n = rng.normal(size=(H, W, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    kw = dict(rotator=jnp.asarray([1.0, 0.0, 0.0, 1.0]),
+              signal=jnp.asarray(rng.random((H, W, 4)), jnp.float32), sh=None,
+              view_z_in=jnp.asarray(1.0 + rng.random((H, W)), jnp.float32),
+              normal_roughness=jnp.asarray(rng.random((H, W, 4)), jnp.float32),
+              blur_radius=jnp.asarray(rng.random((H, W)) * 30, jnp.float32),
+              ga=jnp.full((H, W), 5.0), gb=jnp.full((H, W), 0.1),
+              normal_weight_param=jnp.full((H, W), 2.0),
+              ha=jnp.full((H, W), -1.0), hb=jnp.full((H, W), 0.0),
+              min_hit_dist_weight=jnp.full((H, W), 0.2),
+              material_id=jnp.zeros((H, W)),
+              n=jnp.asarray(n), nv=jnp.asarray(n))
+    a = np.asarray(v1(sc, dc, config, **kw)[0])
+    b = np.asarray(v2(sc, dc, config, **kw)[0])
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
