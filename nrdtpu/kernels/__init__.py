@@ -21,3 +21,15 @@ def get_history_fix():
         return history_fix_taps_pallas
     from .reblur_hfix2 import history_fix_taps_pallas2
     return history_fix_taps_pallas2
+
+
+def get_sigma_blur():
+    """Select the SIGMA blur kernel: (fn, max supported channels).
+
+    The v1 kernel only handles the shadow-only (1-channel) pipeline; v2 also covers
+    translucency (4 channels)."""
+    if os.environ.get("NRDTPU_BLUR") == "1":
+        from .sigma_pallas import sigma_blur_pallas
+        return sigma_blur_pallas, 1
+    from .sigma_blur2 import sigma_blur_pallas2
+    return sigma_blur_pallas2, 4

@@ -98,6 +98,7 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
                   halo=(32, 128), block=(160, 512), scalars=None,
                   block_scalars: Sequence = (), center_inputs: Sequence = (),
                   shiftable: Sequence = None, scratch_blocks: int = 0,
+                  base_offset=None, offset_windows: Sequence = None,
                   interpret: bool = False):
     """Run `body(smem, bsm, wins, centers, outs, (y0, x0), scratch)` over halo'd blocks.
 
@@ -110,6 +111,11 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     shiftable: per-window bools; True allocates an f32 shadow scratch enabling Win2.shift.
     scratch_blocks: extra (bh, bw) f32 VMEM scratch refs handed to the body (accumulators
       for predicated multi-level loops).
+    base_offset: optional ((gh, gw) i32, (gh, gw) i32) per-block (oy, ox) added to the
+      DMA start of windows flagged in `offset_windows` - reprojection motion bases ride
+      the DMA for free instead of paying a window roll. Offsets must stay within
+      halo bounds (block_motion_base guarantees this); image-edge overreach is folded
+      into the pl.when normalization like the static comp.
     """
     n_windows = len(images)
     h, w = images[0].shape[:2]
@@ -120,11 +126,21 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     win_h, win_w = bh + 2 * hy, bw + 2 * hx
     if shiftable is None:
         shiftable = [False] * n_windows
+    if offset_windows is None:
+        offset_windows = [False] * n_windows
+    assert base_offset is not None or not any(offset_windows)
 
     # comp-in-{0, +-halo} requires exact division + alignment; otherwise edge-pad (tests)
+    _any_off = any(offset_windows)
     nopad = (h == ph and w == pw and h % 8 == 0 and w % 128 == 0
              and hy % 8 == 0 and hx % 128 == 0 and bh % 8 == 0 and bw % 128 == 0
-             and h >= win_h and w >= win_w)
+             and h >= win_h + (8 if _any_off else 0)
+             and w >= win_w + (128 if _any_off else 0))
+
+    # offset windows are (8, 128) larger: the tile-alignment remainder of the DMA
+    # start (absorbed by the normalization roll) consumes up to (7, 127) of slack
+    any_off = any(offset_windows)
+    owin_h, owin_w = win_h + 8, win_w + 128
 
     center_inputs = [c if getattr(c, "ndim", 2) == 2
                      else jnp.broadcast_to(jnp.asarray(c), (h, w))
@@ -133,7 +149,9 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
         hbm_imgs = list(images)
         centers = list(center_inputs)
     else:
-        hbm_imgs = [jnp.pad(img, ((hy, hy + ph - h), (hx, hx + pw - w)), mode="edge")
+        ey, ex = (8, 128) if any_off else (0, 0)
+        hbm_imgs = [jnp.pad(img, ((hy, hy + ph - h + ey), (hx, hx + pw - w + ex)),
+                            mode="edge")
                     for img in images]
         centers = [jnp.pad(c, ((0, ph - h), (0, pw - w)), mode="edge")
                    for c in center_inputs]
@@ -141,6 +159,7 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     num_scalars = 0 if scalars is None else scalars.shape[0]
     n_center = len(centers)
     n_bs = len(block_scalars)
+    n_off = 2 if base_offset is not None else 0
     n_shadow = sum(bool(s) for s in shiftable)
     win_dtypes = [img.dtype for img in hbm_imgs]
 
@@ -150,6 +169,8 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
         if num_scalars:
             smem = refs[0]
             idx = 1
+        off_refs = refs[idx: idx + n_off]
+        idx += n_off
         bsm = list(refs[idx: idx + n_bs])
         idx += n_bs
         hbm_refs = refs[idx: idx + n_windows]
@@ -168,26 +189,46 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
         y0 = i * bh
         x0 = j * bw
 
+        # static-window start (comp in {0, +-halo} on the nopad path)
+        hh, ww = (h, w) if nopad else (ph + 2 * hy, pw + 2 * hx)
+        oy0 = y0 - hy if nopad else y0
+        ox0 = x0 - hx if nopad else x0
+        sy = jnp.clip(oy0, 0, hh - win_h)
+        sx = jnp.clip(ox0, 0, ww - win_w)
         if nopad:
-            sy = jnp.clip(y0 - hy, 0, h - win_h)
-            sx = jnp.clip(x0 - hx, 0, w - win_w)
             sy = pl.multiple_of(sy, 8)
             sx = pl.multiple_of(sx, 128)
-            cy, cx = (y0 - hy) - sy, (x0 - hx) - sx
-        else:
-            sy = pl.multiple_of(y0, 8)
-            sx = pl.multiple_of(x0, 128)
-            cy = cx = None
+        cy, cx = oy0 - sy, ox0 - sx
+        if base_offset is not None:
+            # Mosaic requires DMA starts aligned to the (8, 128) tile: floor-align and
+            # let the normalization roll absorb the remainder (one roll pair per
+            # offset window - the roll fires via the same pl.when as edge comp)
+            hhb = hh + (8 if not nopad else 0)
+            wwb = ww + (128 if not nopad else 0)
+            by = off_refs[0][i, j]
+            bx = off_refs[1][i, j]
+            syb = jnp.clip(oy0 + by, 0, hhb - owin_h)
+            sxb = jnp.clip(ox0 + bx, 0, wwb - owin_w)
+            syb = pl.multiple_of((syb // 8) * 8, 8)
+            sxb = pl.multiple_of((sxb // 128) * 128, 128)
+            cyb, cxb = (oy0 + by) - syb, (ox0 + bx) - sxb
 
-        copies = [pltpu.make_async_copy(
-            src.at[pl.ds(sy, win_h), pl.ds(sx, win_w)], dst, sem.at[k])
-            for k, (src, dst) in enumerate(zip(hbm_refs, win_refs))]
+        copies = []
+        for k, (src, dst) in enumerate(zip(hbm_refs, win_refs)):
+            if offset_windows[k]:
+                copies.append(pltpu.make_async_copy(
+                    src.at[pl.ds(syb, owin_h), pl.ds(sxb, owin_w)], dst, sem.at[k]))
+            else:
+                copies.append(pltpu.make_async_copy(
+                    src.at[pl.ds(sy, win_h), pl.ds(sx, win_w)], dst, sem.at[k]))
         for c in copies:
             c.start()
         for c in copies:
             c.wait()
-        if nopad:
-            for r in win_refs:
+        for k, r in enumerate(win_refs):
+            if offset_windows[k]:
+                _normalize(r, cyb, cxb)
+            elif nopad:
                 _normalize(r, cy, cx)
 
         sh_iter = iter(shadow_refs)
@@ -200,7 +241,7 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     in_specs = []
     if num_scalars:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_bs
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_off + n_bs)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_windows
     in_specs += [pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)] * n_center
@@ -211,13 +252,17 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
                       for _ in range(n_out))
 
     scratch_shapes = (
-        [pltpu.VMEM((win_h, win_w), dt) for dt in win_dtypes]
+        [pltpu.VMEM((owin_h, owin_w) if off else (win_h, win_w), dt)
+         for dt, off in zip(win_dtypes, offset_windows)]
         + [pltpu.VMEM((win_h, win_w), jnp.float32)
            for s in shiftable if s]
         + [pltpu.VMEM((bh, bw), jnp.float32) for _ in range(scratch_blocks)]
         + [pltpu.SemaphoreType.DMA((n_windows,))])
 
-    args = ([scalars] if num_scalars else []) + list(block_scalars) + hbm_imgs + centers
+    off_args = [jnp.asarray(o, jnp.int32) for o in base_offset] \
+        if base_offset is not None else []
+    args = ([scalars] if num_scalars else []) + off_args + list(block_scalars) \
+        + hbm_imgs + centers
     outs = pl.pallas_call(
         kernel, grid=(gh, gw),
         in_specs=in_specs,

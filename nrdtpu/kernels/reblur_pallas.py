@@ -36,6 +36,7 @@ from .. import math as nm
 from ..frontend import NRD_EPS, NRD_INF
 from . import reproject as rp
 from .harness import stencil_call
+from .harness2 import stencil_call2
 
 HALO = (32, 128)
 BLOCK = (64, 256)
@@ -110,7 +111,7 @@ def _prep(sc, mv_pix_y, mv_pix_x):
 # ---------------------------------------------------------------------------
 
 
-def _nearest_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
+def _nearest_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
     mvy = centers[0][:, :]
     mvx = centers[1][:, :]
     i, j = pl.program_id(0), pl.program_id(1)
@@ -121,7 +122,7 @@ def _nearest_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
     sels = [(dy, dx, ((ry == dy) & (rx == dx)).astype(jnp.float32))
             for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     for p in range(n_planes):
-        wb = wins[p].shifted(base_y, base_x)
+        wb = wins[p]
         acc = jnp.zeros_like(mvy)
         for dy, dx, m in sels:
             acc = acc + wb.tap(dy, dx) * m
@@ -136,10 +137,11 @@ def nearest_resolve(planes, mv_pix_y, mv_pix_x):
     motion deviates >1 px from the block base (callers treat them as off-screen)."""
     base_y, base_x = _prep(None, mv_pix_y, mv_pix_x)
     n = len(planes)
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_nearest_kernel, n), list(planes),
-        n_windows=n, n_out=n + 1, halo=HALO, block=BLOCK,
-        block_scalars=[base_y, base_x], center_inputs=[mv_pix_y, mv_pix_x])
+        n_out=n + 1, halo=HALO, block=BLOCK,
+        block_scalars=[base_y, base_x], center_inputs=[mv_pix_y, mv_pix_x],
+        base_offset=(base_y, base_x), offset_windows=[True] * n)
     return list(outs[:n]), outs[n]
 
 
@@ -151,7 +153,7 @@ _CENTER = ((1, 1), (2, 1), (1, 2), (2, 2))  # (i, j) == kernels.py CENTER_TAPS (
 _CORNER = ((0, 0), (3, 0), (0, 3), (3, 3))
 
 
-def _smb_kernel(n_hist, n_bil, mat_occlusion, smem, bsm, wins, centers, outs, origin):
+def _smb_kernel(n_hist, n_bil, mat_occlusion, smem, bsm, wins, centers, outs, origin, scratch):
     """See reblur_smb_resolve for the plane layout."""
     (zp_w, nr0, nr1, mat_w, dacc_w, sacc_w), rest = wins[:6], wins[6:]
     hist_wins = rest[:n_hist]
@@ -195,7 +197,7 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, smem, bsm, wins, centers, outs, or
 
     # footprints over base-shifted windows
     def fp(w):
-        return FP(w.shifted(base_y, base_x), my, mx)
+        return FP(w, my, mx)
 
     zfp = fp(zp_w)
     z_taps = [[jnp.abs(zfp.tap(i_, j_)) * view_z_scale for i_ in range(4)]
@@ -361,11 +363,12 @@ def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_th
                material_id_center]
     n_out = n_hist + n_bil + 11
     wdt = None
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_smb_kernel, n_hist, n_bil, mat_occ), windows,
-        n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
+        n_out=n_out, halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
-        window_dtypes=wdt)
+        base_offset=(base_y, base_x),
+        offset_windows=[True] * (len(windows) - 2) + [False, False])
     res = dict(hist=list(outs[:n_hist]), bil=list(outs[n_hist:n_hist + n_bil]))
     (res["diff_accum_speed"], res["spec_accum_speed"], res["fbits"],
      res["footprint_raw"], res["allow_catrom"], nx, ny, nz,
@@ -385,7 +388,7 @@ def _smooth01(x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def _vmb_kernel(mat_occlusion, smem, bsm, wins, centers, outs, origin):
+def _vmb_kernel(mat_occlusion, smem, bsm, wins, centers, outs, origin, scratch):
     (zp_w, rough_w, mat_w, sacc_w, h0, h1, h2, h3, fast_w, hdtp_w) = wins
     (mvy_r, mvx_r, noxc_r, thr_r, n0_r, n1_r, n2_r, v0_r, v1_r, v2_r,
      ra_r, rb_r, sig_r, psm_r, mat_c_r, smbcat_r) = centers
@@ -421,7 +424,7 @@ def _vmb_kernel(mat_occlusion, smem, bsm, wins, centers, outs, origin):
     fx = qx - jnp.where(mx, -1.0, 0.0)
 
     def fp(w):
-        return FP(w.shifted(base_y, base_x), my, mx)
+        return FP(w, my, mx)
 
     row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
@@ -555,11 +558,11 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
                ra, rb, roughness_sigma, parallax_sm, material_id_center,
                smb_allow_catrom]
     wdt = None
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_vmb_kernel, mat_occ), windows,
-        n_windows=len(windows), n_out=12, halo=HALO, block=BLOCK,
+        n_out=12, halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
-        window_dtypes=wdt)
+        base_offset=(base_y, base_x), offset_windows=[True] * len(windows))
     res = dict(spec_hist=jnp.stack(outs[:4], -1), spec_fast=outs[4],
                spec_accum_speed_raw=outs[5], fbits_vmb=outs[6],
                footprint_raw=outs[7], allow_catrom=outs[8], rough_conf=outs[9],
@@ -572,7 +575,7 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
 # ---------------------------------------------------------------------------
 
 
-def _shift_kernel(offsets, n_planes, smem, bsm, wins, centers, outs, origin):
+def _shift_kernel(offsets, n_planes, smem, bsm, wins, centers, outs, origin, scratch):
     k = 0
     for p in range(n_planes):
         for dy, dx in offsets:
@@ -586,13 +589,13 @@ def shift_planes(planes, offsets):
     Border pixels read edge-clamped values on the padded fallback path and wrapped values
     on the no-pad path (masked by callers' in-screen tests where it matters)."""
     n = len(planes)
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_shift_kernel, tuple(offsets), n), list(planes),
-        n_windows=n, n_out=n * len(offsets), halo=(8, 128), block=BLOCK)
+        n_out=n * len(offsets), halo=(8, 128), block=BLOCK)
     return [list(outs[p * len(offsets):(p + 1) * len(offsets)]) for p in range(n)]
 
 
-def _spec_prelude_kernel(smem, bsm, wins, centers, outs, origin):
+def _spec_prelude_kernel(smem, bsm, wins, centers, outs, origin, scratch):
     hdt_w, rough_w = wins
     hdt_min = hdt_w.tap()
     m1 = jnp.zeros_like(hdt_min)
@@ -613,8 +616,8 @@ def spec_prelude(hdt_src, roughness):
     """3x3 min hit-dist-for-tracking + roughness^2 moments (spec TA lines 62-111).
 
     hdt_src: hit dist with zeros already replaced by +inf (XLA side); roughness decoded."""
-    outs = stencil_call(_spec_prelude_kernel, [hdt_src, roughness],
-                        n_windows=2, n_out=3, halo=(8, 128), block=BLOCK)
+    outs = stencil_call2(_spec_prelude_kernel, [hdt_src, roughness],
+                         n_out=3, halo=(8, 128), block=BLOCK)
     return outs[0], outs[1], outs[2]
 
 
@@ -1130,7 +1133,7 @@ def history_fix_taps_pallas(sc, dc, config, *, signal, sh, view_z_in, normal_rou
 
 
 def _hdrecon_kernel(radius, has_d, has_s, mat_unused, rough_sq, smem, bsm, wins,
-                    centers, outs, origin):
+                    centers, outs, origin, scratch):
     zw = wins[0]
     nr = wins[1:5]
     wi = 5
@@ -1240,11 +1243,11 @@ def hitdist_recon_pallas(sc, dc, config, *, radius, view_z_in, normal_roughness,
                n[..., 0], n[..., 1], n[..., 2], nv[..., 0], nv[..., 1], nv[..., 2]]
     n_out = (hd_d is not None) + (hd_s is not None)
     wdt = None
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_hdrecon_kernel, radius, hd_d is not None, hd_s is not None,
                           False, rough_sq),
-        windows, n_windows=len(windows), n_out=n_out, halo=(8, 128), block=BLOCK,
-        scalars=scalars, center_inputs=centers, window_dtypes=wdt)
+        windows, n_out=n_out, halo=(8, 128), block=BLOCK,
+        scalars=scalars, center_inputs=centers)
     k = 0
     new_d = new_s = None
     if hd_d is not None:
@@ -1259,7 +1262,7 @@ def hitdist_recon_pallas(sc, dc, config, *, radius, view_z_in, normal_roughness,
 # ---------------------------------------------------------------------------
 
 
-def _hist_sample_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
+def _hist_sample_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
     ci = iter(centers)
     mvy = next(ci)[:, :]
     mvx = next(ci)[:, :]
@@ -1313,7 +1316,7 @@ def _hist_sample_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
             cat_wsum = cat_wsum + w_
 
     for p in range(n_planes):
-        fp_ = FP(wins[p].shifted(base_y, base_x), my, mx)
+        fp_ = FP(wins[p], my, mx)
         cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
         cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
                         cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
@@ -1331,14 +1334,15 @@ def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom):
     base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
     centers = [mv_pix_y, mv_pix_x, occ4[..., 0], occ4[..., 1], occ4[..., 2],
                occ4[..., 3], allow_catrom]
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_hist_sample_kernel, len(planes)), list(planes),
-        n_windows=len(planes), n_out=len(planes), halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers)
+        n_out=len(planes), halo=HALO, block=BLOCK,
+        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
+        base_offset=(base_y, base_x), offset_windows=[True] * len(planes))
     return list(outs)
 
 
-def _moments_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
+def _moments_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
     for p in range(n_planes):
         w_ = wins[p]
         c = w_.tap()
@@ -1362,13 +1366,13 @@ def _moments_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
 
 def moments_minmax_pallas(planes):
     """3x3 moments + cross min/max (RCRS) per plane: [(m1, m2, lmin, lmax), ...]."""
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_moments_kernel, len(planes)), list(planes),
-        n_windows=len(planes), n_out=4 * len(planes), halo=(8, 128), block=BLOCK)
+        n_out=4 * len(planes), halo=(8, 128), block=BLOCK)
     return [tuple(outs[4 * p:4 * p + 4]) for p in range(len(planes))]
 
 
-def _bilinear_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
+def _bilinear_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
     mvy = centers[0][:, :]
     mvx = centers[1][:, :]
     i, j = pl.program_id(0), pl.program_id(1)
@@ -1405,7 +1409,7 @@ def _bilinear_kernel(n_planes, smem, bsm, wins, centers, outs, origin):
         pw.append(bws[k] * scr * valid)
     pws = pw[0] + pw[1] + pw[2] + pw[3]
     for p in range(n_planes):
-        fp_ = FP(wins[p].shifted(base_y, base_x), my, mx)
+        fp_ = FP(wins[p], my, mx)
         acc = sum(fp_.tap(i_, j_) * pw[k] for k, (i_, j_) in enumerate(_CENTER))
         outs[p][:, :] = jnp.where(pws < 1e-4, 0.0,
                                   acc / jnp.where(pws < 1e-4, 1.0, pws))
@@ -1420,9 +1424,10 @@ def bilinear_resolve(sc, planes, mv_pix_y, mv_pix_x):
                          jnp.asarray(sc["rect_size_prev"][1], jnp.float32)])
     base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
     n = len(planes)
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_bilinear_kernel, n), list(planes),
-        n_windows=n, n_out=n + 1, halo=HALO, block=BLOCK,
+        n_out=n + 1, halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x],
-        center_inputs=[mv_pix_y, mv_pix_x])
+        center_inputs=[mv_pix_y, mv_pix_x],
+        base_offset=(base_y, base_x), offset_windows=[True] * n)
     return list(outs[:n]), outs[n]

@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from .. import math as nm
 from ..frontend import NRD_EPS
 from .harness import stencil_call
+from .harness2 import stencil_call2
 
 HALO = (32, 128)
 BLOCK = (64, 256)
@@ -69,7 +70,10 @@ def _luma(r, g, b):
 
 
 def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
-                   smem, bsm, wins, centers, outs, origin):
+                   smem, bsm, wins, centers, outs, origin, scratch):
+    """Jitter rides the window DMA offset (harness2 base_offset): all 8 neighbour taps
+    are static slices at +-step; center signal values arrive as center inputs so they
+    stay un-jittered. bsm carries the jitter only for the sample-coordinate math."""
     wi = iter(wins)
     zw = next(wi)
     nr = [next(wi) for _ in range(4)]
@@ -93,6 +97,8 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
         angle0 = next(ci)[:, :]
         f0 = next(ci)[:, :]
         slr = next(ci)[:, :]  # spec luminance relaxation
+    d_center = [next(ci)[:, :] for _ in range(4)] if has_diff else None
+    s_center = [next(ci)[:, :] for _ in range(4)] if has_spec else None
 
     i, j = pl.program_id(0), pl.program_id(1)
     jit_y = bsm[0][i, j] if bsm else 0
@@ -138,13 +144,10 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
     thr = thr_r[:, :]
 
     def T(w_, oy, ox):
-        # static offsets (no jitter) use the cheaper static roll path
-        if isinstance(oy, int) and isinstance(ox, int):
-            return w_.tap(oy, ox)
-        return w_.tap_dyn(oy, ox)
+        return w_.tap(oy, ox)  # always static: jitter is in the DMA offset
 
     def sig_center(ws_):
-        return [ws_[c].tap() for c in range(4)]
+        return list(d_center if ws_ is dw else s_center)
 
     def tap_planes(ws_, oy, ox):
         return [T(ws_[c], oy, ox) for c in range(4)]
@@ -190,12 +193,14 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
                 if xx == 0 and yy == 0:
                     continue
                 kern = _G3[abs(xx)] * _G3[abs(yy)]
-                oy = yy * step_size + jit_y
-                ox = xx * step_size + jit_x
-                us = u + ox * inv_w if isinstance(ox, int) else \
-                    u + ox.astype(jnp.float32) * inv_w
-                vs = v + oy * inv_h if isinstance(oy, int) else \
-                    v + oy.astype(jnp.float32) * inv_h
+                oy = yy * step_size  # static tap; jitter is in the DMA offset
+                ox = xx * step_size
+                ofy = oy + jit_y     # true sample position for coordinate math
+                ofx = ox + jit_x
+                us = u + ofx * inv_w if isinstance(ofx, int) else \
+                    u + ofx.astype(jnp.float32) * inv_w
+                vs = v + ofy * inv_h if isinstance(ofy, int) else \
+                    v + ofy.astype(jnp.float32) * inv_h
                 inside = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)) \
                     .astype(jnp.float32)
                 zs = jnp.abs(T(zw, oy, ox)) * view_z_scale
@@ -338,14 +343,24 @@ def relax_atrous_pallas(sc, dc, config, *, step_size, is_first, view_z_in,
                material_id, history_length, diff_nwp, diff_lum_relax, nwp_sve]
     if has_spec:
         centers += [spec_nwp_simpl, ra, rb, angle0, f0, spec_lum_relax]
+    # un-jittered center signal values (the windows may be DMA-offset by the jitter)
+    if has_diff:
+        centers += [diff[..., c] for c in range(4)]
+    if has_spec:
+        centers += [spec[..., c] for c in range(4)]
 
     bsm = list(jitter) if jitter is not None else []
+    # halo must cover the static +-step tap reach (jitter rides the DMA offset)
+    halo = (max(HALO[0], -(-step_size // 8) * 8),
+            max(HALO[1], -(-step_size // 128) * 128))
     n_out = 4 * (int(has_diff) + int(has_spec))
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_atrous_kernel, step_size, is_first, has_diff, has_spec,
                           mat_occ, rough_sq),
-        windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=bsm, center_inputs=centers)
+        windows, n_out=n_out, halo=halo, block=BLOCK,
+        scalars=scalars, block_scalars=bsm, center_inputs=centers,
+        base_offset=jitter if jitter is not None else None,
+        offset_windows=[True] * len(windows) if jitter is not None else None)
     k = 0
     diff_out = spec_out = None
     if has_diff:
@@ -361,7 +376,7 @@ def relax_atrous_pallas(sc, dc, config, *, step_size, is_first, view_z_in,
 # ---------------------------------------------------------------------------
 
 
-def _clamp_moments_kernel(n_sig, smem, bsm, wins, centers, outs, origin):
+def _clamp_moments_kernel(n_sig, smem, bsm, wins, centers, outs, origin, scratch):
     valid_w = wins[0]
     k_out = 0
     for s_ in range(n_sig):
@@ -406,9 +421,9 @@ def relax_clamp_moments_pallas(is_valid, sig_planes):
         windows += [resp_y[..., c] for c in range(3)]
         windows += [noisy[..., c] for c in range(3)]
     n_sig = len(sig_planes)
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_clamp_moments_kernel, n_sig), windows,
-        n_windows=len(windows), n_out=10 * n_sig, halo=(8, 128), block=BLOCK)
+        n_out=10 * n_sig, halo=(8, 128), block=BLOCK)
     res = []
     for s_ in range(n_sig):
         o = outs[10 * s_: 10 * s_ + 10]
@@ -417,7 +432,7 @@ def relax_clamp_moments_pallas(is_valid, sig_planes):
     return res
 
 
-def _firefly_kernel(n_sig, mat_occ, smem, bsm, wins, centers, outs, origin):
+def _firefly_kernel(n_sig, mat_occ, smem, bsm, wins, centers, outs, origin, scratch):
     mat_w = wins[0]
     min_mats = [smem[0], smem[1]]
     mat_c = mat_w.tap()
@@ -465,9 +480,9 @@ def relax_antifirefly_pallas(sc, dc, config, material_id, sig_rgbs):
     for rgb, _ in sig_rgbs:
         windows += [rgb[..., c] for c in range(3)]
     n_sig = len(sig_rgbs)
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_firefly_kernel, n_sig, mat_occ), windows,
-        n_windows=len(windows), n_out=3 * n_sig, halo=(8, 128), block=BLOCK,
+        n_out=3 * n_sig, halo=(8, 128), block=BLOCK,
         scalars=scalars)
     return [jnp.stack(outs[3 * s_: 3 * s_ + 3], -1) for s_ in range(n_sig)]
 
@@ -494,7 +509,7 @@ def _pre_level_weights(radius):
     return ws
 
 
-def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, origin):
+def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, origin, scratch):
     wi = iter(wins)
     zw = next(wi)
     nr = [next(wi) for _ in range(4)]
@@ -559,74 +574,102 @@ def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, 
             out.append(jnp.where(ortho == 0.0, persp, orth))
         return out
 
-    lw_all = _pre_level_weights(radius)
     gauss = [float(np.exp(-0.66 * t[2] * t[2])) for t in nm.SPECIAL_8]
-
-    acc = [sig[c].tap() for c in range(4)]
-    if is_spec:
-        acc[3] = jnp.zeros((bh, bw), jnp.float32)  # hit tracked as min, not averaged
-        min_hit = jnp.where(hit_c == 0.0, jnp.float32(65504.0 * 65504.0), hit_c)
-    wsum = jnp.ones((bh, bw), jnp.float32)
-
-    for k in range(8):
-        dir_x = dirs[2 * k]
-        dir_y = dirs[2 * k + 1]
-        for li, lv in enumerate(PRE_RADIUS_LEVELS):
-            ox = jnp.clip(jnp.round(dir_x * lv).astype(jnp.int32), -32, 32)
-            oy = jnp.clip(jnp.round(dir_y * lv).astype(jnp.int32), -32, 32)
-            us = u + ox.astype(jnp.float32) * inv_w
-            vs = v + oy.astype(jnp.float32) * inv_h
-            zs = jnp.abs(zw.tap_dyn(oy, ox)) * view_z_scale
-            n0 = nr[0].tap_dyn(oy, ox)
-            n1 = nr[1].tap_dyn(oy, ox)
-            rs_raw = nr[2].tap_dyn(oy, ox)
-            rs = rs_raw * rs_raw if rough_sq == 1 else (
-                jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
-            nsx, nsy, nsz = _decode_oct(n0, n1)
-            xsx, xsy, xsz = world_pos(us, vs, zs)
-
-            w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)).astype(jnp.float32)
-            w_ = w_ * (zs < denoising_range).astype(jnp.float32)
-            if mat_occ:
-                ms = nr[3].tap_dyn(oy, ox)
-                w_ = w_ * (jnp.maximum(mat_c, min_material)
-                           == jnp.maximum(ms, min_material)).astype(jnp.float32)
-            if is_spec:
-                w_ = w_ * _sstep10(jnp.abs(rs * ra + rb))
-            angle = _acos_approx(nx_ * nsx + ny_ * nsy + nz_ * nsz)
-            w_ = w_ * _sstep10(jnp.abs(angle * nwp))
-            pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_ + (xsz - xz_) * nz_)
-            w_ = w_ * (pd <= thr).astype(jnp.float32)
-
-            s_t = [sig[c].tap_dyn(oy, ox) for c in range(4)]
-            s_t = [jnp.where(w_ == 0.0, 0.0, st) for st in s_t]
-            y = -3.0 * jnp.abs(s_t[3] * ha + hb)
-            w_ = w_ * (mhdw + (1.0 - mhdw) * (1.0 / (y * y - y + 1.0)))
-            w_ = w_ * gauss[k] * lw_all[li]
-
-            if is_spec:
-                dx_ = xsx - xx_
-                dy_ = xsy - xy_
-                dz_ = xsz - xz_
-                d = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
-                t = s_t[3] / (hit_c + d + NRD_EPS)
-                w_ = w_ * (jnp.clip(t, 0.0, 1.0)
-                           + (1.0 - jnp.clip(t, 0.0, 1.0)) * rough_term)
-                take = (w_ != 0.0) & (s_t[3] != 0.0)
-                min_hit = jnp.where(take, jnp.minimum(min_hit, s_t[3]), min_hit)
-
-            wsum = wsum + w_
-            for c in range(3):
-                acc[c] = acc[c] + s_t[c] * w_
-            if not is_spec:
-                acc[3] = acc[3] + s_t[3] * w_
+    # static tap lattice (unrotated SPECIAL_8 x PRE_RADIUS_LEVELS, like reblur_blur2)
+    static_offs = []
+    for tap in np.asarray(nm.SPECIAL_8):
+        static_offs.append([
+            (int(np.clip(round(float(tap[1]) * lv), -32, 32)),
+             int(np.clip(round(float(tap[0]) * lv), -32, 32)))
+            for lv in PRE_RADIUS_LEVELS])
 
     for c in range(3):
-        outs[c][:, :] = acc[c] / wsum
+        outs[c][:, :] = sig[c].tap()
     if is_spec:
-        outs[3][:, :] = jnp.where(min_hit >= 65504.0 * 65504.0, 0.0, min_hit)
+        outs[3][:, :] = jnp.where(hit_c == 0.0, jnp.float32(65504.0 * 65504.0), hit_c)
     else:
-        outs[3][:, :] = acc[3] / wsum
+        outs[3][:, :] = sig[3].tap()
+    scratch[0][:, :] = jnp.ones((bh, bw), jnp.float32)
+
+    i_b, j_b = pl.program_id(0), pl.program_id(1)
+    rmin = jnp.maximum(bsm[0][i_b, j_b], jnp.float32(PRE_RADIUS_LEVELS[0]))
+    rmax = jnp.minimum(bsm[1][i_b, j_b], jnp.float32(PRE_RADIUS_LEVELS[-1]))
+    lo_s = [-1e9] + list(PRE_RADIUS_LEVELS[:-1])
+    hi_s = list(PRE_RADIUS_LEVELS[1:]) + [1e9]
+
+    radius_c = jnp.clip(radius, PRE_RADIUS_LEVELS[0], PRE_RADIUS_LEVELS[-1])
+    for li in range(len(PRE_RADIUS_LEVELS)):
+        active = (rmax > jnp.float32(lo_s[li])) & (rmin < jnp.float32(hi_s[li]))
+
+        @pl.when(active)
+        def _(li=li):
+            lw = _pre_level_weights(radius_c)[li]
+            acc = [outs[c][:, :] for c in range(3)]
+            acc3 = outs[3][:, :]
+            wsum = scratch[0][:, :]
+            for k in range(8):
+                oy, ox = static_offs[k][li]
+                us = u + ox * inv_w
+                vs = v + oy * inv_h
+                zs = jnp.abs(zw.tap(oy, ox)) * view_z_scale
+                n0 = nr[0].tap(oy, ox)
+                n1 = nr[1].tap(oy, ox)
+                rs_raw = nr[2].tap(oy, ox)
+                rs = rs_raw * rs_raw if rough_sq == 1 else (
+                    jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
+                nsx, nsy, nsz = _decode_oct(n0, n1)
+                xsx, xsy, xsz = world_pos(us, vs, zs)
+
+                w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
+                      & (vs < 1.0)).astype(jnp.float32)
+                w_ = w_ * (zs < denoising_range).astype(jnp.float32)
+                if mat_occ:
+                    ms = nr[3].tap(oy, ox)
+                    w_ = w_ * (jnp.maximum(mat_c, min_material)
+                               == jnp.maximum(ms, min_material)).astype(jnp.float32)
+                if is_spec:
+                    w_ = w_ * _sstep10(jnp.abs(rs * ra + rb))
+                angle = _acos_approx(nx_ * nsx + ny_ * nsy + nz_ * nsz)
+                w_ = w_ * _sstep10(jnp.abs(angle * nwp))
+                pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_ + (xsz - xz_) * nz_)
+                w_ = w_ * (pd <= thr).astype(jnp.float32)
+
+                s_t = [sig[c].tap(oy, ox) for c in range(4)]
+                s_t = [jnp.where(w_ == 0.0, 0.0, st) for st in s_t]
+                y = -3.0 * jnp.abs(s_t[3] * ha + hb)
+                w_ = w_ * (mhdw + (1.0 - mhdw) * (1.0 / (y * y - y + 1.0)))
+                w_ = w_ * gauss[k] * lw
+
+                if is_spec:
+                    dx_ = xsx - xx_
+                    dy_ = xsy - xy_
+                    dz_ = xsz - xz_
+                    d = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+                    t = s_t[3] / (hit_c + d + NRD_EPS)
+                    w_ = w_ * (jnp.clip(t, 0.0, 1.0)
+                               + (1.0 - jnp.clip(t, 0.0, 1.0)) * rough_term)
+                    take = (w_ != 0.0) & (s_t[3] != 0.0)
+                    acc3 = jnp.where(take, jnp.minimum(acc3, s_t[3]), acc3)
+                else:
+                    acc3 = acc3 + s_t[3] * w_
+
+                wsum = wsum + w_
+                for c in range(3):
+                    acc[c] = acc[c] + s_t[c] * w_
+
+            for c in range(3):
+                outs[c][:, :] = acc[c]
+            outs[3][:, :] = acc3
+            scratch[0][:, :] = wsum
+
+    inv = 1.0 / scratch[0][:, :]
+    for c in range(3):
+        outs[c][:, :] = outs[c][:, :] * inv
+    if is_spec:
+        mh = outs[3][:, :]
+        outs[3][:, :] = jnp.where(mh >= 65504.0 * 65504.0, 0.0, mh)
+    else:
+        outs[3][:, :] = outs[3][:, :] * inv
 
 
 def relax_prepass_taps_pallas(sc, dc, config, *, is_spec, signal, view_z_in,
@@ -667,10 +710,13 @@ def relax_prepass_taps_pallas(sc, dc, config, *, is_spec, signal, view_z_in,
                x[..., 0], x[..., 1], x[..., 2]]
     if is_spec:
         centers += [ra, rb, roughness]
-    outs = stencil_call(
+    from .harness2 import block_minmax
+    rmin_b, rmax_b = block_minmax(blur_radius, BLOCK, HALO)
+    outs = stencil_call2(
         functools.partial(_prepass_kernel, is_spec, mat_occ, rough_sq),
-        windows, n_windows=len(windows), n_out=4, halo=HALO, block=BLOCK,
-        scalars=scalars, center_inputs=centers)
+        windows, n_out=4, halo=HALO, block=BLOCK,
+        scalars=scalars, center_inputs=centers,
+        block_scalars=[rmin_b, rmax_b], scratch_blocks=1)
     return jnp.stack(outs, -1)
 
 
@@ -687,7 +733,7 @@ _CORNER4 = ((0, 0), (3, 0), (0, 3), (3, 3))
 
 
 def _relax_smb_kernel(has_spec, n_hist, mat_occ, smem, bsm, wins, centers, outs,
-                      origin):
+                      origin, scratch):
     wi = iter(wins)
     zp_w = next(wi)
     mat_w = next(wi)
@@ -745,7 +791,7 @@ def _relax_smb_kernel(has_spec, n_hist, mat_occ, smem, bsm, wins, centers, outs,
     nau = [a * inv_na for a in na]
 
     def fp(w_):
-        return _FP(w_.shifted(base_y, base_x), my, mx)
+        return _FP(w_, my, mx)  # prev-frame windows arrive pre-shifted by the DMA base
 
     row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
@@ -880,10 +926,13 @@ def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr
 
     n_hist = len(hist_planes)
     n_out = n_hist + 10 + (2 if has_spec else 0)
-    outs = stencil_call(
+    n_cur = 3 if has_spec else 2  # trailing current-frame windows (cnr, cur_spec_hit)
+    outs = stencil_call2(
         functools.partial(_relax_smb_kernel, has_spec, n_hist, mat_occ),
-        windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers)
+        windows, n_out=n_out, halo=HALO, block=BLOCK,
+        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
+        base_offset=(base_y, base_x),
+        offset_windows=[True] * (len(windows) - n_cur) + [False] * n_cur)
     res = dict(hist=list(outs[:n_hist]))
     k = n_hist
     res["history_length"] = outs[k]; k += 1
@@ -898,7 +947,7 @@ def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr
     return res
 
 
-def _relax_vmb_kernel(mat_occ, smem, bsm, wins, centers, outs, origin):
+def _relax_vmb_kernel(mat_occ, smem, bsm, wins, centers, outs, origin, scratch):
     wi = iter(wins)
     zp_w = next(wi)
     mat_w = next(wi)
@@ -935,7 +984,7 @@ def _relax_vmb_kernel(mat_occ, smem, bsm, wins, centers, outs, origin):
     fx = qx - jnp.where(mx, -1.0, 0.0)
 
     def fp(w_):
-        return _FP(w_.shifted(base_y, base_x), my, mx)
+        return _FP(w_, my, mx)  # prev-frame windows arrive pre-shifted by the DMA base
 
     row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
@@ -1069,10 +1118,11 @@ def relax_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, n, x_minus_delta,
     centers = [mv_pix_y, mv_pix_x, n[..., 0], n[..., 1], n[..., 2],
                x_minus_delta[..., 0], x_minus_delta[..., 1], x_minus_delta[..., 2],
                thr_base, material_id, smb_bicubic.astype(jnp.float32)]
-    outs = stencil_call(
+    outs = stencil_call2(
         functools.partial(_relax_vmb_kernel, mat_occ),
-        windows, n_windows=len(windows), n_out=15, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers)
+        windows, n_out=15, halo=HALO, block=BLOCK,
+        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
+        base_offset=(base_y, base_x), offset_windows=[True] * len(windows))
     return dict(spec_vmb=jnp.stack(outs[0:4], -1),
                 spec_vmb_resp=jnp.stack(outs[4:8], -1),
                 hit_t=outs[8], nr_packed=jnp.stack(outs[9:13], -1),
@@ -1102,7 +1152,7 @@ def _hf_stride_weights(stride):
 
 
 def _relax_hfix_kernel(has_diff, has_spec, mat_occ, smem, bsm, wins, centers, outs,
-                       origin):
+                       origin, scratch):
     wi = iter(wins)
     zw = next(wi)
     nr = [next(wi) for _ in range(4)]
@@ -1154,83 +1204,130 @@ def _relax_hfix_kernel(has_diff, has_spec, mat_occ, smem, bsm, wins, centers, ou
             out.append(jnp.where(ortho == 0.0, persp, orth))
         return out
 
-    lw_all = _hf_stride_weights(stride)
-
-    d_acc = [dsig[c].tap() for c in range(4)] if has_diff else None
-    s_acc = [ssig[c].tap() for c in range(4)] if has_spec else None
-    d_wsum = jnp.ones((bh, bw), jnp.float32)
-    s_wsum = jnp.ones((bh, bw), jnp.float32)
-
-    for li, lv in enumerate(HF_STRIDE_LEVELS):
-        for j_ in range(-2, 3):
-            for i_ in range(-2, 3):
-                if i_ == 0 and j_ == 0:
-                    continue
-                ox = max(-28, min(28, int(round(i_ * lv))))
-                oy = max(-28, min(28, int(round(j_ * lv))))
-                us = u + ox * inv_w
-                vs = v + oy * inv_h
-                inside = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)) \
-                    .astype(jnp.float32)
-                zs = jnp.abs(zw.tap(oy, ox)) * view_z_scale
-                n0 = nr[0].tap(oy, ox)
-                n1 = nr[1].tap(oy, ox)
-                nsx, nsy, nsz = _decode_oct(n0, n1)
-                xsx, xsy, xsz = world_pos(us, vs, zs)
-                pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_
-                             + (xsz - xz_) * nz_)
-                gw = (pd < thr).astype(jnp.float32) * lw_all[li]
-                ndn = nx_ * nsx + ny_ * nsy + nz_ * nsz
-                if has_diff:
-                    dw = gw * jnp.exp(jnp.log(jnp.maximum(0.01, ndn))
-                                      * jnp.maximum(norm_power, 0.01))
-                    dw = dw * inside
-                    if mat_occ:
-                        ms = nr[3].tap(oy, ox)
-                        dw = dw * (jnp.maximum(ms, min_mat_d)
-                                   == jnp.maximum(mat_c, min_mat_d)) \
-                            .astype(jnp.float32)
-                    keep = dw > 1e-4
-                    for c in range(4):
-                        s_t = dsig[c].tap(oy, ox)
-                        d_acc[c] = d_acc[c] + jnp.where(keep, s_t * dw, 0.0)
-                    d_wsum = d_wsum + jnp.where(keep, dw, 0.0)
-                if has_spec:
-                    tx = xsx + rough_relax * xx_
-                    ty = xsy + rough_relax * xy_
-                    tz = xsz + rough_relax * xz_
-                    inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz,
-                                                    1e-15))
-                    svx, svy, svz = -tx * inv, -ty * inv, -tz * inv
-                    cosa = jnp.minimum(ndn, cvx * svx + cvy * svy + cvz * svz)
-                    a_ = _smoothstep(0.0, angle0, _acos_approx(cosa))
-                    sw_ = gw * jnp.clip(1.0 - a_ * f0, 0.0, 1.0)
-                    sw_ = sw_ * inside
-                    if mat_occ:
-                        ms = nr[3].tap(oy, ox)
-                        sw_ = sw_ * (jnp.maximum(ms, min_mat_s)
-                                     == jnp.maximum(mat_c, min_mat_s)) \
-                            .astype(jnp.float32)
-                    keep = sw_ > 1e-4
-                    for c in range(4):
-                        s_t = ssig[c].tap(oy, ox)
-                        s_acc[c] = s_acc[c] + jnp.where(keep, s_t * sw_, 0.0)
-                    s_wsum = s_wsum + jnp.where(keep, sw_, 0.0)
-
-    k = 0
+    # init: pass-through (the caller's apply_fix select keeps these elsewhere)
+    n_d = 4 if has_diff else 0
     if has_diff:
         for c in range(4):
-            outs[k][:, :] = d_acc[c] / d_wsum
-            k += 1
+            outs[c][:, :] = dsig[c].tap()
     if has_spec:
         for c in range(4):
-            outs[k][:, :] = s_acc[c] / s_wsum
-            k += 1
+            outs[n_d + c][:, :] = ssig[c].tap()
+    i_b, j_b = pl.program_id(0), pl.program_id(1)
+    smin = jnp.maximum(bsm[0][i_b, j_b], jnp.float32(HF_STRIDE_LEVELS[0]))
+    smax = jnp.minimum(bsm[1][i_b, j_b], jnp.float32(HF_STRIDE_LEVELS[-1]))
+    fix_any = bsm[2][i_b, j_b]
+
+    @pl.when(fix_any > 0.0)
+    def _():
+        _relax_hfix_taps(has_diff, has_spec, mat_occ, smin, smax, stride, thr,
+                         nx_, ny_, nz_, xx_, xy_, xz_, cvx, cvy, cvz, mat_c,
+                         angle0 if has_spec else None, f0 if has_spec else None,
+                         zw, nr, dsig, ssig, u, v, inv_w, inv_h, world_pos,
+                         view_z_scale, norm_power, rough_relax, min_mat_d, min_mat_s,
+                         outs, scratch, bh, bw)
+
+
+_HF_LO = [-1e9] + list(HF_STRIDE_LEVELS[:-1])
+_HF_HI = list(HF_STRIDE_LEVELS[1:]) + [1e9]
+
+
+def _relax_hfix_taps(has_diff, has_spec, mat_occ, smin, smax, stride, thr,
+                     nx_, ny_, nz_, xx_, xy_, xz_, cvx, cvy, cvz, mat_c,
+                     angle0, f0, zw, nr, dsig, ssig, u, v, inv_w, inv_h, world_pos,
+                     view_z_scale, norm_power, rough_relax, min_mat_d, min_mat_s,
+                     outs, scratch, bh, bw):
+    from jax.experimental import pallas as pl  # local alias for the nested whens
+
+    lw_all = _hf_stride_weights(stride)
+    n_d = 4 if has_diff else 0
+    scratch[0][:, :] = jnp.ones((bh, bw), jnp.float32)
+    scratch[1][:, :] = jnp.ones((bh, bw), jnp.float32)
+
+    for li, lv in enumerate(HF_STRIDE_LEVELS):
+        active = (smax > jnp.float32(_HF_LO[li])) & (smin < jnp.float32(_HF_HI[li]))
+
+        @pl.when(active)
+        def _(li=li, lv=lv):
+            d_acc = [outs[c][:, :] for c in range(4)] if has_diff else None
+            s_acc = [outs[n_d + c][:, :] for c in range(4)] if has_spec else None
+            d_wsum = scratch[0][:, :]
+            s_wsum = scratch[1][:, :]
+            for j_ in range(-2, 3):
+                for i_ in range(-2, 3):
+                    if i_ == 0 and j_ == 0:
+                        continue
+                        ox = max(-28, min(28, int(round(i_ * lv))))
+                        oy = max(-28, min(28, int(round(j_ * lv))))
+                        us = u + ox * inv_w
+                        vs = v + oy * inv_h
+                        inside = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)) \
+                            .astype(jnp.float32)
+                        zs = jnp.abs(zw.tap(oy, ox)) * view_z_scale
+                        n0 = nr[0].tap(oy, ox)
+                        n1 = nr[1].tap(oy, ox)
+                        nsx, nsy, nsz = _decode_oct(n0, n1)
+                        xsx, xsy, xsz = world_pos(us, vs, zs)
+                        pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_
+                                     + (xsz - xz_) * nz_)
+                        gw = (pd < thr).astype(jnp.float32) * lw_all[li]
+                        ndn = nx_ * nsx + ny_ * nsy + nz_ * nsz
+                        if has_diff:
+                            dw = gw * jnp.exp(jnp.log(jnp.maximum(0.01, ndn))
+                                              * jnp.maximum(norm_power, 0.01))
+                            dw = dw * inside
+                            if mat_occ:
+                                ms = nr[3].tap(oy, ox)
+                                dw = dw * (jnp.maximum(ms, min_mat_d)
+                                           == jnp.maximum(mat_c, min_mat_d)) \
+                                    .astype(jnp.float32)
+                            keep = dw > 1e-4
+                            for c in range(4):
+                                s_t = dsig[c].tap(oy, ox)
+                                d_acc[c] = d_acc[c] + jnp.where(keep, s_t * dw, 0.0)
+                            d_wsum = d_wsum + jnp.where(keep, dw, 0.0)
+                        if has_spec:
+                            tx = xsx + rough_relax * xx_
+                            ty = xsy + rough_relax * xy_
+                            tz = xsz + rough_relax * xz_
+                            inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz,
+                                                            1e-15))
+                            svx, svy, svz = -tx * inv, -ty * inv, -tz * inv
+                            cosa = jnp.minimum(ndn, cvx * svx + cvy * svy + cvz * svz)
+                            a_ = _smoothstep(0.0, angle0, _acos_approx(cosa))
+                            sw_ = gw * jnp.clip(1.0 - a_ * f0, 0.0, 1.0)
+                            sw_ = sw_ * inside
+                            if mat_occ:
+                                ms = nr[3].tap(oy, ox)
+                                sw_ = sw_ * (jnp.maximum(ms, min_mat_s)
+                                             == jnp.maximum(mat_c, min_mat_s)) \
+                                    .astype(jnp.float32)
+                            keep = sw_ > 1e-4
+                            for c in range(4):
+                                s_t = ssig[c].tap(oy, ox)
+                                s_acc[c] = s_acc[c] + jnp.where(keep, s_t * sw_, 0.0)
+                            s_wsum = s_wsum + jnp.where(keep, sw_, 0.0)
+            if has_diff:
+                for c in range(4):
+                    outs[c][:, :] = d_acc[c]
+                scratch[0][:, :] = d_wsum
+            if has_spec:
+                for c in range(4):
+                    outs[n_d + c][:, :] = s_acc[c]
+                scratch[1][:, :] = s_wsum
+
+    if has_diff:
+        inv_d = 1.0 / scratch[0][:, :]
+        for c in range(4):
+            outs[c][:, :] = outs[c][:, :] * inv_d
+    if has_spec:
+        inv_s = 1.0 / scratch[1][:, :]
+        for c in range(4):
+            outs[n_d + c][:, :] = outs[n_d + c][:, :] * inv_s
 
 
 def relax_history_fix_pallas(sc, dc, config, *, stride, thr_eff, n, x, cv, material_id,
-                             view_z_in, normal_roughness, diff, spec, angle0=None,
-                             f0=None):
+                             view_z_in, normal_roughness, diff, spec, apply_fix=None,
+                             angle0=None, f0=None):
     """RELAX HistoryFix sparse 5x5 taps on Pallas; per-pixel stride via HF_STRIDE_LEVELS
     hat blending (documented divergence vs continuous stride)."""
     has_diff = diff is not None
@@ -1262,10 +1359,15 @@ def relax_history_fix_pallas(sc, dc, config, *, stride, thr_eff, n, x, cv, mater
     if has_spec:
         centers += [angle0, f0]
     n_out = 4 * (int(has_diff) + int(has_spec))
-    outs = stencil_call(
+    from .harness2 import block_minmax
+    smin_b, smax_b = block_minmax(stride, BLOCK, HALO)
+    fix = apply_fix if apply_fix is not None else jnp.ones_like(stride, bool)
+    fix_b = block_minmax(fix.astype(jnp.float32), BLOCK, HALO)[1]
+    outs = stencil_call2(
         functools.partial(_relax_hfix_kernel, has_diff, has_spec, mat_occ),
-        windows, n_windows=len(windows), n_out=n_out, halo=HALO, block=BLOCK,
-        scalars=scalars, center_inputs=centers)
+        windows, n_out=n_out, halo=HALO, block=BLOCK,
+        scalars=scalars, center_inputs=centers,
+        block_scalars=[smin_b, smax_b, fix_b], scratch_blocks=2)
     k = 0
     d_out = s_out = None
     if has_diff:

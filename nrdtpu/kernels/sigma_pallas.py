@@ -33,6 +33,7 @@ from ..frontend import NRD_EPS, NRD_FP16_MAX
 from ..ops import tiles
 from . import reproject as rp
 from .harness import stencil_call
+from .harness2 import stencil_call2
 
 HALO_Y = 32
 HALO_X = 128
@@ -314,17 +315,22 @@ def sigma_blur_pallas(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughnes
 # TemporalStabilization (fully in-kernel; block-base + tent-residual reprojection)
 # =============================================================================
 
-def _sigma_ts_kernel(smem, bsm, wins, centers, outs, origin):
+def _sigma_ts_kernel(channels, smem, bsm, wins, centers, outs, origin, scratch):
     """In-kernel part of TemporalStabilization: history gather + moments + clamp.
 
     All elementwise position math (both MV branches, prev-view plane distance threshold)
     happens XLA-side in sigma_ts_pallas and arrives as derived planes: per-pixel motion in
     pixels (mvy/mvx), the expected previous view-space depth (xv_prev_z), and the
     pre-masked disocclusion threshold (thr, includes in-screen and validity)."""
-    pen_w, s_w, pz_w, hl_w, hist_w = wins
+    pen_w = wins[0]
+    s_ws = wins[1:1 + channels]
+    pz_w = wins[1 + channels]
+    hl_w = wins[2 + channels]
+    hist_ws = wins[3 + channels:3 + 2 * channels]
     z_ref, exp_ref, thr_ref, mvy_ref, mvx_ref, tile_ref = centers
-    out_ref, hl_out = outs
-    bh, bw = out_ref.shape[:2]
+    out_refs = outs[:channels]
+    hl_out = outs[channels]
+    bh, bw = mvy_ref.shape[:2]
 
     stab_strength = smem[0]
     denoising_range = smem[1]
@@ -335,8 +341,8 @@ def _sigma_ts_kernel(smem, bsm, wins, centers, outs, origin):
     base_x = bsm[1][i, j]
 
     pen = pen_w.tap()
-    shadow = s_w.tap()
-    shadow = shadow * shadow
+    shadow = [sw.tap() for sw in s_ws]
+    shadow = [t * t for t in shadow]
     view_z = z_ref[:, :]          # already |.| * view_z_scale
     xv_prev_z = exp_ref[:, :]
     mvy = mvy_ref[:, :]
@@ -349,37 +355,34 @@ def _sigma_ts_kernel(smem, bsm, wins, centers, outs, origin):
     qx = jnp.clip(qx, -1.0, 0.999)
     thr = thr_ref[:, :] * valid - (1.0 - valid)  # invalid -> threshold < 0 rejects all
 
-    pz_b = pz_w.shifted(base_y, base_x)
-    hl_b = hl_w.shifted(base_y, base_x)
-    hist_b = hist_w.shifted(base_y, base_x)
-
-    hist_acc = jnp.zeros((bh, bw), jnp.float32)
+    # prev-frame windows arrive pre-shifted by the DMA base offset
+    hist_acc = [jnp.zeros((bh, bw), jnp.float32) for _ in range(channels)]
     hl_acc = jnp.zeros((bh, bw), jnp.float32)
     wsum = jnp.zeros((bh, bw), jnp.float32)
     for dy in rp.TAPS:
         wy_ = rp.tent_weight(qy, dy)
         for dx in rp.TAPS:
             wgt = wy_ * rp.tent_weight(qx, dx)
-            z_t = pz_b.tap(dy, dx)
+            z_t = pz_w.tap(dy, dx)
             occ = (jnp.abs(z_t - xv_prev_z) <= thr).astype(jnp.float32)
             w_ = wgt * occ
-            hist_acc = hist_acc + hist_b.tap(dy, dx) * w_
-            hl_acc = hl_acc + hl_b.tap(dy, dx) * w_
+            hist_acc = [a + hw.tap(dy, dx) * w_ for a, hw in zip(hist_acc, hist_ws)]
+            hl_acc = hl_acc + hl_w.tap(dy, dx) * w_
             wsum = wsum + w_
 
     inv = jnp.where(wsum < 1e-4, 0.0, 1.0 / jnp.maximum(wsum, 1e-4))
-    history = jnp.clip(hist_acc * inv, 0.0, 1.0)
-    history = history * history  # unpack sqrt packing
+    history = [jnp.clip(a * inv, 0.0, 1.0) for a in hist_acc]
+    history = [t * t for t in history]  # unpack sqrt packing
     history_length = hl_acc * inv
 
     # ---- 5x5 moments (SIGMA_TemporalStabilization.hlsli:73-108) ----
-    m1 = jnp.zeros((bh, bw), jnp.float32)
-    m2 = jnp.zeros((bh, bw), jnp.float32)
+    m1 = [jnp.zeros((bh, bw), jnp.float32) for _ in range(channels)]
+    m2 = [jnp.zeros((bh, bw), jnp.float32) for _ in range(channels)]
     msum = jnp.zeros((bh, bw), jnp.float32)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            s_t = s_w.tap(dy, dx)
-            s_t = s_t * s_t
+            s_t = [sw.tap(dy, dx) for sw in s_ws]
+            s_t = [t * t for t in s_t]
             if dy == 0 and dx == 0:
                 w_ = jnp.ones((bh, bw), jnp.float32)
             else:
@@ -387,35 +390,39 @@ def _sigma_ts_kernel(smem, bsm, wins, centers, outs, origin):
                 w_ = _both_lit_or_unlit(pen, p_t)
                 r2 = (dx * dx + dy * dy) / 4.0
                 w_ = w_ * float(np.exp(-0.66 * r2))
-            m1 = m1 + s_t * w_
-            m2 = m2 + s_t * s_t * w_
+            m1 = [a + t * w_ for a, t in zip(m1, s_t)]
+            m2 = [a + t * t * w_ for a, t in zip(m2, s_t)]
             msum = msum + w_
-    m1 = m1 / msum
-    m2 = m2 / msum
-    sigma = jnp.sqrt(jnp.abs(m2 - m1 * m1))
+    m1 = [a / msum for a in m1]
+    m2 = [a / msum for a in m2]
+    sigma = [jnp.sqrt(jnp.abs(b - a * a)) for a, b in zip(m1, m2)]
 
     # ---- clamp + antilag + street magic (lines 165-194) ----
-    sigma_s = sigma * (3.0 + (1.0 - 3.0) * (1.0 / (1.0 + history_length)))
-    hist_clamped = jnp.clip(history, m1 - sigma_s, m1 + sigma_s)
+    sig_scale = 3.0 + (1.0 - 3.0) * (1.0 / (1.0 + history_length))
+    hist_clamped = [jnp.clip(hh, a - sg * sig_scale, a + sg * sig_scale)
+                    for hh, a, sg in zip(history, m1, sigma)]
 
-    antilag = jnp.abs(hist_clamped - history)
+    antilag = jnp.abs(hist_clamped[0] - history[0])
     antilag = jnp.sqrt(jnp.clip(antilag, 0.0, 1.0))
     antilag = jnp.clip(1.0 - antilag, 0.0, 1.0)
     history_length = history_length * antilag
 
     history_weight = history_length / (1.0 + history_length)
     street_magic = 0.6 * history_weight * antilag
-    hist_clamped = hist_clamped + (history - hist_clamped) * street_magic
-    result = shadow + (hist_clamped - shadow) * jnp.minimum(stab_strength, history_weight)
+    hist_clamped = [hc + (hh - hc) * street_magic
+                    for hc, hh in zip(hist_clamped, history)]
+    blend = jnp.minimum(stab_strength, history_weight)
+    result = [sh + (hc - sh) * blend for sh, hc in zip(shadow, hist_clamped)]
 
     is_hard = (tile_value == 0.0) | (pen == 0.0)
-    result = jnp.where(is_hard, shadow, result)
+    result = [jnp.where(is_hard, sh, r) for sh, r in zip(shadow, result)]
     history_length = jnp.where(is_hard, 7.0, history_length)
     new_hl = jnp.minimum(history_length + 1.0, 7.0)
 
     dead = view_z > denoising_range
-    out_ref[:, :] = jnp.where(dead, jnp.sqrt(jnp.clip(shadow, 0.0, 1.0)),
-                              jnp.sqrt(jnp.clip(result, 0.0, 1.0)))
+    for c in range(channels):
+        out_refs[c][:, :] = jnp.where(dead, jnp.sqrt(jnp.clip(shadow[c], 0.0, 1.0)),
+                                      jnp.sqrt(jnp.clip(result[c], 0.0, 1.0)))
     hl_out[:, :] = jnp.where(dead, history_length, jnp.round(new_hl))
 
 
@@ -428,15 +435,18 @@ def sigma_ts_pallas(sc, dc, view_z_in, mv_in, penumbra, shadow_packed,
     distance threshold (passes/sigma/kernels.py:294-366 semantics). No gathers, no pads.
     Kernel side: history/length gather (block-base + tent residual), 5x5 moments,
     sigma clamp, antilag."""
-    assert channels == 1
     from ..ops import resample
 
     h, w = view_z_in.shape
     rs = 1.0 if rs_static else sc["resolution_scale"]
     tile_value = tiles.upsample_tile_value(tiles_smoothed, h, w, rs)
 
-    shadow_img = shadow_packed[..., 0] if shadow_packed.ndim == 3 else shadow_packed
-    hist_img = history_packed[..., 0] if history_packed.ndim == 3 else history_packed
+    if shadow_packed.ndim == 2:
+        shadow_packed = shadow_packed[..., None]
+    if history_packed.ndim == 2:
+        history_packed = history_packed[..., None]
+    shadow_planes = [shadow_packed[..., c] for c in range(channels)]
+    hist_planes = [history_packed[..., c] for c in range(channels)]
 
     uv = resample.pixel_uv_grid(h, w)
     view_z = jnp.abs(view_z_in) * sc["view_z_scale"]
@@ -484,14 +494,19 @@ def sigma_ts_pallas(sc, dc, view_z_in, mv_in, penumbra, shadow_packed,
         jnp.asarray(sc["denoising_range"], jnp.float32),
     ])
 
-    out, hl_out = stencil_call(
-        _sigma_ts_kernel,
-        [penumbra, shadow_img, prev_view_z, prev_history_len, hist_img],
-        n_windows=5, n_out=2, halo=(HALO_Y, HALO_X), block=BLOCK,
+    import functools as _ft
+    outs = stencil_call2(
+        _ft.partial(_sigma_ts_kernel, channels),
+        [penumbra] + shadow_planes + [prev_view_z, prev_history_len] + hist_planes,
+        n_out=channels + 1, halo=(HALO_Y, HALO_X), block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x],
-        center_inputs=[view_z, xv_prev_z, thr, mv_pix_y, mv_pix_x, tile_value])
+        center_inputs=[view_z, xv_prev_z, thr, mv_pix_y, mv_pix_x, tile_value],
+        base_offset=(base_y, base_x),
+        offset_windows=[False] * (1 + channels) + [True] * (2 + channels))
 
+    out = jnp.stack(outs[:channels], -1)
+    hl_out = outs[channels]
     dead = view_z > sc["denoising_range"]
     new_prev_view_z = jnp.where(dead, prev_view_z, view_z)
     new_hl = jnp.where(dead, prev_history_len, hl_out)
-    return out[..., None], new_prev_view_z, new_hl
+    return out, new_prev_view_z, new_hl

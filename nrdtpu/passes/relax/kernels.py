@@ -923,7 +923,8 @@ def history_fix(sc, dc, view_z_in, normal_roughness, history_length, diff, spec,
         d_fix, s_fix = relax_history_fix_pallas(
             sc, dc, config, stride=stride, thr_eff=depth_threshold, n=n, x=x, cv=cv,
             material_id=material_id, view_z_in=view_z_in,
-            normal_roughness=normal_roughness, diff=diff, spec=spec, **kw)
+            normal_roughness=normal_roughness, diff=diff, spec=spec,
+            apply_fix=apply_fix, **kw)
         outs_p = []
         for fixed, orig in ((d_fix, diff), (s_fix, spec)):
             outs_p.append(None if orig is None

@@ -79,10 +79,11 @@ class SigmaDenoiser:
         tiles_smoothed = K.smooth_tiles(tile_map)
 
         shadow_in0 = translucency if self.translucent else None
-        pallas_ok = use_pallas() and self.channels == 1
+        from ...kernels import get_sigma_blur
+        sigma_blur_pallas, blur_channels = get_sigma_blur()
+        pallas_ok = use_pallas() and self.channels <= blur_channels
         rs_static = self.config.rect_size == self.config.resource_size
         if pallas_ok:
-            from ...kernels.sigma_pallas import sigma_blur_pallas
 
             penum1, shadow1 = sigma_blur_pallas(
                 sc, dc, penumbra, shadow_in0, view_z, normal_roughness, tiles_smoothed,

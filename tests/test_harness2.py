@@ -109,3 +109,41 @@ def test_blur2_matches_v1_identity_rotator(interpret):
     b = np.asarray(v2(sc, dc, config, **kw)[0])
     assert np.isfinite(a).all() and np.isfinite(b).all()
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_dma_base_offset_windows(interpret):
+    """Per-block DMA offsets reproduce in-screen shifted reads exactly."""
+    h, w = 192, 1280
+    rng = np.random.default_rng(3)
+    img = rng.random((h, w)).astype(np.float32)
+    # block grid for (96, 256) blocks
+    gh, gw = h // 96, w // 256
+    oy = np.array([[(3 * i + j) % 9 - 4 for j in range(gw)] for i in range(gh)], np.int32)
+    ox = np.array([[(17 * i - 5 * j) % 49 - 24 for j in range(gw)] for i in range(gh)],
+                  np.int32)
+
+    def body(smem, bsm, wins, centers, outs, origin, scratch):
+        outs[0][:, :] = wins[0].tap(1, -2)
+
+    (out,) = stencil_call2(body, [jnp.asarray(img)], n_out=1,
+                           base_offset=(jnp.asarray(oy), jnp.asarray(ox)),
+                           offset_windows=[True])
+    out = np.asarray(out)
+    exp = np.empty_like(img)
+    for i in range(gh):
+        for j in range(gw):
+            ys, xs = slice(i * 96, (i + 1) * 96), slice(j * 256, (j + 1) * 256)
+            yy = np.arange(i * 96, (i + 1) * 96)[:, None] + oy[i, j] + 1
+            xx = np.arange(j * 256, (j + 1) * 256)[None, :] + ox[i, j] - 2
+            yy = np.clip(yy, 0, h - 1)
+            xx = np.clip(xx, 0, w - 1)
+            exp[ys, xs] = img[yy, xx]
+    # compare where the shifted read is fully in-screen (borders wrap by design)
+    ok = np.ones((h, w), bool)
+    for i in range(gh):
+        for j in range(gw):
+            ys, xs = slice(i * 96, (i + 1) * 96), slice(j * 256, (j + 1) * 256)
+            yy = np.arange(i * 96, (i + 1) * 96)[:, None] + oy[i, j] + 1
+            xx = np.arange(j * 256, (j + 1) * 256)[None, :] + ox[i, j] - 2
+            ok[ys, xs] = ((yy >= 0) & (yy < h)) & ((xx >= 0) & (xx < w))
+    assert np.array_equal(out[ok], exp[ok])
