@@ -90,14 +90,17 @@ def make_inputs(w, h, seed=0):
     }
 
 
-def time_frame_fn(fn, sc, dc, state, inputs, warmup=2, iters=6, frames_per_call=32):
+def time_frame_fn(fn, sc, dc, state, inputs, warmup=1, iters=6, frames_per_call=32,
+                  budget_s=120.0):
     """Median device ms/frame of `fn(sc, dc, state, inputs) -> (outs, state)`.
 
     The axon tunnel dispatches ASYNCHRONOUSLY: `block_until_ready` returns before remote
     execution finishes; only a host data fetch waits for completion. So each timed sample
-    fetches a scalar reduced from the final state, and the ~30 ms fixed tunnel latency is
-    cancelled by timing two chain lengths and taking the slope (verified against the
-    analytic cost of a 4096^3 matmul - see bench_micro.py).
+    fetches a scalar reduced from the final state. The fixed tunnel dispatch+fetch
+    latency (~1-30 ms) is measured with a trivial probe jit (compiles in seconds, unlike
+    a second scan chain of the full pipeline - remote compiles of the big graphs are
+    minutes each) and subtracted. Iteration count adapts to the measured sample cost so
+    slow XLA-path configs stay within `budget_s`.
     """
     import jax
     import jax.numpy as jnp
@@ -106,36 +109,41 @@ def time_frame_fn(fn, sc, dc, state, inputs, warmup=2, iters=6, frames_per_call=
         outs, new_state = fn(sc, dc, state, inputs)
         return new_state, None
 
-    def make_run(n):
-        @jax.jit
-        def run(state):
-            out, _ = jax.lax.scan(step, state, None, length=n)
-            leaves = [jnp.ravel(x)[0].astype(jnp.float32) for x in jax.tree.leaves(out)]
-            return out, jnp.sum(jnp.stack(leaves))
-        return run
+    n = frames_per_call
 
-    n2 = frames_per_call
-    n1 = max(frames_per_call // 4, 1)
-    run1, run2 = make_run(n1), make_run(n2)
+    @jax.jit
+    def run(state):
+        out, _ = jax.lax.scan(step, state, None, length=n)
+        leaves = [jnp.ravel(x)[0].astype(jnp.float32) for x in jax.tree.leaves(out)]
+        return out, jnp.sum(jnp.stack(leaves))
 
-    def sample(run):
+    @jax.jit
+    def probe(state):
+        leaves = [jnp.ravel(x)[0].astype(jnp.float32) for x in jax.tree.leaves(state)]
+        return jnp.sum(jnp.stack(leaves))
+
+    def sample():
         nonlocal state
+        t0 = time.perf_counter()
         state, s = run(state)
         _ = np.asarray(s)  # forces remote completion
-        return s
+        return time.perf_counter() - t0
 
-    for _ in range(warmup):
-        sample(run2)
-    t1s, t2s = [], []
-    for _ in range(iters):
+    _ = np.asarray(probe(state))  # compile probe
+    lats = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        sample(run1)
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        sample(run2)
-        t2s.append(time.perf_counter() - t0)
-    t1, t2 = float(np.median(t1s)), float(np.median(t2s))
-    return (t2 - t1) * 1e3 / (n2 - n1)
+        _ = np.asarray(probe(state))
+        lats.append(time.perf_counter() - t0)
+    latency = float(np.median(lats))
+
+    t_first = sample()  # compile + first run
+    for _ in range(warmup - 1):
+        t_first = sample()
+    iters = max(2, min(iters, int(budget_s / max(t_first, 1e-3))))
+    ts = [sample() for _ in range(iters)]
+    t = float(np.median(ts))
+    return max(t - latency, 1e-9) * 1e3 / n
 
 
 def bench_config(name, raw, w, h):
@@ -191,27 +199,12 @@ def bench_config(name, raw, w, h):
 
     pool = {k: jax.device_put(v) for k, v in pool.items()}
 
-    # warm the engine-level path (builds the jitted fn + state)
-    t0 = time.time()
-    eng.denoise([0], pool)
-    jax.block_until_ready(eng._states[0])
-    t1 = time.time()
-    eng.denoise([0], pool)
-    jax.block_until_ready(eng._states[0])
-    probe_ms = (time.time() - t1) * 1e3
-
     inst = eng._instances[0]
     fn = inst.frame  # raw pure fn; time_frame_fn jits the scanned loop itself
     dc = inst.frame_constants(eng._consts, eng._settings[0])
     sc = eng._shared_consts()
-    state = eng._states[0]
-    # slow configs (XLA reference path) get a reduced measurement budget
-    if probe_ms > 400.0:
-        ms = time_frame_fn(fn, sc, dc, state, pool, warmup=1, iters=2,
-                           frames_per_call=4)
-    else:
-        ms = time_frame_fn(fn, sc, dc, state, pool)
-    return ms
+    state = jax.tree.map(jax.device_put, inst.init_state())
+    return time_frame_fn(fn, sc, dc, state, pool)
 
 
 def main():
