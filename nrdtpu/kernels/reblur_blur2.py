@@ -31,8 +31,8 @@ from jax.experimental import pallas as pl
 from .. import math as nm
 from .harness2 import block_minmax, stencil_call2
 from .reblur_pallas import (
-    _B_DIRS, _B_FRUSTUM, _B_HDP, _B_MISC, NRD_EPS, NRD_INF, RADIUS_LEVELS,
-    _acos_approx, _decode_oct, _exp_w, _split, _sstep10,
+    _B_FRUSTUM, _B_HDP, _B_MISC, NRD_EPS, NRD_INF, RADIUS_LEVELS,
+    _acos_approx, _exp_w, _split, _sstep10,
 )
 
 BLOCK2 = (160, 512)
@@ -68,27 +68,34 @@ def _level_hat(radius, li):
     return up * dn
 
 
-def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, rough_sq, smem, bsm, wins,
+def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, smem, bsm, wins,
                   centers, outs, origin, scratch):
-    zw = wins[0]
-    nr = wins[1:5]
-    sig = wins[5:5 + c]
-    shw = wins[5 + c:5 + c + (3 if has_sh else 0)]
+    """Tap loop over pre-decoded geometry windows.
+
+    Windows carry DECODED planes (|viewZ|*scale, unit normal xyz, linear roughness,
+    material id) computed once XLA-side by the caller - the per-tap octahedral decode
+    (~14 vector ops incl. rsqrt) and roughness/material decodes of the packed
+    normal_roughness texture are hoisted out of the 8 x levels tap loop."""
+    wi = iter(wins)
+    zw = next(wi)
+    wnx = next(wi); wny = next(wi); wnz = next(wi)
+    wrs = next(wi) if (spec or prepass) else None
+    wmat = next(wi) if mat_occ else None
+    sig = [next(wi) for _ in range(c)]
+    shw = [next(wi) for _ in range(3)] if has_sh else []
     ci = iter(centers)
     radius_r = next(ci); ga_r = next(ci); gb_r = next(ci); nwp_r = next(ci)
     ha_r = next(ci); hb_r = next(ci); mhdw_r = next(ci); mat_r = next(ci)
-    n_r = [next(ci) for _ in range(3)]
     nv_r = [next(ci) for _ in range(3)]
     if spec:
         wra_r = next(ci); wrb_r = next(ci)
     if prepass:
-        hd_r = next(ci); rough_r = next(ci)
+        hd_r = next(ci)
         rnd_r = [next(ci) for _ in range(8)]
 
     rmin_b, rmax_b = bsm[0], bsm[1]
     sum_ref = scratch[0]
 
-    view_z_scale = smem[_B_MISC]
     rect_w = smem[_B_MISC + 1]
     rect_h = smem[_B_MISC + 2]
     ortho = smem[_B_MISC + 3]
@@ -105,27 +112,30 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, rough_sq, smem, bsm, wins,
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
     u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
     v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
-
-    def view_pos(uu, vv, zz):
-        s = zz + (1.0 - zz) * jnp.abs(ortho)
-        return (uu * fdx + fx0) * s, (vv * fdy + fy0) * s, zz
+    # view_pos(us, vs, z) = ((us*fdx+fx0)*s, (vs*fdy+fy0)*s, z) with s affine in z;
+    # us = u + off_x*inv_w is affine in the static offset, so per tap it reduces to
+    # (dirx + cx_k) * s - two fmas instead of the full uv reconstruction.
+    abs_ortho = jnp.abs(ortho)
+    s_lin = 1.0 - abs_ortho
+    dirx = u * fdx + fx0
+    diry = v * fdy + fy0
 
     radius = jnp.clip(radius_r[:, :], _LEV[0], _LEV[-1])
     ga = ga_r[:, :]; gb = gb_r[:, :]
     nwp = nwp_r[:, :]; ha = ha_r[:, :]; hb = hb_r[:, :]
     mhdw = mhdw_r[:, :]
-    mat_c = mat_r[:, :]
-    ncx, ncy, ncz = n_r[0][:, :], n_r[1][:, :], n_r[2][:, :]
+    mat_c = jnp.maximum(mat_r[:, :], min_material) if mat_occ else None
+    ncx, ncy, ncz = wnx.tap(), wny.tap(), wnz.tap()
     nvx, nvy, nvz = nv_r[0][:, :], nv_r[1][:, :], nv_r[2][:, :]
     if spec:
         wra = wra_r[:, :]; wrb = wrb_r[:, :]
     if prepass:
         hit_dist_c = hd_r[:, :]
-        rough_c = rough_r[:, :]
-        rough_term = jnp.clip((rough_c - 0.5) / 0.5, 0.0, 1.0)
+        rough_term = jnp.clip((wrs.tap() - 0.5) * 2.0, 0.0, 1.0)
 
-    view_z = jnp.abs(zw.tap()) * view_z_scale
-    xvx, xvy, xvz = view_pos(u, v, view_z)
+    view_z = zw.tap()
+    s_c = view_z * s_lin + abs_ortho
+    xvx, xvy, xvz = dirx * s_c, diry * s_c, view_z
 
     i_b = pl.program_id(0)
     j_b = pl.program_id(1)
@@ -157,31 +167,32 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, rough_sq, smem, bsm, wins,
             for k in range(8):
                 gauss, per_level = taps[k]
                 off_y, off_x = per_level[li]
-                zs = jnp.abs(zw.tap(off_y, off_x)) * view_z_scale
-                n0 = nr[0].tap(off_y, off_x)
-                n1 = nr[1].tap(off_y, off_x)
-                rs_raw = nr[2].tap(off_y, off_x)
-                rs = rs_raw * rs_raw if rough_sq == 1 else (
-                    jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2 else rs_raw)
-                nsx, nsy, nsz = _decode_oct(n0, n1)
+                zs = zw.tap(off_y, off_x)
+                nsx = wnx.tap(off_y, off_x)
+                nsy = wny.tap(off_y, off_x)
+                nsz = wnz.tap(off_y, off_x)
 
                 us = u + jnp.float32(off_x) * inv_w
                 vs = v + jnp.float32(off_y) * inv_h
                 angle = _acos_approx(ncx * nsx + ncy * nsy + ncz * nsz)
-                sx, sy, sz = view_pos(us, vs, zs)
+                s_f = zs * s_lin + abs_ortho
+                sx = (dirx + jnp.float32(off_x) * inv_w * fdx) * s_f
+                sy = (diry + jnp.float32(off_y) * inv_h * fdy) * s_f
+                sz = zs
                 w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
                       & (vs < 1.0)).astype(jnp.float32)
                 w_ = w_ * _sstep10(jnp.abs((nvx * sx + nvy * sy + nvz * sz) * ga + gb))
                 if mat_occ:
-                    ms = nr[3].tap(off_y, off_x)
-                    w_ = w_ * (jnp.maximum(mat_c, min_material)
-                               == jnp.maximum(ms, min_material)).astype(jnp.float32)
+                    ms = wmat.tap(off_y, off_x)
+                    w_ = w_ * (mat_c == jnp.maximum(ms, min_material)).astype(
+                        jnp.float32)
                 w_ = w_ * _sstep10(jnp.abs(angle * nwp))
+                if spec or prepass:
+                    rs = wrs.tap(off_y, off_x)
                 if spec:
                     w_ = w_ * _sstep10(jnp.abs(rs * wra + wrb))
 
                 s_taps = [sg.tap(off_y, off_x) for sg in sig]
-                s_taps = [jnp.where(w_ == 0.0, 0.0, st) for st in s_taps]
                 s_hd = s_taps[-1]
 
                 if prepass:
@@ -209,7 +220,7 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, rough_sq, smem, bsm, wins,
                 if has_sh:
                     sh_taps = [sw.tap(off_y, off_x) for sw in shw]
                     for t_, st in enumerate(sh_taps):
-                        acc[c + t_] = acc[c + t_] + jnp.where(w_ == 0.0, 0.0, st) * w_
+                        acc[c + t_] = acc[c + t_] + st * w_
 
             sum_ref[:, :] = sum_acc
             for k_ in range(n_sig_out):
@@ -239,7 +250,6 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
     c = signal.shape[-1]
     has_sh = sh is not None
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
-    rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
 
     misc = jnp.stack([
         jnp.asarray(sc["view_z_scale"], jnp.float32),
@@ -256,21 +266,26 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
     scalars = jnp.concatenate([dirs_pad, jnp.asarray(sc["frustum"], jnp.float32), misc,
                                jnp.asarray(dc["hit_dist_params"], jnp.float32)])
 
-    windows = ([view_z_in] + _split(normal_roughness)[:4] + _split(signal)[:c]
-               + (_split(sh)[:3] if has_sh else []))
+    # decoded geometry planes, hoisting the per-tap decodes out of the kernel
+    view_z_dec = jnp.abs(view_z_in) * sc["view_z_scale"]
+    windows = [view_z_dec, n[..., 0], n[..., 1], n[..., 2]]
+    if spec or prepass:
+        windows.append(roughness)
+    if mat_occ:
+        windows.append(material_id)
+    windows += _split(signal)[:c] + (_split(sh)[:3] if has_sh else [])
     centers = [blur_radius, ga, gb, normal_weight_param, ha, hb, min_hit_dist_weight,
-               material_id, n[..., 0], n[..., 1], n[..., 2],
-               nv[..., 0], nv[..., 1], nv[..., 2]]
+               material_id, nv[..., 0], nv[..., 1], nv[..., 2]]
     if spec:
         centers += [wr_a, wr_b]
     if prepass:
-        centers += [hit_dist, roughness] + list(rnd8)
+        centers += [hit_dist] + list(rnd8)
 
     rmin_b, rmax_b = block_minmax(blur_radius, BLOCK2, HALO2)
 
     n_out = c + (3 if has_sh else 0) + (1 if prepass else 0)
     outs = stencil_call2(
-        functools.partial(_blur2_kernel, c, has_sh, spec, prepass, mat_occ, rough_sq),
+        functools.partial(_blur2_kernel, c, has_sh, spec, prepass, mat_occ),
         windows, n_out=n_out, halo=HALO2, block=BLOCK2,
         scalars=scalars, block_scalars=[rmin_b, rmax_b], center_inputs=centers,
         scratch_blocks=1)

@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from .harness2 import block_minmax, stencil_call2
 from .reblur_pallas import (
     _B_FRUSTUM, _B_HDP, _B_MISC, STRIDE_LEVELS,
-    _acos_approx, _decode_oct, _exp_w, _split,
+    _acos_approx, _exp_w, _split,
 )
 
 BLOCK2 = (160, 512)
@@ -58,19 +58,22 @@ def _box_sums(win, r):
     return s1, s2
 
 
-def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, rough_sq, anti_firefly, smem, bsm,
+def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, smem, bsm,
                   wins, centers, outs, origin, scratch):
-    zw = wins[0]
-    nr = wins[1:5]
-    sig = wins[5:5 + c]
-    d1w = wins[5 + c]
-    fastw = wins[6 + c]
-    shw = wins[7 + c:7 + c + (3 if has_sh else 0)]
+    """Tap loop over pre-decoded geometry windows (see reblur_blur2._blur2_kernel)."""
+    wi = iter(wins)
+    zw = next(wi)
+    wnx = next(wi); wny = next(wi); wnz = next(wi)
+    wrs = None if is_diffuse else next(wi)
+    wmat = next(wi) if mat_occ else None
+    sig = [next(wi) for _ in range(c)]
+    d1w = next(wi)
+    fastw = next(wi)
+    shw = [next(wi) for _ in range(3)] if has_sh else []
     ci = iter(centers)
     stride_r = next(ci); ga_r = next(ci); gb_r = next(ci); nwp_r = next(ci)
     ha_r = next(ci); hb_r = next(ci)
     fsz_r = next(ci); frm_r = next(ci); mat_r = next(ci); hds_r = next(ci)
-    n_r = [next(ci) for _ in range(3)]
     nv_r = [next(ci) for _ in range(3)]
     if not is_diffuse:
         ra_r = next(ci); rb_r = next(ci); hd_r = next(ci); bguide_r = next(ci)
@@ -78,7 +81,6 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, rough_sq, anti_firefly, smem, 
     smin_b, smax_b = bsm[0], bsm[1]
     sum_ref = scratch[0]
 
-    view_z_scale = smem[_B_MISC]
     rect_w = smem[_B_MISC + 1]
     rect_h = smem[_B_MISC + 2]
     ortho = smem[_B_MISC + 3]
@@ -93,10 +95,10 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, rough_sq, anti_firefly, smem, 
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
     u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
     v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
-
-    def view_pos(uu, vv, zz):
-        s = zz + (1.0 - zz) * jnp.abs(ortho)
-        return (uu * fdx + fx0) * s, (vv * fdy + fy0) * s, zz
+    abs_ortho = jnp.abs(ortho)
+    s_lin = 1.0 - abs_ortho
+    dirx = u * fdx + fx0
+    diry = v * fdy + fy0
 
     i_b = pl.program_id(0)
     j_b = pl.program_id(1)
@@ -119,9 +121,9 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, rough_sq, anti_firefly, smem, 
         ha = ha_r[:, :]; hb = hb_r[:, :]
         frustum_size = fsz_r[:, :]
         frame_num = frm_r[:, :]
-        mat_c = mat_r[:, :]
+        mat_c = jnp.maximum(mat_r[:, :], min_material) if mat_occ else None
         hd_scale = hds_r[:, :]
-        ncx, ncy, ncz = n_r[0][:, :], n_r[1][:, :], n_r[2][:, :]
+        ncx, ncy, ncz = wnx.tap(), wny.tap(), wnz.tap()
         nvx, nvy, nvz = nv_r[0][:, :], nv_r[1][:, :], nv_r[2][:, :]
         if not is_diffuse:
             ra = ra_r[:, :]; rb = rb_r[:, :]
@@ -145,35 +147,33 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, rough_sq, anti_firefly, smem, 
                 for (i_, j_) in _TAPS20:
                     off_x = max(-28, min(28, int(round(i_ * _LEV[li]))))
                     off_y = max(-28, min(28, int(round(j_ * _LEV[li]))))
-                    zs = jnp.abs(zw.tap(off_y, off_x)) * view_z_scale
-                    n0 = nr[0].tap(off_y, off_x)
-                    n1 = nr[1].tap(off_y, off_x)
-                    rs_raw = nr[2].tap(off_y, off_x)
-                    rs = rs_raw * rs_raw if rough_sq == 1 else (
-                        jnp.sqrt(jnp.clip(rs_raw, 0.0, 1.0)) if rough_sq == 2
-                        else rs_raw)
-                    nsx, nsy, nsz = _decode_oct(n0, n1)
+                    zs = zw.tap(off_y, off_x)
+                    nsx = wnx.tap(off_y, off_x)
+                    nsy = wny.tap(off_y, off_x)
+                    nsz = wnz.tap(off_y, off_x)
 
                     us = u + jnp.float32(off_x) * inv_w
                     vs = v + jnp.float32(off_y) * inv_h
                     angle = _acos_approx(nsx * ncx + nsy * ncy + nsz * ncz)
-                    sx, sy, sz = view_pos(us, vs, zs)
+                    s_f = zs * s_lin + abs_ortho
+                    sx = (dirx + jnp.float32(off_x) * inv_w * fdx) * s_f
+                    sy = (diry + jnp.float32(off_y) * inv_h * fdy) * s_f
+                    sz = zs
                     w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
                           & (vs < 1.0)).astype(jnp.float32)
                     w_ = w_ * _sstep10_geom(nvx * sx + nvy * sy + nvz * sz, ga, gb)
                     if mat_occ:
-                        ms = nr[3].tap(off_y, off_x)
-                        w_ = w_ * (jnp.maximum(mat_c, min_material)
-                                   == jnp.maximum(ms, min_material)
+                        ms = wmat.tap(off_y, off_x)
+                        w_ = w_ * (mat_c == jnp.maximum(ms, min_material)
                                    ).astype(jnp.float32)
                     w_ = w_ * _exp_w(angle * nwp)
                     if not is_diffuse:
+                        rs = wrs.tap(off_y, off_x)
                         w_ = w_ * _exp_w(rs * rs * ra + rb)
                     d1 = d1w.tap(off_y, off_x)
                     w_ = w_ * (1.0 + d1)
 
                     s_taps = [sg.tap(off_y, off_x) for sg in sig]
-                    s_taps = [jnp.where(w_ == 0.0, 0.0, st) for st in s_taps]
                     hs = s_taps[-1] * hd_scale
                     hs_factor = jnp.clip(hs / frustum_size, 0.0, 1.0)
                     w_ = w_ * _exp_w(hs_factor * ha + hb)
@@ -191,8 +191,7 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, rough_sq, anti_firefly, smem, 
                     if has_sh:
                         sh_t = [sw.tap(off_y, off_x) for sw in shw]
                         for t_, st in enumerate(sh_t):
-                            acc[c + t_] = (acc[c + t_]
-                                           + jnp.where(w_ == 0.0, 0.0, st) * w_)
+                            acc[c + t_] = acc[c + t_] + st * w_
                 sum_ref[:, :] = sum_acc
                 for k_ in range(n_sig_out):
                     outs[k_][:, :] = acc[k_]
@@ -221,13 +220,12 @@ def history_fix_taps_pallas2(sc, dc, config, *, signal, sh, view_z_in,
                              normal_roughness, data1, fast_history, stride, ga, gb,
                              normal_weight_param, ha, hb, frustum_size, frame_num,
                              material_id, hit_dist_scale, n, nv, is_diffuse,
-                             anti_firefly, ra=None, rb=None, hit_dist=None,
-                             bguide=None):
+                             anti_firefly, roughness=None, ra=None, rb=None,
+                             hit_dist=None, bguide=None):
     """Drop-in replacement for reblur_pallas.history_fix_taps_pallas (v2 kernel)."""
     c = signal.shape[-1]
     has_sh = sh is not None
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
-    rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
 
     misc = jnp.stack([
         jnp.asarray(sc["view_z_scale"], jnp.float32),
@@ -242,10 +240,16 @@ def history_fix_taps_pallas2(sc, dc, config, *, signal, sh, view_z_in,
                                jnp.asarray(sc["frustum"], jnp.float32), misc,
                                jnp.asarray(dc["hit_dist_params"], jnp.float32)])
 
-    windows = ([view_z_in] + _split(normal_roughness)[:4] + _split(signal)[:c]
-               + [data1, fast_history] + (_split(sh)[:3] if has_sh else []))
+    view_z_dec = jnp.abs(view_z_in) * sc["view_z_scale"]
+    windows = [view_z_dec, n[..., 0], n[..., 1], n[..., 2]]
+    if not is_diffuse:
+        windows.append(roughness)
+    if mat_occ:
+        windows.append(material_id)
+    windows += (_split(signal)[:c] + [data1, fast_history]
+                + (_split(sh)[:3] if has_sh else []))
     centers = [stride, ga, gb, normal_weight_param, ha, hb, frustum_size, frame_num,
-               material_id, hit_dist_scale, n[..., 0], n[..., 1], n[..., 2],
+               material_id, hit_dist_scale,
                nv[..., 0], nv[..., 1], nv[..., 2]]
     if not is_diffuse:
         centers += [ra, rb, hit_dist, bguide]
@@ -254,7 +258,7 @@ def history_fix_taps_pallas2(sc, dc, config, *, signal, sh, view_z_in,
 
     n_out = c + (3 if has_sh else 0) + 2 + (2 if anti_firefly else 0)
     outs = stencil_call2(
-        functools.partial(_hfix2_kernel, c, has_sh, is_diffuse, mat_occ, rough_sq,
+        functools.partial(_hfix2_kernel, c, has_sh, is_diffuse, mat_occ,
                           anti_firefly),
         windows, n_out=n_out, halo=HALO2, block=BLOCK2,
         scalars=scalars, block_scalars=[smin_b, smax_b], center_inputs=centers,

@@ -1075,7 +1075,8 @@ def history_fix_taps_pallas(sc, dc, config, *, signal, sh, view_z_in, normal_rou
                             data1, fast_history, stride, ga, gb, normal_weight_param,
                             ha, hb, frustum_size, frame_num, material_id,
                             hit_dist_scale, n, nv, is_diffuse, anti_firefly,
-                            ra=None, rb=None, hit_dist=None, bguide=None):
+                            roughness=None, ra=None, rb=None, hit_dist=None,
+                            bguide=None):
     """HistoryFix sparse reconstruction + fast-history moments on Pallas.
 
     Divergence: the per-pixel integer stride is resolved over STRIDE_LEVELS with hat

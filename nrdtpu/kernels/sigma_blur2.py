@@ -90,7 +90,7 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
     inv_h = 1.0 / rect_h
 
     center_pen = pen_w.tap()
-    view_z = jnp.abs(z_w.tap()) * view_z_scale
+    view_z = z_w.tap()  # pre-decoded |viewZ| * scale (caller-side)
     center_s = shadow_taps(0, 0, center_pen)
 
     # copy-through init (tile==0 / lit / sky blocks end here)
@@ -112,10 +112,10 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
         fx0, fy0, fdx, fdy = smem[_S_FRUSTUM], smem[_S_FRUSTUM + 1], \
             smem[_S_FRUSTUM + 2], smem[_S_FRUSTUM + 3]
 
-        def view_pos(uu, vv, zz):
-            return (uu * fdx + fx0) * zz, (vv * fdy + fy0) * zz, zz
-
-        xvx, xvy, xvz = view_pos(u, v, view_z)
+        # view_pos(us, vs, z) with us affine in the static offset: (dirx + cx_k) * z
+        dirx = u * fdx + fx0
+        diry = v * fdy + fy0
+        xvx, xvy, xvz = dirx * view_z, diry * view_z, view_z
         nwx, nwy, nwz = _decode_oct_normal2(nx_w.tap(), ny_w.tap())
         m = [smem[_S_W2V + k] for k in range(9)]
         nvx = m[0] * nwx + m[1] * nwy + m[2] * nwz
@@ -142,24 +142,24 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
                     w_ = jnp.ones((bh, bw), jnp.float32)
                     s_t = center_s
                 else:
-                    z_t = jnp.abs(z_w.tap(dy, dx)) * view_z_scale
+                    z_t = z_w.tap(dy, dx)
                     s_t = shadow_taps(dy, dx, pen_t)
                     us = u + dx * inv_w
                     vs = v + dy * inv_h
-                    sx, sy, sz = view_pos(us, vs, z_t)
+                    sx = (dirx + (dx * inv_w) * fdx) * z_t
+                    sy = (diry + (dy * inv_h) * fdy) * z_t
                     in_scr = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
                               & (vs < 1.0)).astype(jnp.float32)
-                    d = nvx * sx + nvy * sy + nvz * sz
+                    d = nvx * sx + nvy * sy + nvz * z_t
                     w_ = in_scr * _compute_weight(d, ga, gb)
                     w_ = w_ * _both_lit_or_unlit(center_pen, pen_t)
                     r2 = (dx * dx + dy * dy) / 4.0
                     w_ = w_ * float(np.exp(-0.66 * r2))
-                result = [r + jnp.where(w_ == 0.0, 0.0, st * w_)
-                          for r, st in zip(result, s_t)]
+                result = [r + st * w_ for r, st in zip(result, s_t)]
                 sum_x = sum_x + w_
                 w2 = w_ * pixel_size / (pixel_size + pen_t)
                 w2 = w2 * (1.0 - _is_lit(pen_t))
-                pen_acc = pen_acc + jnp.where(w2 == 0.0, 0.0, pen_t * w2)
+                pen_acc = pen_acc + pen_t * w2
                 sum_y = sum_y + w2
 
         result = [r / sum_x for r in result]
@@ -208,25 +208,25 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
                 for k in range(8):
                     off_y, off_x = taps[k][li]
                     pen_t = pen_w.tap(off_y, off_x)
-                    z_t = jnp.abs(z_w.tap(off_y, off_x)) * view_z_scale
+                    z_t = z_w.tap(off_y, off_x)
                     s_t = shadow_taps(off_y, off_x, pen_t)
                     us = u + off_x * inv_w
                     vs = v + off_y * inv_h
-                    sx, sy, sz = view_pos(us, vs, z_t)
+                    sx = (dirx + (off_x * inv_w) * fdx) * z_t
+                    sy = (diry + (off_y * inv_h) * fdy) * z_t
                     in_screen = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
                                  & (vs < 1.0)).astype(jnp.float32)
-                    d = nvx * sx + nvy * sy + nvz * sz
+                    d = nvx * sx + nvy * sy + nvz * z_t
                     w_ = in_screen * _compute_weight(d, ga, gb)
                     w_ = w_ * _both_lit_or_unlit(center_pen, pen_t)
                     w_ = w_ * gauss[k]
                     w_ = w_ * jnp.clip(pen_t * inv_est_pen, 0.0, 1.0)
                     w_ = w_ * lw
-                    res_acc = [r + jnp.where(w_ == 0.0, 0.0, st * w_)
-                               for r, st in zip(res_acc, s_t)]
+                    res_acc = [r + st * w_ for r, st in zip(res_acc, s_t)]
                     sx_acc = sx_acc + w_
                     w2 = w_ * pixel_size / (pixel_size + pen_t)
                     w2 = w2 * (1.0 - _is_lit(pen_t))
-                    pen_a = pen_a + jnp.where(w2 == 0.0, 0.0, pen_t * w2)
+                    pen_a = pen_a + pen_t * w2
                     sy_acc = sy_acc + w2
                 for c in range(n_s):
                     s_outs[c][:, :] = res_acc[c]
@@ -300,7 +300,7 @@ def sigma_blur_pallas2(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughne
 
     outs = stencil_call2(
         functools.partial(_sigma_blur2_kernel, first_pass, channels, has_shadow_in),
-        [penumbra_in, view_z_in] + shadow_planes
+        [penumbra_in, view_z] + shadow_planes
         + [normal_roughness[..., 0], normal_roughness[..., 1]],
         n_out=1 + channels, halo=(HALO_Y, HALO_X), block=BLOCK,
         scalars=scalars, block_scalars=[rmin_b, rmax_b, tmax_b],

@@ -534,7 +534,7 @@ def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, sig
             stride=stride, ga=ga, gb=gb, normal_weight_param=normal_weight_param,
             ha=ha, hb=hb, frustum_size=frustum_size, frame_num=frame_num,
             material_id=material_id, hit_dist_scale=hit_dist_scale, n=n, nv=nv,
-            is_diffuse=is_diffuse, anti_firefly=use_af, **kw)
+            is_diffuse=is_diffuse, anti_firefly=use_af, roughness=roughness, **kw)
         use_fix = (stride != 0.0)
         signal_out = jnp.where(use_fix[..., None], signal_out, signal)
         sh_out = jnp.where(use_fix[..., None], sh_out, sh) if sh is not None else None

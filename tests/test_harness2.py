@@ -92,12 +92,20 @@ def test_blur2_matches_v1_identity_rotator(interpret):
           "diff_min_material": 0.0}
     config = DenoiserConfig(denoiser=Denoiser.REBLUR_DIFFUSE, rect_size=(W, H),
                             resource_size=(W, H))
+    # valid octahedral encodings so v1's in-kernel decode of the packed plane and
+    # v2's caller-decoded normal planes see the same sample normals
+    import nrdtpu.math as nm
     n = rng.normal(size=(H, W, 3)).astype(np.float32)
     n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    enc = np.asarray(nm.encode_unit_vector(jnp.asarray(n), signed=False))
+    packed = np.concatenate([enc, rng.random((H, W, 1)).astype(np.float32),
+                             np.zeros((H, W, 1), np.float32)], -1).astype(np.float32)
+    n = np.asarray(nm.normalize(nm.decode_unit_vector(jnp.asarray(enc), signed=False,
+                                                      do_normalize=True)))
     kw = dict(rotator=jnp.asarray([1.0, 0.0, 0.0, 1.0]),
               signal=jnp.asarray(rng.random((H, W, 4)), jnp.float32), sh=None,
               view_z_in=jnp.asarray(1.0 + rng.random((H, W)), jnp.float32),
-              normal_roughness=jnp.asarray(rng.random((H, W, 4)), jnp.float32),
+              normal_roughness=jnp.asarray(packed, jnp.float32),
               blur_radius=jnp.asarray(rng.random((H, W)) * 30, jnp.float32),
               ga=jnp.full((H, W), 5.0), gb=jnp.full((H, W), 0.1),
               normal_weight_param=jnp.full((H, W), 2.0),
