@@ -216,7 +216,7 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, smem, bsm, wins,
                 w_ = w_ * (gauss * lw)
 
                 sum_acc = sum_acc + w_
-                acc = [a + st * w_ for a, st in zip(acc, s_taps)]
+                acc = [a + st * w_ for a, st in zip(acc[:c], s_taps)] + acc[c:]
                 if has_sh:
                     sh_taps = [sw.tap(off_y, off_x) for sw in shw]
                     for t_, st in enumerate(sh_taps):

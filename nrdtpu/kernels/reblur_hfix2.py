@@ -187,7 +187,7 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, smem, bsm,
 
                     w_ = w_ * lw
                     sum_acc = sum_acc + w_
-                    acc = [a + st * w_ for a, st in zip(acc, s_taps)]
+                    acc = [a + st * w_ for a, st in zip(acc[:c], s_taps)] + acc[c:]
                     if has_sh:
                         sh_t = [sw.tap(off_y, off_x) for sw in shw]
                         for t_, st in enumerate(sh_t):

@@ -388,8 +388,9 @@ def _smooth01(x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def _vmb_kernel(mat_occlusion, smem, bsm, wins, centers, outs, origin, scratch):
-    (zp_w, rough_w, mat_w, sacc_w, h0, h1, h2, h3, fast_w, hdtp_w) = wins
+def _vmb_kernel(mat_occlusion, n_sh, smem, bsm, wins, centers, outs, origin, scratch):
+    (zp_w, rough_w, mat_w, sacc_w, h0, h1, h2, h3, fast_w, hdtp_w) = wins[:10]
+    sh_ws = wins[10:10 + n_sh]
     (mvy_r, mvx_r, noxc_r, thr_r, n0_r, n1_r, n2_r, v0_r, v1_r, v2_r,
      ra_r, rb_r, sig_r, psm_r, mat_c_r, smbcat_r) = centers
     i, j = pl.program_id(0), pl.program_id(1)
@@ -526,13 +527,15 @@ def _vmb_kernel(mat_occlusion, smem, bsm, wins, centers, outs, origin, scratch):
     outs[k][:, :] = allow_catrom.astype(jnp.float32); k += 1
     outs[k][:, :] = rough_conf; k += 1
     outs[k][:, :] = hdtp; k += 1
+    for sw in sh_ws:  # SH history: occlusion-weighted bilinear (TA SH sample :708)
+        outs[k][:, :] = resolve_custom(fp(sw)); k += 1
 
 
 def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
                        n, vmb_v, ra, rb, roughness_sigma, parallax_sm,
                        material_id_center, smb_allow_catrom, prev_view_z,
                        prev_nr_packed, prev_mat, spec_accum, spec_hist4, spec_fast,
-                       prev_hdt):
+                       prev_hdt, sh_hist4=None):
     """Virtual-motion footprint resolve (TA lines 459-530 + history samples :708, :561).
 
     vmb_thr: the per-pixel threshold with all elementwise factors already applied
@@ -550,23 +553,26 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
     base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
 
+    n_sh = 0 if sh_hist4 is None else 4
     windows = ([prev_view_z, _split(prev_nr_packed)[2], prev_mat, spec_accum]
-               + _split(spec_hist4)[:4] + [spec_fast, prev_hdt])
+               + _split(spec_hist4)[:4] + [spec_fast, prev_hdt]
+               + (_split(sh_hist4)[:4] if n_sh else []))
     centers = [mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
                n[..., 0], n[..., 1], n[..., 2],
                vmb_v[..., 0], vmb_v[..., 1], vmb_v[..., 2],
                ra, rb, roughness_sigma, parallax_sm, material_id_center,
                smb_allow_catrom]
-    wdt = None
     outs = stencil_call2(
-        functools.partial(_vmb_kernel, mat_occ), windows,
-        n_out=12, halo=HALO, block=BLOCK,
+        functools.partial(_vmb_kernel, mat_occ, n_sh), windows,
+        n_out=11 + n_sh, halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
         base_offset=(base_y, base_x), offset_windows=[True] * len(windows))
     res = dict(spec_hist=jnp.stack(outs[:4], -1), spec_fast=outs[4],
                spec_accum_speed_raw=outs[5], fbits_vmb=outs[6],
                footprint_raw=outs[7], allow_catrom=outs[8], rough_conf=outs[9],
                hdt_prev=outs[10])
+    if n_sh:
+        res["sh"] = jnp.stack(outs[11:15], -1)
     return res
 
 

@@ -184,7 +184,7 @@ class ReblurDenoiser:
         from ...config import use_pallas
         pallas_ok = (use_pallas()
                      and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
-                     and not self.sh and not self.directional
+                     and not self.directional
                      and cfg.rect_size == cfg.resource_size)
 
         enable_hdrecon = (s.hitDistanceReconstructionMode
@@ -227,10 +227,14 @@ class ReblurDenoiser:
                 hist_planes += [state["diff_history"][..., c]
                                 for c in range(self.channels)]
                 bil_planes.append(state["diff_fast_history"])
+                if self.sh:
+                    bil_planes += [state["diff_sh_history"][..., c] for c in range(4)]
             if self.has_specular:
                 hist_planes += [state["spec_history"][..., c]
                                 for c in range(self.channels)]
                 bil_planes.append(state["spec_fast_history"])
+                if self.sh:
+                    bil_planes += [state["spec_sh_history"][..., c] for c in range(4)]
             sm = K.surface_motion_reprojection_pallas(
                 sc, dc, view_z, normal_roughness, mv, state["prev_view_z"],
                 state["prev_normal_roughness"], prev_internal, cfg,
@@ -242,10 +246,16 @@ class ReblurDenoiser:
                     fast=sm["bil"][bk])
                 hk += self.channels
                 bk += 1
+                if self.sh:
+                    diff_samples["sh"] = jnp.stack(sm["bil"][bk:bk + 4], -1)
+                    bk += 4
             if self.has_specular:
                 spec_samples = dict(
                     history=jnp.stack(sm["hist"][hk:hk + self.channels], -1),
                     fast=sm["bil"][bk])
+                bk += 1
+                if self.sh:
+                    spec_samples["sh"] = jnp.stack(sm["bil"][bk:bk + 4], -1)
         else:
             sm = K.surface_motion_reprojection(
                 sc, dc, view_z, normal_roughness, mv, state["prev_view_z"],

@@ -1079,7 +1079,8 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
             prev_view_z=prev_view_z, prev_nr_packed=prev_normal_roughness,
             prev_mat=prev_internal["material_id"],
             spec_accum=prev_internal["spec_accum"], spec_hist4=spec_history,
-            spec_fast=spec_fast_history, prev_hdt=prev_spec_hitdist_for_tracking)
+            spec_fast=spec_fast_history, prev_hdt=prev_spec_hitdist_for_tracking,
+            sh_hist4=spec_sh_history if spec_sh_input is not None else None)
         virtual_roughness_confidence = vmb_bundle["rough_conf"]
         fbits_vmb = vmb_bundle["fbits_vmb"]
         vmb_footprint_quality = jnp.sqrt(nm.saturate(vmb_bundle["footprint_raw"]))
@@ -1298,10 +1299,16 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
 
     sh_result = None
     if spec_sh_input is not None:
-        smb_sh = sample_history_bilinear(spec_sh_history, sm["smb_pixel_uv"],
-                                         sc["rect_size_prev"], sm["occlusion_weights"])
-        vmb_sh = sample_history_bilinear(spec_sh_history, vmb_pixel_uv,
-                                         sc["rect_size_prev"], vmb_occlusion_weights)
+        if samples is not None and "sh" in samples:
+            smb_sh = samples["sh"]
+            vmb_sh = vmb_bundle["sh"]
+        else:
+            smb_sh = sample_history_bilinear(spec_sh_history, sm["smb_pixel_uv"],
+                                             sc["rect_size_prev"],
+                                             sm["occlusion_weights"])
+            vmb_sh = sample_history_bilinear(spec_sh_history, vmb_pixel_uv,
+                                             sc["rect_size_prev"],
+                                             vmb_occlusion_weights)
         smb_sh_mixed = nm.lerp(smb_sh, spec_sh_input, smb_nlas[..., None])
         vmb_sh_mixed = nm.lerp(vmb_sh, spec_sh_input, vmb_nlas[..., None])
         sh_result = nm.lerp(smb_sh_mixed, vmb_sh_mixed, virtual_history_amount[..., None])
