@@ -105,14 +105,17 @@ def time_frame_fn(fn, sc, dc, state, inputs, warmup=1, iters=6, frames_per_call=
     import jax
     import jax.numpy as jnp
 
-    def step(state, _):
-        outs, new_state = fn(sc, dc, state, inputs)
-        return new_state, None
-
     n = frames_per_call
 
+    # sc/dc/inputs ride as jit ARGUMENTS: closed-over device arrays would be embedded
+    # into the program as literal constants (hundreds of MB of MLIR at 1440p), which
+    # blows up remote compile time and can exceed the compile-service request limit.
     @jax.jit
-    def run(state):
+    def run(state, sc, dc, inputs):
+        def step(state, _):
+            outs, new_state = fn(sc, dc, state, inputs)
+            return new_state, None
+
         out, _ = jax.lax.scan(step, state, None, length=n)
         leaves = [jnp.ravel(x)[0].astype(jnp.float32) for x in jax.tree.leaves(out)]
         return out, jnp.sum(jnp.stack(leaves))
@@ -125,7 +128,7 @@ def time_frame_fn(fn, sc, dc, state, inputs, warmup=1, iters=6, frames_per_call=
     def sample():
         nonlocal state
         t0 = time.perf_counter()
-        state, s = run(state)
+        state, s = run(state, sc, dc, inputs)
         _ = np.asarray(s)  # forces remote completion
         return time.perf_counter() - t0
 

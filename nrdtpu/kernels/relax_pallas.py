@@ -69,8 +69,8 @@ def _luma(r, g, b):
     return 0.2126 * r + 0.7152 * g + 0.0722 * b
 
 
-def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
-                   smem, bsm, wins, centers, outs, origin, scratch):
+def _atrous_kernel(step_size, is_first, has_diff, has_spec, d_sh, s_sh, mat_occ,
+                   rough_sq, smem, bsm, wins, centers, outs, origin, scratch):
     """Jitter rides the window DMA offset (harness2 base_offset): all 8 neighbour taps
     are static slices at +-step; center signal values arrive as center inputs so they
     stay un-jittered. bsm carries the jitter only for the sample-coordinate math."""
@@ -79,6 +79,8 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
     nr = [next(wi) for _ in range(4)]
     dw = [next(wi) for _ in range(4)] if has_diff else None
     sw = [next(wi) for _ in range(4)] if has_spec else None
+    dshw = [next(wi) for _ in range(4)] if d_sh else None
+    sshw = [next(wi) for _ in range(4)] if s_sh else None
 
     ci = iter(centers)
     thr_r = next(ci)
@@ -99,6 +101,8 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
         slr = next(ci)[:, :]  # spec luminance relaxation
     d_center = [next(ci)[:, :] for _ in range(4)] if has_diff else None
     s_center = [next(ci)[:, :] for _ in range(4)] if has_spec else None
+    dsh_center = [next(ci)[:, :] for _ in range(4)] if d_sh else None
+    ssh_center = [next(ci)[:, :] for _ in range(4)] if s_sh else None
 
     i, j = pl.program_id(0), pl.program_id(1)
     jit_y = bsm[0][i, j] if bsm else 0
@@ -167,7 +171,8 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
         return jnp.maximum(0.0, acc[3] - m1 * m1)
 
     results = []
-    for which, ws_ in (("diff", dw), ("spec", sw)):
+    for which, ws_, shw_, shc_ in (("diff", dw, dshw, dsh_center),
+                                   ("spec", sw, sshw, ssh_center)):
         if ws_ is None:
             continue
         is_spec = which == "spec"
@@ -187,6 +192,7 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
         else:
             acc = [center[0] * w0, center[1] * w0, center[2] * w0,
                    center[3] * w0 * w0]
+        acc_sh = [c_[:, :] * w0 for c_ in shc_] if shw_ is not None else None
 
         for yy in range(-1, 2):
             for xx in range(-1, 2):
@@ -247,6 +253,9 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
                 else:
                     acc = [acc[0] + s_t[0] * w_, acc[1] + s_t[1] * w_,
                            acc[2] + s_t[2] * w_, acc[3] + s_t[3] * w_ * w_]
+                if acc_sh is not None:
+                    acc_sh = [a + T(shw_[c], oy, ox) * w_
+                              for c, a in enumerate(acc_sh)]
 
         if is_first:
             out4 = [a / wsum for a in acc]
@@ -255,6 +264,7 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
         else:
             out4 = [acc[0] / wsum, acc[1] / wsum, acc[2] / wsum,
                     acc[3] / (wsum * wsum)]
+        out_sh = [a / wsum for a in acc_sh] if acc_sh is not None else None
 
         if is_first:
             # spatial variance estimation fallback (AtrousSmem lines 362-470)
@@ -262,6 +272,8 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
             s_acc = [jnp.zeros((bh, bw), jnp.float32) for _ in range(3)]
             s_m1 = jnp.zeros((bh, bw), jnp.float32)
             s_m2 = jnp.zeros((bh, bw), jnp.float32)
+            ssh_acc = [jnp.zeros((bh, bw), jnp.float32) for _ in range(4)] \
+                if shw_ is not None else None
             for dy in range(-2, 3):
                 for dx in range(-2, 3):
                     n0 = nr[0].tap(dy, dx)
@@ -280,6 +292,9 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
                         s_acc[c] = s_acc[c] + st[c] * w_
                     s_m1 = s_m1 + sl * w_
                     s_m2 = s_m2 + st[3] * w_
+                    if ssh_acc is not None:
+                        ssh_acc = [a + shw_[c].tap(dy, dx) * w_
+                                   for c, a in enumerate(ssh_acc)]
             swsum = jnp.maximum(swsum, 1e-6)
             s_rgb = [a / swsum for a in s_acc]
             s_m1 = s_m1 / swsum
@@ -289,7 +304,13 @@ def _atrous_kernel(step_size, is_first, has_diff, has_spec, mat_occ, rough_sq,
             use_atrous = hl_c >= history_threshold
             out4 = [jnp.where(use_atrous, o, sv)
                     for o, sv in zip(out4, s_rgb + [s_var])]
+            if out_sh is not None:
+                sve_sh = [a / swsum for a in ssh_acc]
+                out_sh = [jnp.where(use_atrous, o, sv)
+                          for o, sv in zip(out_sh, sve_sh)]
         results.extend(out4)
+        if out_sh is not None:
+            results.extend(out_sh)
 
     for k, vout in enumerate(results):
         outs[k][:, :] = vout
@@ -299,12 +320,16 @@ def relax_atrous_pallas(sc, dc, config, *, step_size, is_first, view_z_in,
                         normal_roughness, history_length, diff, spec,
                         depth_threshold, n, x, cv, material_id, diff_nwp,
                         diff_lum_relax, nwp_sve, spec_nwp_simpl=None, ra=None, rb=None,
-                        angle0=None, f0=None, spec_lum_relax=None, jitter=None):
-    """RELAX a-trous tap loop on Pallas. Returns (diff_out or None, spec_out or None).
+                        angle0=None, f0=None, spec_lum_relax=None, jitter=None,
+                        diff_sh=None, spec_sh=None):
+    """RELAX a-trous tap loop on Pallas.
+    Returns (diff_out, spec_out, diff_sh_out, spec_sh_out) (None where absent).
 
     jitter: optional (gh, gw) int32 pair for strides > 4 (per-block random offset)."""
     has_diff = diff is not None
     has_spec = spec is not None
+    d_sh = diff_sh is not None
+    s_sh = spec_sh is not None
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
     rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
 
@@ -336,6 +361,10 @@ def relax_atrous_pallas(sc, dc, config, *, step_size, is_first, view_z_in,
         windows += [diff[..., c] for c in range(4)]
     if has_spec:
         windows += [spec[..., c] for c in range(4)]
+    if d_sh:
+        windows += [diff_sh[..., c] for c in range(4)]
+    if s_sh:
+        windows += [spec_sh[..., c] for c in range(4)]
 
     centers = [depth_threshold, n[..., 0], n[..., 1], n[..., 2],
                x[..., 0], x[..., 1], x[..., 2],
@@ -348,27 +377,37 @@ def relax_atrous_pallas(sc, dc, config, *, step_size, is_first, view_z_in,
         centers += [diff[..., c] for c in range(4)]
     if has_spec:
         centers += [spec[..., c] for c in range(4)]
+    if d_sh:
+        centers += [diff_sh[..., c] for c in range(4)]
+    if s_sh:
+        centers += [spec_sh[..., c] for c in range(4)]
 
     bsm = list(jitter) if jitter is not None else []
     # halo must cover the static +-step tap reach (jitter rides the DMA offset)
     halo = (max(HALO[0], -(-step_size // 8) * 8),
             max(HALO[1], -(-step_size // 128) * 128))
-    n_out = 4 * (int(has_diff) + int(has_spec))
+    n_out = 4 * (int(has_diff) + int(has_spec) + int(d_sh) + int(s_sh))
     outs = stencil_call2(
         functools.partial(_atrous_kernel, step_size, is_first, has_diff, has_spec,
-                          mat_occ, rough_sq),
+                          d_sh, s_sh, mat_occ, rough_sq),
         windows, n_out=n_out, halo=halo, block=BLOCK,
         scalars=scalars, block_scalars=bsm, center_inputs=centers,
         base_offset=jitter if jitter is not None else None,
         offset_windows=[True] * len(windows) if jitter is not None else None)
     k = 0
-    diff_out = spec_out = None
+    diff_out = spec_out = dsh_out = ssh_out = None
     if has_diff:
         diff_out = jnp.stack(outs[k:k + 4], -1)
         k += 4
+        if d_sh:
+            dsh_out = jnp.stack(outs[k:k + 4], -1)
+            k += 4
     if has_spec:
         spec_out = jnp.stack(outs[k:k + 4], -1)
-    return diff_out, spec_out
+        k += 4
+        if s_sh:
+            ssh_out = jnp.stack(outs[k:k + 4], -1)
+    return diff_out, spec_out, dsh_out, ssh_out
 
 
 # ---------------------------------------------------------------------------
@@ -509,11 +548,13 @@ def _pre_level_weights(radius):
     return ws
 
 
-def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, origin, scratch):
+def _prepass_kernel(is_spec, mat_occ, rough_sq, n_sh, smem, bsm, wins, centers, outs,
+                    origin, scratch):
     wi = iter(wins)
     zw = next(wi)
     nr = [next(wi) for _ in range(4)]
     sig = [next(wi) for _ in range(4)]
+    shw = [next(wi) for _ in range(n_sh)]
 
     ci = iter(centers)
     radius_r = next(ci)
@@ -589,6 +630,8 @@ def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, 
         outs[3][:, :] = jnp.where(hit_c == 0.0, jnp.float32(65504.0 * 65504.0), hit_c)
     else:
         outs[3][:, :] = sig[3].tap()
+    for c in range(n_sh):
+        outs[4 + c][:, :] = shw[c].tap()
     scratch[0][:, :] = jnp.ones((bh, bw), jnp.float32)
 
     i_b, j_b = pl.program_id(0), pl.program_id(1)
@@ -606,6 +649,7 @@ def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, 
             lw = _pre_level_weights(radius_c)[li]
             acc = [outs[c][:, :] for c in range(3)]
             acc3 = outs[3][:, :]
+            acc_sh = [outs[4 + c][:, :] for c in range(n_sh)]
             wsum = scratch[0][:, :]
             for k in range(8):
                 oy, ox = static_offs[k][li]
@@ -656,10 +700,14 @@ def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, 
                 wsum = wsum + w_
                 for c in range(3):
                     acc[c] = acc[c] + s_t[c] * w_
+                for c in range(n_sh):
+                    acc_sh[c] = acc_sh[c] + shw[c].tap(oy, ox) * w_
 
             for c in range(3):
                 outs[c][:, :] = acc[c]
             outs[3][:, :] = acc3
+            for c in range(n_sh):
+                outs[4 + c][:, :] = acc_sh[c]
             scratch[0][:, :] = wsum
 
     inv = 1.0 / scratch[0][:, :]
@@ -670,14 +718,18 @@ def _prepass_kernel(is_spec, mat_occ, rough_sq, smem, bsm, wins, centers, outs, 
         outs[3][:, :] = jnp.where(mh >= 65504.0 * 65504.0, 0.0, mh)
     else:
         outs[3][:, :] = outs[3][:, :] * inv
+    for c in range(n_sh):
+        outs[4 + c][:, :] = outs[4 + c][:, :] * inv
 
 
 def relax_prepass_taps_pallas(sc, dc, config, *, is_spec, signal, view_z_in,
                               normal_roughness, blur_radius, thr_eff, nwp, ha, hb,
                               min_hd_weight, hit, material_id, n, x,
-                              ra=None, rb=None, roughness=None):
+                              ra=None, rb=None, roughness=None, sh=None):
     """RELAX PrePass Poisson taps on Pallas (radius-level quantized; radius capped at
-    32 px - the reference allows 50, documented divergence). Returns (h, w, 4) signal."""
+    32 px - the reference allows 50, documented divergence).
+
+    Returns (h, w, 4) signal, or (signal, sh_out) when sh is given."""
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
     rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
 
@@ -701,8 +753,10 @@ def relax_prepass_taps_pallas(sc, dc, config, *, is_spec, signal, view_z_in,
             jnp.asarray(sc["rect_size"][1], jnp.float32),
         ]),
     ])
+    n_sh = 0 if sh is None else 4
     windows = ([view_z_in] + [normal_roughness[..., c] for c in range(4)]
-               + [signal[..., c] for c in range(4)])
+               + [signal[..., c] for c in range(4)]
+               + ([sh[..., c] for c in range(4)] if n_sh else []))
     centers = [blur_radius, thr_eff, nwp, ha, hb,
                jnp.broadcast_to(jnp.asarray(min_hd_weight, jnp.float32),
                                 view_z_in.shape),
@@ -713,10 +767,12 @@ def relax_prepass_taps_pallas(sc, dc, config, *, is_spec, signal, view_z_in,
     from .harness2 import block_minmax
     rmin_b, rmax_b = block_minmax(blur_radius, BLOCK, HALO)
     outs = stencil_call2(
-        functools.partial(_prepass_kernel, is_spec, mat_occ, rough_sq),
-        windows, n_out=4, halo=HALO, block=BLOCK,
+        functools.partial(_prepass_kernel, is_spec, mat_occ, rough_sq, n_sh),
+        windows, n_out=4 + n_sh, halo=HALO, block=BLOCK,
         scalars=scalars, center_inputs=centers,
         block_scalars=[rmin_b, rmax_b], scratch_blocks=1)
+    if n_sh:
+        return jnp.stack(outs[:4], -1), jnp.stack(outs[4:8], -1)
     return jnp.stack(outs, -1)
 
 
@@ -732,7 +788,7 @@ _CENTER4 = ((1, 1), (2, 1), (1, 2), (2, 2))
 _CORNER4 = ((0, 0), (3, 0), (0, 3), (3, 3))
 
 
-def _relax_smb_kernel(has_spec, n_hist, mat_occ, smem, bsm, wins, centers, outs,
+def _relax_smb_kernel(has_spec, n_hist, n_bil, mat_occ, smem, bsm, wins, centers, outs,
                       origin, scratch):
     wi = iter(wins)
     zp_w = next(wi)
@@ -741,6 +797,7 @@ def _relax_smb_kernel(has_spec, n_hist, mat_occ, smem, bsm, wins, centers, outs,
     ht_w = next(wi) if has_spec else None
     nrp = [next(wi) for _ in range(4)]
     hist_wins = [next(wi) for _ in range(n_hist)]
+    bil_wins = [next(wi) for _ in range(n_bil)]
     cnr = [next(wi), next(wi)]
     chit_w = next(wi) if has_spec else None
 
@@ -880,6 +937,9 @@ def _relax_smb_kernel(has_spec, n_hist, mat_occ, smem, bsm, wins, centers, outs,
     for v_ in hist_out:
         outs[k][:, :] = v_
         k += 1
+    for bw_ in bil_wins:  # occlusion-weighted bilinear (SH histories)
+        outs[k][:, :] = resolve_custom(fp(bw_))
+        k += 1
     outs[k][:, :] = hl_res; k += 1
     outs[k][:, :] = bicubic_valid.astype(jnp.float32); k += 1
     outs[k][:, :] = (bval[0] + bval[1] + bval[2] + bval[3] > 0.0) \
@@ -896,12 +956,15 @@ def _relax_smb_kernel(has_spec, n_hist, mat_occ, smem, bsm, wins, centers, outs,
 
 def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr,
                       material_id, cur_nr_packed, cur_spec_hit, prev_view_z, prev_mat,
-                      prev_hl, prev_ht, prev_nr_packed, hist_planes, has_spec):
+                      prev_hl, prev_ht, prev_nr_packed, hist_planes, has_spec,
+                      bil_planes=()):
     """RELAX surface-motion loader: 4x4 occlusion, backface test, history length,
     CatRom-with-fallback histories, current 3x3 n_avg (+ min spec hitT).
 
-    Returns dict(hist=[...], history_length, bicubic_valid, any_valid, custom_wsum,
-    n_avg_unit (h,w,3), n_avg (h,w,3)[, reflection_hit_t, min_hit])."""
+    bil_planes: extra planes resolved with the occlusion-weighted bilinear only
+    (the SH histories' resolve class).
+    Returns dict(hist=[...], bil=[...], history_length, bicubic_valid, any_valid,
+    custom_wsum, n_avg_unit (h,w,3), n_avg (h,w,3)[, reflection_hit_t, min_hit])."""
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
     min_material = jnp.minimum(dc["spec_min_material"], dc["diff_min_material"])
     scalars = jnp.concatenate([
@@ -918,23 +981,24 @@ def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr
     if has_spec:
         windows.append(prev_ht)
     windows += [prev_nr_packed[..., c] for c in range(4)]
-    windows += list(hist_planes)
+    windows += list(hist_planes) + list(bil_planes)
     windows += [cur_nr_packed[..., 0], cur_nr_packed[..., 1]]
     if has_spec:
         windows.append(cur_spec_hit)
     centers = [mv_pix_y, mv_pix_x, xv_prev_z, base_thr, material_id]
 
     n_hist = len(hist_planes)
-    n_out = n_hist + 10 + (2 if has_spec else 0)
+    n_bil = len(bil_planes)
+    n_out = n_hist + n_bil + 10 + (2 if has_spec else 0)
     n_cur = 3 if has_spec else 2  # trailing current-frame windows (cnr, cur_spec_hit)
     outs = stencil_call2(
-        functools.partial(_relax_smb_kernel, has_spec, n_hist, mat_occ),
+        functools.partial(_relax_smb_kernel, has_spec, n_hist, n_bil, mat_occ),
         windows, n_out=n_out, halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
         base_offset=(base_y, base_x),
         offset_windows=[True] * (len(windows) - n_cur) + [False] * n_cur)
-    res = dict(hist=list(outs[:n_hist]))
-    k = n_hist
+    res = dict(hist=list(outs[:n_hist]), bil=list(outs[n_hist:n_hist + n_bil]))
+    k = n_hist + n_bil
     res["history_length"] = outs[k]; k += 1
     res["bicubic_valid"] = outs[k] > 0.5; k += 1
     res["any_valid"] = outs[k] > 0.5; k += 1
@@ -947,13 +1011,14 @@ def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr
     return res
 
 
-def _relax_vmb_kernel(mat_occ, smem, bsm, wins, centers, outs, origin, scratch):
+def _relax_vmb_kernel(mat_occ, n_sh, smem, bsm, wins, centers, outs, origin, scratch):
     wi = iter(wins)
     zp_w = next(wi)
     mat_w = next(wi)
     ht_w = next(wi)
     nrp = [next(wi) for _ in range(4)]
     hists = [next(wi) for _ in range(8)]  # spec_illum(4) + spec_resp(4)
+    sh_wins = [next(wi) for _ in range(n_sh)]  # sh_prev(4) + sh_resp(4) when SH
 
     ci = iter(centers)
     mvy = next(ci)[:, :]
@@ -1088,16 +1153,19 @@ def _relax_vmb_kernel(mat_occ, smem, bsm, wins, centers, outs, origin, scratch):
         outs[k_out][:, :] = resolve_plain(fp(nrp[c])); k_out += 1
     outs[k_out][:, :] = vany.astype(jnp.float32); k_out += 1
     outs[k_out][:, :] = vall.astype(jnp.float32); k_out += 1
+    for sw in sh_wins:  # SH histories: occlusion-weighted bilinear
+        outs[k_out][:, :] = resolve_custom(fp(sw)); k_out += 1
 
 
 def relax_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, n, x_minus_delta,
                       thr_base, material_id, smb_bicubic, prev_view_z, prev_mat,
-                      prev_ht, prev_nr_packed, spec_illum_prev, spec_resp_prev):
+                      prev_ht, prev_nr_packed, spec_illum_prev, spec_resp_prev,
+                      sh_prev=None, sh_resp_prev=None):
     """RELAX virtual-motion loader (TA lines 222-348): 2x2 plane-distance occlusion in
     PREVIOUS camera space, CatRom spec histories, plain-bilinear hitT + packed normals.
 
     Returns dict(spec_vmb (h,w,4), spec_vmb_resp (h,w,4), hit_t, nr_packed (h,w,4),
-    any, all)."""
+    any, all[, sh_vmb, sh_vmb_resp])."""
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
     scalars = jnp.concatenate([
         jnp.asarray(sc["prev_frustum_right"], jnp.float32),
@@ -1115,18 +1183,26 @@ def relax_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, n, x_minus_delta,
                + [prev_nr_packed[..., c] for c in range(4)]
                + [spec_illum_prev[..., c] for c in range(4)]
                + [spec_resp_prev[..., c] for c in range(4)])
+    n_sh = 0 if sh_prev is None else 8
+    if n_sh:
+        windows += ([sh_prev[..., c] for c in range(4)]
+                    + [sh_resp_prev[..., c] for c in range(4)])
     centers = [mv_pix_y, mv_pix_x, n[..., 0], n[..., 1], n[..., 2],
                x_minus_delta[..., 0], x_minus_delta[..., 1], x_minus_delta[..., 2],
                thr_base, material_id, smb_bicubic.astype(jnp.float32)]
     outs = stencil_call2(
-        functools.partial(_relax_vmb_kernel, mat_occ),
-        windows, n_out=15, halo=HALO, block=BLOCK,
+        functools.partial(_relax_vmb_kernel, mat_occ, n_sh),
+        windows, n_out=15 + n_sh, halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
         base_offset=(base_y, base_x), offset_windows=[True] * len(windows))
-    return dict(spec_vmb=jnp.stack(outs[0:4], -1),
-                spec_vmb_resp=jnp.stack(outs[4:8], -1),
-                hit_t=outs[8], nr_packed=jnp.stack(outs[9:13], -1),
-                any=outs[13] > 0.5, all=outs[14] > 0.5)
+    res = dict(spec_vmb=jnp.stack(outs[0:4], -1),
+               spec_vmb_resp=jnp.stack(outs[4:8], -1),
+               hit_t=outs[8], nr_packed=jnp.stack(outs[9:13], -1),
+               any=outs[13] > 0.5, all=outs[14] > 0.5)
+    if n_sh:
+        res["sh_vmb"] = jnp.stack(outs[15:19], -1)
+        res["sh_vmb_resp"] = jnp.stack(outs[19:23], -1)
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -1151,13 +1227,15 @@ def _hf_stride_weights(stride):
     return ws
 
 
-def _relax_hfix_kernel(has_diff, has_spec, mat_occ, smem, bsm, wins, centers, outs,
-                       origin, scratch):
+def _relax_hfix_kernel(has_diff, has_spec, d_sh, s_sh, mat_occ, smem, bsm, wins,
+                       centers, outs, origin, scratch):
     wi = iter(wins)
     zw = next(wi)
     nr = [next(wi) for _ in range(4)]
     dsig = [next(wi) for _ in range(4)] if has_diff else None
     ssig = [next(wi) for _ in range(4)] if has_spec else None
+    dsh = [next(wi) for _ in range(4)] if d_sh else None
+    ssh = [next(wi) for _ in range(4)] if s_sh else None
 
     ci = iter(centers)
     stride_r = next(ci)
@@ -1206,12 +1284,19 @@ def _relax_hfix_kernel(has_diff, has_spec, mat_occ, smem, bsm, wins, centers, ou
 
     # init: pass-through (the caller's apply_fix select keeps these elsewhere)
     n_d = 4 if has_diff else 0
+    n_s = 4 if has_spec else 0
     if has_diff:
         for c in range(4):
             outs[c][:, :] = dsig[c].tap()
     if has_spec:
         for c in range(4):
             outs[n_d + c][:, :] = ssig[c].tap()
+    if d_sh:
+        for c in range(4):
+            outs[n_d + n_s + c][:, :] = dsh[c].tap()
+    if s_sh:
+        for c in range(4):
+            outs[n_d + n_s + (4 if d_sh else 0) + c][:, :] = ssh[c].tap()
     i_b, j_b = pl.program_id(0), pl.program_id(1)
     smin = jnp.maximum(bsm[0][i_b, j_b], jnp.float32(HF_STRIDE_LEVELS[0]))
     smax = jnp.minimum(bsm[1][i_b, j_b], jnp.float32(HF_STRIDE_LEVELS[-1]))
@@ -1219,10 +1304,10 @@ def _relax_hfix_kernel(has_diff, has_spec, mat_occ, smem, bsm, wins, centers, ou
 
     @pl.when(fix_any > 0.0)
     def _():
-        _relax_hfix_taps(has_diff, has_spec, mat_occ, smin, smax, stride, thr,
-                         nx_, ny_, nz_, xx_, xy_, xz_, cvx, cvy, cvz, mat_c,
+        _relax_hfix_taps(has_diff, has_spec, d_sh, s_sh, mat_occ, smin, smax, stride,
+                         thr, nx_, ny_, nz_, xx_, xy_, xz_, cvx, cvy, cvz, mat_c,
                          angle0 if has_spec else None, f0 if has_spec else None,
-                         zw, nr, dsig, ssig, u, v, inv_w, inv_h, world_pos,
+                         zw, nr, dsig, ssig, dsh, ssh, u, v, inv_w, inv_h, world_pos,
                          view_z_scale, norm_power, rough_relax, min_mat_d, min_mat_s,
                          outs, scratch, bh, bw)
 
@@ -1231,15 +1316,17 @@ _HF_LO = [-1e9] + list(HF_STRIDE_LEVELS[:-1])
 _HF_HI = list(HF_STRIDE_LEVELS[1:]) + [1e9]
 
 
-def _relax_hfix_taps(has_diff, has_spec, mat_occ, smin, smax, stride, thr,
-                     nx_, ny_, nz_, xx_, xy_, xz_, cvx, cvy, cvz, mat_c,
-                     angle0, f0, zw, nr, dsig, ssig, u, v, inv_w, inv_h, world_pos,
-                     view_z_scale, norm_power, rough_relax, min_mat_d, min_mat_s,
-                     outs, scratch, bh, bw):
+def _relax_hfix_taps(has_diff, has_spec, d_sh, s_sh, mat_occ, smin, smax, stride,
+                     thr, nx_, ny_, nz_, xx_, xy_, xz_, cvx, cvy, cvz, mat_c,
+                     angle0, f0, zw, nr, dsig, ssig, dsh, ssh, u, v, inv_w, inv_h,
+                     world_pos, view_z_scale, norm_power, rough_relax, min_mat_d,
+                     min_mat_s, outs, scratch, bh, bw):
     from jax.experimental import pallas as pl  # local alias for the nested whens
 
     lw_all = _hf_stride_weights(stride)
     n_d = 4 if has_diff else 0
+    n_s = 4 if has_spec else 0
+    sh0 = n_d + n_s
     scratch[0][:, :] = jnp.ones((bh, bw), jnp.float32)
     scratch[1][:, :] = jnp.ones((bh, bw), jnp.float32)
 
@@ -1250,62 +1337,73 @@ def _relax_hfix_taps(has_diff, has_spec, mat_occ, smin, smax, stride, thr,
         def _(li=li, lv=lv):
             d_acc = [outs[c][:, :] for c in range(4)] if has_diff else None
             s_acc = [outs[n_d + c][:, :] for c in range(4)] if has_spec else None
+            dsh_acc = [outs[sh0 + c][:, :] for c in range(4)] if d_sh else None
+            ssh_acc = [outs[sh0 + (4 if d_sh else 0) + c][:, :]
+                       for c in range(4)] if s_sh else None
             d_wsum = scratch[0][:, :]
             s_wsum = scratch[1][:, :]
             for j_ in range(-2, 3):
                 for i_ in range(-2, 3):
                     if i_ == 0 and j_ == 0:
                         continue
-                        ox = max(-28, min(28, int(round(i_ * lv))))
-                        oy = max(-28, min(28, int(round(j_ * lv))))
-                        us = u + ox * inv_w
-                        vs = v + oy * inv_h
-                        inside = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)) \
-                            .astype(jnp.float32)
-                        zs = jnp.abs(zw.tap(oy, ox)) * view_z_scale
-                        n0 = nr[0].tap(oy, ox)
-                        n1 = nr[1].tap(oy, ox)
-                        nsx, nsy, nsz = _decode_oct(n0, n1)
-                        xsx, xsy, xsz = world_pos(us, vs, zs)
-                        pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_
-                                     + (xsz - xz_) * nz_)
-                        gw = (pd < thr).astype(jnp.float32) * lw_all[li]
-                        ndn = nx_ * nsx + ny_ * nsy + nz_ * nsz
-                        if has_diff:
-                            dw = gw * jnp.exp(jnp.log(jnp.maximum(0.01, ndn))
-                                              * jnp.maximum(norm_power, 0.01))
-                            dw = dw * inside
-                            if mat_occ:
-                                ms = nr[3].tap(oy, ox)
-                                dw = dw * (jnp.maximum(ms, min_mat_d)
-                                           == jnp.maximum(mat_c, min_mat_d)) \
-                                    .astype(jnp.float32)
-                            keep = dw > 1e-4
+                    ox = max(-28, min(28, int(round(i_ * lv))))
+                    oy = max(-28, min(28, int(round(j_ * lv))))
+                    us = u + ox * inv_w
+                    vs = v + oy * inv_h
+                    inside = ((us > 0.0) & (us < 1.0) & (vs > 0.0) & (vs < 1.0)) \
+                        .astype(jnp.float32)
+                    zs = jnp.abs(zw.tap(oy, ox)) * view_z_scale
+                    n0 = nr[0].tap(oy, ox)
+                    n1 = nr[1].tap(oy, ox)
+                    nsx, nsy, nsz = _decode_oct(n0, n1)
+                    xsx, xsy, xsz = world_pos(us, vs, zs)
+                    pd = jnp.abs((xsx - xx_) * nx_ + (xsy - xy_) * ny_
+                                 + (xsz - xz_) * nz_)
+                    gw = (pd < thr).astype(jnp.float32) * lw_all[li]
+                    ndn = nx_ * nsx + ny_ * nsy + nz_ * nsz
+                    if has_diff:
+                        dw = gw * jnp.exp(jnp.log(jnp.maximum(0.01, ndn))
+                                          * jnp.maximum(norm_power, 0.01))
+                        dw = dw * inside
+                        if mat_occ:
+                            ms = nr[3].tap(oy, ox)
+                            dw = dw * (jnp.maximum(ms, min_mat_d)
+                                       == jnp.maximum(mat_c, min_mat_d)) \
+                                .astype(jnp.float32)
+                        keep = dw > 1e-4
+                        for c in range(4):
+                            s_t = dsig[c].tap(oy, ox)
+                            d_acc[c] = d_acc[c] + jnp.where(keep, s_t * dw, 0.0)
+                        if d_sh:
                             for c in range(4):
-                                s_t = dsig[c].tap(oy, ox)
-                                d_acc[c] = d_acc[c] + jnp.where(keep, s_t * dw, 0.0)
-                            d_wsum = d_wsum + jnp.where(keep, dw, 0.0)
-                        if has_spec:
-                            tx = xsx + rough_relax * xx_
-                            ty = xsy + rough_relax * xy_
-                            tz = xsz + rough_relax * xz_
-                            inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz,
-                                                            1e-15))
-                            svx, svy, svz = -tx * inv, -ty * inv, -tz * inv
-                            cosa = jnp.minimum(ndn, cvx * svx + cvy * svy + cvz * svz)
-                            a_ = _smoothstep(0.0, angle0, _acos_approx(cosa))
-                            sw_ = gw * jnp.clip(1.0 - a_ * f0, 0.0, 1.0)
-                            sw_ = sw_ * inside
-                            if mat_occ:
-                                ms = nr[3].tap(oy, ox)
-                                sw_ = sw_ * (jnp.maximum(ms, min_mat_s)
-                                             == jnp.maximum(mat_c, min_mat_s)) \
-                                    .astype(jnp.float32)
-                            keep = sw_ > 1e-4
+                                t_ = dsh[c].tap(oy, ox)
+                                dsh_acc[c] = dsh_acc[c] + jnp.where(keep, t_ * dw, 0.0)
+                        d_wsum = d_wsum + jnp.where(keep, dw, 0.0)
+                    if has_spec:
+                        tx = xsx + rough_relax * xx_
+                        ty = xsy + rough_relax * xy_
+                        tz = xsz + rough_relax * xz_
+                        inv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz,
+                                                        1e-15))
+                        svx, svy, svz = -tx * inv, -ty * inv, -tz * inv
+                        cosa = jnp.minimum(ndn, cvx * svx + cvy * svy + cvz * svz)
+                        a_ = _smoothstep(0.0, angle0, _acos_approx(cosa))
+                        sw_ = gw * jnp.clip(1.0 - a_ * f0, 0.0, 1.0)
+                        sw_ = sw_ * inside
+                        if mat_occ:
+                            ms = nr[3].tap(oy, ox)
+                            sw_ = sw_ * (jnp.maximum(ms, min_mat_s)
+                                         == jnp.maximum(mat_c, min_mat_s)) \
+                                .astype(jnp.float32)
+                        keep = sw_ > 1e-4
+                        for c in range(4):
+                            s_t = ssig[c].tap(oy, ox)
+                            s_acc[c] = s_acc[c] + jnp.where(keep, s_t * sw_, 0.0)
+                        if s_sh:
                             for c in range(4):
-                                s_t = ssig[c].tap(oy, ox)
-                                s_acc[c] = s_acc[c] + jnp.where(keep, s_t * sw_, 0.0)
-                            s_wsum = s_wsum + jnp.where(keep, sw_, 0.0)
+                                t_ = ssh[c].tap(oy, ox)
+                                ssh_acc[c] = ssh_acc[c] + jnp.where(keep, t_ * sw_, 0.0)
+                        s_wsum = s_wsum + jnp.where(keep, sw_, 0.0)
             if has_diff:
                 for c in range(4):
                     outs[c][:, :] = d_acc[c]
@@ -1314,20 +1412,33 @@ def _relax_hfix_taps(has_diff, has_spec, mat_occ, smin, smax, stride, thr,
                 for c in range(4):
                     outs[n_d + c][:, :] = s_acc[c]
                 scratch[1][:, :] = s_wsum
+            if d_sh:
+                for c in range(4):
+                    outs[sh0 + c][:, :] = dsh_acc[c]
+            if s_sh:
+                for c in range(4):
+                    outs[sh0 + (4 if d_sh else 0) + c][:, :] = ssh_acc[c]
 
     if has_diff:
         inv_d = 1.0 / scratch[0][:, :]
         for c in range(4):
             outs[c][:, :] = outs[c][:, :] * inv_d
+        if d_sh:
+            for c in range(4):
+                outs[sh0 + c][:, :] = outs[sh0 + c][:, :] * inv_d
     if has_spec:
         inv_s = 1.0 / scratch[1][:, :]
         for c in range(4):
             outs[n_d + c][:, :] = outs[n_d + c][:, :] * inv_s
+        if s_sh:
+            for c in range(4):
+                outs[sh0 + (4 if d_sh else 0) + c][:, :] = \
+                    outs[sh0 + (4 if d_sh else 0) + c][:, :] * inv_s
 
 
 def relax_history_fix_pallas(sc, dc, config, *, stride, thr_eff, n, x, cv, material_id,
                              view_z_in, normal_roughness, diff, spec, apply_fix=None,
-                             angle0=None, f0=None):
+                             angle0=None, f0=None, diff_sh=None, spec_sh=None):
     """RELAX HistoryFix sparse 5x5 taps on Pallas; per-pixel stride via HF_STRIDE_LEVELS
     hat blending (documented divergence vs continuous stride)."""
     has_diff = diff is not None
@@ -1348,31 +1459,43 @@ def relax_history_fix_pallas(sc, dc, config, *, stride, thr_eff, n, x, cv, mater
             jnp.asarray(sc["rect_size"][1], jnp.float32),
         ]),
     ])
+    d_sh = diff_sh is not None
+    s_sh = spec_sh is not None
     windows = [view_z_in] + [normal_roughness[..., c] for c in range(4)]
     if has_diff:
         windows += [diff[..., c] for c in range(4)]
     if has_spec:
         windows += [spec[..., c] for c in range(4)]
+    if d_sh:
+        windows += [diff_sh[..., c] for c in range(4)]
+    if s_sh:
+        windows += [spec_sh[..., c] for c in range(4)]
     centers = [stride, thr_eff, n[..., 0], n[..., 1], n[..., 2],
                x[..., 0], x[..., 1], x[..., 2],
                cv[..., 0], cv[..., 1], cv[..., 2], material_id]
     if has_spec:
         centers += [angle0, f0]
-    n_out = 4 * (int(has_diff) + int(has_spec))
+    n_out = 4 * (int(has_diff) + int(has_spec) + int(d_sh) + int(s_sh))
     from .harness2 import block_minmax
     smin_b, smax_b = block_minmax(stride, BLOCK, HALO)
     fix = apply_fix if apply_fix is not None else jnp.ones_like(stride, bool)
     fix_b = block_minmax(fix.astype(jnp.float32), BLOCK, HALO)[1]
     outs = stencil_call2(
-        functools.partial(_relax_hfix_kernel, has_diff, has_spec, mat_occ),
+        functools.partial(_relax_hfix_kernel, has_diff, has_spec, d_sh, s_sh, mat_occ),
         windows, n_out=n_out, halo=HALO, block=BLOCK,
         scalars=scalars, center_inputs=centers,
         block_scalars=[smin_b, smax_b, fix_b], scratch_blocks=2)
     k = 0
-    d_out = s_out = None
+    d_out = s_out = dsh_out = ssh_out = None
     if has_diff:
         d_out = jnp.stack(outs[k:k + 4], -1)
         k += 4
     if has_spec:
         s_out = jnp.stack(outs[k:k + 4], -1)
-    return d_out, s_out
+        k += 4
+    if d_sh:
+        dsh_out = jnp.stack(outs[k:k + 4], -1)
+        k += 4
+    if s_sh:
+        ssh_out = jnp.stack(outs[k:k + 4], -1)
+    return d_out, s_out, dsh_out, ssh_out

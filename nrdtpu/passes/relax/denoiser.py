@@ -189,7 +189,7 @@ class RelaxDenoiser:
         from ...config import use_pallas
         pallas_ok = (use_pallas()
                      and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
-                     and not self.sh and cfg.rect_size == cfg.resource_size)
+                     and cfg.rect_size == cfg.resource_size)
 
         if (s.hitDistanceReconstructionMode != HitDistanceReconstructionMode.OFF
                 and s.checkerboardMode == CheckerboardMode.OFF):

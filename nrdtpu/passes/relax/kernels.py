@@ -188,22 +188,26 @@ def pre_pass(sc, dc, diff, spec, view_z_in, normal_roughness, config,
             radius_disabled = dc["diff_blur_radius"] <= 0.0
         blur_radius = jnp.where(hit == 0.0, jnp.maximum(blur_radius, 1.0), blur_radius)
 
-        if pallas and sh is None:
+        if pallas:
             from ...kernels.relax_pallas import relax_prepass_taps_pallas
 
             dts = jnp.where(sc["ortho_mode"] == 0.0, view_z, 1.0)
             kw = {}
             if is_spec:
                 kw = dict(ra=ra, rb=rb, roughness=roughness)
-            out = relax_prepass_taps_pallas(
+            res = relax_prepass_taps_pallas(
                 sc, dc, config, is_spec=is_spec, signal=signal, view_z_in=view_z_in,
                 normal_roughness=normal_roughness, blur_radius=blur_radius,
                 thr_eff=dc["depth_threshold"] * dts, nwp=nwp, ha=ha, hb=hb,
                 min_hd_weight=min_hd_weight, hit=hit, material_id=material_id,
-                n=n, x=x, **kw)
+                n=n, x=x, sh=sh, **kw)
+            out, out_sh = res if sh is not None else (res, None)
             out = jnp.where(radius_disabled, signal, out)
             out = jnp.clip(out, 0.0, NRD_FP16_MAX)
-            return out, None
+            if out_sh is not None:
+                out_sh = jnp.where(radius_disabled, sh, out_sh)
+                out_sh = jnp.clip(out_sh, -NRD_FP16_MAX, NRD_FP16_MAX)
+            return out, out_sh
 
         acc = signal
         acc_sh = sh
@@ -384,12 +388,21 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
 
         smb_mvy, smb_mvx = _uv2mv(uv_smb, h, w, sc["rect_size_prev"])
         hist_planes = []
+        bil_planes = []
         if has_diff:
             hist_planes += [state["diff_illum_prev"][..., c] for c in range(4)]
             hist_planes += [state["diff_responsive_prev"][..., c] for c in range(4)]
+            if diff_sh is not None:
+                bil_planes += [state["diff_sh_prev"][..., c] for c in range(4)]
+                bil_planes += [state["diff_sh_responsive_prev"][..., c]
+                               for c in range(4)]
         if has_spec:
             hist_planes += [state["spec_illum_prev"][..., c] for c in range(4)]
             hist_planes += [state["spec_responsive_prev"][..., c] for c in range(4)]
+            if spec_sh is not None:
+                bil_planes += [state["spec_sh_prev"][..., c] for c in range(4)]
+                bil_planes += [state["spec_sh_responsive_prev"][..., c]
+                               for c in range(4)]
         smb_bundle = relax_smb_resolve(
             sc, dc, config, mv_pix_y=smb_mvy, mv_pix_x=smb_mvx,
             xv_prev_z=xv_prev_z_p, base_thr=base_thr, material_id=material_id,
@@ -399,7 +412,7 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
             prev_hl=state["history_length"],
             prev_ht=state.get("reflection_hit_t"),
             prev_nr_packed=state["normal_roughness_prev"],
-            hist_planes=hist_planes, has_spec=has_spec)
+            hist_planes=hist_planes, has_spec=has_spec, bil_planes=bil_planes)
         n_avg = smb_bundle["n_avg"]
         n_avg_unit = smb_bundle["n_avg_unit"]
         if has_spec:
@@ -533,10 +546,14 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
             nm.lerp(prev_diff_resp[..., :3], diff[..., :3], alpha_resp[..., None]),
             jnp.zeros_like(m1)[..., None]], -1)
         if diff_sh is not None:
-            prev_sh = resample.bilinear_custom(state["diff_sh_prev"], bilinear_origin,
-                                               custom_w)
-            prev_sh_resp = resample.bilinear_custom(state["diff_sh_responsive_prev"],
-                                                    bilinear_origin, custom_w)
+            if pallas:
+                prev_sh = jnp.stack(smb_bundle["bil"][0:4], -1)
+                prev_sh_resp = jnp.stack(smb_bundle["bil"][4:8], -1)
+            else:
+                prev_sh = resample.bilinear_custom(state["diff_sh_prev"],
+                                                   bilinear_origin, custom_w)
+                prev_sh_resp = resample.bilinear_custom(
+                    state["diff_sh_responsive_prev"], bilinear_origin, custom_w)
             out["diff_sh"] = nm.lerp(prev_sh, diff_sh, alpha[..., None])
             out["diff_sh_fast"] = nm.lerp(prev_sh_resp, diff_sh, alpha_resp[..., None])
 
@@ -635,7 +652,10 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
                 prev_ht=state["reflection_hit_t"],
                 prev_nr_packed=state["normal_roughness_prev"],
                 spec_illum_prev=state["spec_illum_prev"],
-                spec_resp_prev=state["spec_responsive_prev"])
+                spec_resp_prev=state["spec_responsive_prev"],
+                sh_prev=state.get("spec_sh_prev") if spec_sh is not None else None,
+                sh_resp_prev=(state.get("spec_sh_responsive_prev")
+                              if spec_sh is not None else None))
             vmb_any = vmb_bundle["any"]
             vmb_all = vmb_bundle["all"]
             vmb_found = vmb_all.astype(jnp.float32)
@@ -865,14 +885,21 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
         out["reflection_hit_t"] = acc_hit_t
         out["spec_reprojection_confidence"] = spec_history_confidence
         if spec_sh is not None:
-            prev_sh_smb = resample.bilinear_custom(state["spec_sh_prev"], bilinear_origin,
-                                                   custom_w)
-            prev_sh_smb_resp = resample.bilinear_custom(state["spec_sh_responsive_prev"],
-                                                        bilinear_origin, custom_w)
-            prev_sh_vmb = resample.bilinear_custom(state["spec_sh_prev"], vmb_origin,
-                                                   vmb_custom_w)
-            prev_sh_vmb_resp = resample.bilinear_custom(state["spec_sh_responsive_prev"],
-                                                        vmb_origin, vmb_custom_w)
+            if pallas:
+                bofs = 8 if (has_diff and diff_sh is not None) else 0
+                prev_sh_smb = jnp.stack(smb_bundle["bil"][bofs:bofs + 4], -1)
+                prev_sh_smb_resp = jnp.stack(smb_bundle["bil"][bofs + 4:bofs + 8], -1)
+                prev_sh_vmb = vmb_bundle["sh_vmb"]
+                prev_sh_vmb_resp = vmb_bundle["sh_vmb_resp"]
+            else:
+                prev_sh_smb = resample.bilinear_custom(state["spec_sh_prev"],
+                                                       bilinear_origin, custom_w)
+                prev_sh_smb_resp = resample.bilinear_custom(
+                    state["spec_sh_responsive_prev"], bilinear_origin, custom_w)
+                prev_sh_vmb = resample.bilinear_custom(state["spec_sh_prev"],
+                                                       vmb_origin, vmb_custom_w)
+                prev_sh_vmb_resp = resample.bilinear_custom(
+                    state["spec_sh_responsive_prev"], vmb_origin, vmb_custom_w)
             acc_sh_smb = nm.lerp(prev_sh_smb, spec_sh, spec_smb_alpha[..., None])
             acc_sh_smb_resp = nm.lerp(prev_sh_smb_resp, spec_sh,
                                       spec_smb_resp_alpha[..., None])
@@ -914,22 +941,23 @@ def history_fix(sc, dc, view_z_in, normal_roughness, history_length, diff, spec,
     apply_fix = jnp.logical_and(history_length <= dc["history_fix_frame_num"],
                                 dc["history_fix_frame_num"] != 1.0)
 
-    if pallas and diff_sh is None and spec_sh is None:
+    if pallas:
         from ...kernels.relax_pallas import relax_history_fix_pallas
 
         kw = {}
         if spec is not None:
             kw = dict(angle0=angle0, f0=f0)
-        d_fix, s_fix = relax_history_fix_pallas(
+        d_fix, s_fix, dsh_fix, ssh_fix = relax_history_fix_pallas(
             sc, dc, config, stride=stride, thr_eff=depth_threshold, n=n, x=x, cv=cv,
             material_id=material_id, view_z_in=view_z_in,
             normal_roughness=normal_roughness, diff=diff, spec=spec,
-            apply_fix=apply_fix, **kw)
+            apply_fix=apply_fix, diff_sh=diff_sh, spec_sh=spec_sh, **kw)
         outs_p = []
-        for fixed, orig in ((d_fix, diff), (s_fix, spec)):
+        for fixed, orig in ((d_fix, diff), (s_fix, spec),
+                            (dsh_fix, diff_sh), (ssh_fix, spec_sh)):
             outs_p.append(None if orig is None
                           else jnp.where(apply_fix[..., None], fixed, orig))
-        return outs_p[0], outs_p[1], None, None
+        return outs_p[0], outs_p[1], outs_p[2], outs_p[3]
 
     pos_grid = resample.pixel_pos_grid(h, w).astype(jnp.float32)
 
@@ -1279,7 +1307,7 @@ def atrous(sc, dc, view_z_in, normal_roughness, history_length, spec_reproj_conf
 
     use_variance_estimation = is_first
 
-    if pallas and not sh_mode:
+    if pallas:
         from ...kernels.relax_pallas import relax_atrous_pallas
 
         nwp_sve = get_normal_weight_param2(jnp.ones_like(roughness),
@@ -1297,7 +1325,7 @@ def atrous(sc, dc, view_z_in, normal_roughness, history_length, spec_reproj_conf
             jit = jnp.floor(step_size * 0.5 * (rnd - 0.5)).astype(jnp.int32)
             jitter = (jit[..., 1], jit[..., 0])
         hl = history_length if history_length is not None else jnp.zeros_like(view_z)
-        d_out, s_out = relax_atrous_pallas(
+        d_out, s_out, dsh_out, ssh_out = relax_atrous_pallas(
             sc, dc, config, step_size=step_size, is_first=is_first,
             view_z_in=view_z_in, normal_roughness=normal_roughness,
             history_length=hl, diff=diff, spec=spec,
@@ -1313,12 +1341,18 @@ def atrous(sc, dc, view_z_in, normal_roughness, history_length, spec_reproj_conf
             f0=f0 if spec is not None else None,
             spec_lum_relax=jnp.broadcast_to(jnp.asarray(spec_lum_relax, jnp.float32),
                                             view_z.shape) if spec is not None else None,
-            jitter=jitter)
+            jitter=jitter, diff_sh=diff_sh, spec_sh=spec_sh)
         results = {}
-        if d_out is not None:
-            results["diff"] = d_out
-        if s_out is not None:
-            results["spec"] = s_out
+        for which, sig_out, sh_out in (("diff", d_out, dsh_out),
+                                       ("spec", s_out, ssh_out)):
+            if sig_out is None:
+                continue
+            if is_last and sh_mode:
+                sig_out = jnp.concatenate([nm.linear_to_ycocg(sig_out[..., :3]),
+                                           sig_out[..., 3:]], -1)
+            results[which] = sig_out
+            if sh_out is not None:
+                results[which + "_sh"] = sh_out
         return results
 
     if is_first:

@@ -230,3 +230,48 @@ def test_reblur_sh_pallas_matches_xla(pallas_interpret):
         corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
         assert corr > 0.98, (name, corr)
         assert np.abs(a - b).mean() < 0.05, (name, np.abs(a - b).mean())
+
+
+def _run_relax_ds_sh(n_frames, size=(128, 96)):
+    import jax.numpy as jnp
+    from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+    gen = SceneGenerator(SceneSpec(size=size, noise=0.4), camera_mode="static")
+    eng = Engine({0: Denoiser.RELAX_DIFFUSE_SPECULAR_SH}, resource_size=size)
+    outs = None
+    for i in range(n_frames):
+        fd = gen.frame(i)
+        eng.set_common_settings(fd.common_settings)
+        d0, d1 = fe.relax_pack_sh(jnp.asarray(fd.diff_noisy[..., :3]),
+                                  jnp.asarray(fd.diff_hit_dist),
+                                  jnp.asarray(fd.normal))
+        s0, s1 = fe.relax_pack_sh(jnp.asarray(fd.spec_noisy[..., :3]),
+                                  jnp.asarray(fd.spec_hit_dist),
+                                  jnp.asarray(fd.normal))
+        pool = {
+            RT.IN_VIEWZ: fd.view_z,
+            RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+            RT.IN_MV: fd.mv,
+            RT.IN_DIFF_SH0: np.asarray(d0), RT.IN_DIFF_SH1: np.asarray(d1),
+            RT.IN_SPEC_SH0: np.asarray(s0), RT.IN_SPEC_SH1: np.asarray(s1),
+        }
+        outs = eng.denoise([0], pool)
+    return (np.asarray(outs[RT.OUT_DIFF_SH0]), np.asarray(outs[RT.OUT_SPEC_SH0]),
+            np.asarray(outs[RT.OUT_DIFF_SH1]), np.asarray(outs[RT.OUT_SPEC_SH1]))
+
+
+def test_relax_sh_pallas_matches_xla(pallas_interpret):
+    """RELAX_DIFFUSE_SPECULAR_SH end-to-end: Pallas path (SH through prepass, TA
+    smb/vmb, history fix, a-trous) vs pure XLA."""
+    res_p = _run_relax_ds_sh(3)
+    os.environ["NRDTPU_IMPL"] = "xla"
+    try:
+        res_x = _run_relax_ds_sh(3)
+    finally:
+        os.environ["NRDTPU_IMPL"] = "pallas"
+    for a, b, name in ((res_p[0], res_x[0], "diff_sh0"), (res_p[1], res_x[1], "spec_sh0"),
+                       (res_p[2], res_x[2], "diff_sh1"), (res_p[3], res_x[3], "spec_sh1")):
+        assert np.isfinite(a).all(), name
+        corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
+        assert corr > 0.98, (name, corr)
+        assert np.abs(a - b).mean() < 0.05, (name, np.abs(a - b).mean())
