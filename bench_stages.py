@@ -79,8 +79,20 @@ def main():
 
     results = {}
 
+    import json
+    import os
+    skip = set()
+    if os.environ.get("NRDTPU_STAGES_RESUME") == "1" and os.path.exists(
+            "bench_stages.json"):
+        results.update(json.load(open("bench_stages.json")))
+        skip = set(results)
+        print(f"resuming; already measured: {sorted(skip)}", flush=True)
+
     def timeit(name, fn, reps=3):
-        """fn: (eps, env) -> pytree; runs as a 16-iteration serialized chain."""
+        """fn: (eps, env) -> pytree; runs as a 16-iteration serialized chain.
+
+        Returns the stage's output (materialized once) so downstream stages can
+        consume it - ONE compile per stage (the scan carries the output out)."""
         @jax.jit
         def loop(e, env):
             def step(c, _):
@@ -88,25 +100,26 @@ def main():
                 leaf = jnp.ravel(jax.tree.leaves(o)[0])[0].astype(jnp.float32)
                 return c + leaf * 1e-20, None
             c, _ = jax.lax.scan(step, e, None, length=N)
-            return c
+            return c, fn(e, env)
 
         e0 = jnp.float32(0.0)
-        _ = np.asarray(loop(e0, env))
+        c, out = loop(e0, env)
+        out = jax.tree.map(lambda x: x, out)
+        _ = np.asarray(c)
+        if name in skip:
+            return out
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            _ = np.asarray(loop(e0, env))
+            c, _o = loop(e0, env)
+            _ = np.asarray(c)
             ts.append(time.perf_counter() - t0)
-        ms = (float(np.median(ts)) - lat) / N * 1e3
+        ms = (float(np.median(ts)) - lat) / (N + 1) * 1e3
         results[name] = round(ms, 3)
         print(f"{name:32s}: {ms:8.3f} ms", flush=True)
-        import json
         with open("bench_stages.json", "w") as f:
             json.dump(results, f, indent=2)
-
-    def run(fn):
-        out = jax.jit(lambda env: fn(jnp.float32(0.0), env))(env)
-        return jax.tree.map(lambda x: x, out)
+        return out
 
     # ---- stage closures (DS config: prepass on, hdrecon off, TS on) ----
     def st_tiles(e, env):
@@ -119,16 +132,14 @@ def main():
         return K.diffuse_pre_pass(sc, dc, env["diff_in0"] + e, env["view_z"],
                                   env["nr"], cfg, sh=None, pallas=True)
 
-    timeit("prepass diff", st_dpre)
-    env["diff_in"] = run(st_dpre)[0]
+    env["diff_in"] = timeit("prepass diff", st_dpre)[0]
 
     def st_spre(e, env):
         return K.specular_spatial_filter(sc, dc, K.PRE_BLUR, env["spec_in0"] + e,
                                          env["view_z"], env["nr"], None, cfg, sh=None,
                                          occlusion=False, pallas=True)
 
-    timeit("prepass spec", st_spre)
-    env["spec_in"], _, env["spec_hdt_prepass"] = run(st_spre)
+    env["spec_in"], _, env["spec_hdt_prepass"] = timeit("prepass spec", st_spre)
 
     def st_smb(e, env):
         state = env["state"]
@@ -142,8 +153,7 @@ def main():
             state["prev_normal_roughness"], prev_internal, cfg,
             hist_planes, bil_planes, disocclusion_threshold_mix=None)
 
-    timeit("smb resolve (TA bundle)", st_smb)
-    env["sm"] = run(st_smb)
+    env["sm"] = timeit("smb resolve (TA bundle)", st_smb)
 
     def st_tad(e, env):
         sm = env["sm"]
@@ -154,8 +164,7 @@ def main():
             state["diff_fast_history"], cfg, None, occlusion=False, directional=False,
             diff_sh_input=None, diff_sh_history=None, samples=diff_samples)
 
-    timeit("TA diffuse", st_tad)
-    env["diff1"], env["diff_fast1"], env["data1_diff"], _ = run(st_tad)
+    env["diff1"], env["diff_fast1"], env["data1_diff"], _ = timeit("TA diffuse", st_tad)
 
     def st_tas(e, env):
         from nrdtpu.kernels.reblur_pallas import PallasSampler
@@ -172,8 +181,7 @@ def main():
             cfg, None, occlusion=False, has_prepass_hitdist=True, spec_sh_input=None,
             spec_sh_history=None, samples=spec_samples, sampler=PallasSampler(sc))
 
-    timeit("TA specular (vmb)", st_tas)
-    env["ta_spec"] = run(st_tas)
+    env["ta_spec"] = timeit("TA specular (vmb)", st_tas)
 
     def st_hfd(e, env):
         return K.history_fix(sc, dc, env["view_z"], env["nr"], env["data1_diff"],
@@ -182,8 +190,7 @@ def main():
                              anti_firefly=False, sh=None, directional=False,
                              pallas=True)
 
-    timeit("history fix diff", st_hfd)
-    env["diff2"], env["diff_fast2"], _ = run(st_hfd)
+    env["diff2"], env["diff_fast2"], _ = timeit("history fix diff", st_hfd)
 
     def st_hfs(e, env):
         ta = env["ta_spec"]
@@ -192,8 +199,7 @@ def main():
                              is_diffuse=False, occlusion=False, anti_firefly=False,
                              sh=None, pallas=True)
 
-    timeit("history fix spec", st_hfs)
-    env["spec2"], env["spec_fast2"], _ = run(st_hfs)
+    env["spec2"], env["spec_fast2"], _ = timeit("history fix spec", st_hfs)
 
     def st_bd(e, env):
         return K.diffuse_spatial_filter(sc, dc, K.BLUR, env["diff2"] + e,
@@ -201,8 +207,7 @@ def main():
                                         cfg, sh=None, occlusion=False,
                                         directional=False, pallas=True)
 
-    timeit("blur diff", st_bd)
-    env["diff3"] = run(st_bd)[0]
+    env["diff3"] = timeit("blur diff", st_bd)[0]
 
     def st_pbd(e, env):
         return K.diffuse_spatial_filter(sc, dc, K.POST_BLUR, env["diff3"] + e,
@@ -210,8 +215,7 @@ def main():
                                         cfg, sh=None, occlusion=False,
                                         directional=False, pallas=True)
 
-    timeit("postblur diff", st_pbd)
-    env["diff4"] = run(st_pbd)[0]
+    env["diff4"] = timeit("postblur diff", st_pbd)[0]
 
     def st_bs(e, env):
         return K.specular_spatial_filter(sc, dc, K.BLUR, env["spec2"] + e,
@@ -219,8 +223,7 @@ def main():
                                          env["ta_spec"]["accum_speed"], cfg, sh=None,
                                          occlusion=False, pallas=True)
 
-    timeit("blur spec", st_bs)
-    env["spec3"] = run(st_bs)[0]
+    env["spec3"] = timeit("blur spec", st_bs)[0]
 
     def st_pbs(e, env):
         return K.specular_spatial_filter(sc, dc, K.POST_BLUR, env["spec3"] + e,
@@ -228,8 +231,7 @@ def main():
                                          env["ta_spec"]["accum_speed"], cfg, sh=None,
                                          occlusion=False, pallas=True)
 
-    timeit("postblur spec", st_pbs)
-    env["spec4"] = run(st_pbs)[0]
+    env["spec4"] = timeit("postblur spec", st_pbs)[0]
 
     def st_ts(e, env):
         ta = env["ta_spec"]

@@ -44,10 +44,14 @@ _LO = [-1e9] + list(_LEV[:-1])
 _HI = list(_LEV[1:]) + [1e9]
 
 
-def _static_offsets():
-    """8 dirs x len(RADIUS_LEVELS) compile-time integer offsets (+ gauss weights)."""
+def _static_offsets(n_dirs=8):
+    """n_dirs x len(RADIUS_LEVELS) compile-time integer offsets (+ gauss weights).
+
+    Performance mode uses the 6-tap Poisson set (g_Special6), like the reference's
+    REBLUR_POISSON_SAMPLE_NUM override (REBLUR_Config.hlsli:196-238)."""
     out = []
-    for tap in np.asarray(nm.SPECIAL_8):
+    taps = nm.SPECIAL_6 if n_dirs == 6 else nm.SPECIAL_8
+    for tap in np.asarray(taps):
         gauss = float(np.exp(-0.66 * tap[2] * tap[2]))
         per_level = []
         for lv in _LEV:
@@ -68,7 +72,7 @@ def _level_hat(radius, li):
     return up * dn
 
 
-def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, smem, bsm, wins,
+def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, smem, bsm, wins,
                   centers, outs, origin, scratch):
     """Tap loop over pre-decoded geometry windows.
 
@@ -91,7 +95,7 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, smem, bsm, wins,
         wra_r = next(ci); wrb_r = next(ci)
     if prepass:
         hd_r = next(ci)
-        rnd_r = [next(ci) for _ in range(8)]
+        rnd_r = [next(ci) for _ in range(n_dirs)]
 
     rmin_b, rmax_b = bsm[0], bsm[1]
     sum_ref = scratch[0]
@@ -154,7 +158,7 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, smem, bsm, wins,
         outs[n_sig_out][:, :] = jnp.where(hit_dist_c == 0.0, jnp.float32(NRD_INF),
                                           hit_dist_c)
 
-    taps = _static_offsets()
+    taps = _static_offsets(n_dirs)
     for li in range(len(_LEV)):
         active = (rmax > jnp.float32(_LO[li])) & (rmin < jnp.float32(_HI[li]))
 
@@ -164,7 +168,7 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, smem, bsm, wins,
             sum_acc = sum_ref[:, :]
             acc = [outs[k_][:, :] for k_ in range(n_sig_out)]
             hdt = outs[n_sig_out][:, :] if prepass else None
-            for k in range(8):
+            for k in range(n_dirs):
                 gauss, per_level = taps[k]
                 off_y, off_x = per_level[li]
                 zs = zw.tap(off_y, off_x)
@@ -241,7 +245,7 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
                                 normal_weight_param, ha, hb, min_hit_dist_weight,
                                 material_id, n, nv, wr_a=None, wr_b=None,
                                 hit_dist=None, roughness=None, rnd8=None,
-                                spec=False, prepass=False):
+                                spec=False, prepass=False, perf_mode=False):
     """Drop-in replacement for reblur_pallas.spatial_filter_taps_pallas (v2 kernel).
 
     Additional documented divergence vs v1: the per-frame rotator is ignored (static tap
@@ -250,6 +254,7 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
     c = signal.shape[-1]
     has_sh = sh is not None
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+    n_dirs = 6 if perf_mode else 8
 
     misc = jnp.stack([
         jnp.asarray(sc["view_z_scale"], jnp.float32),
@@ -279,13 +284,13 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
     if spec:
         centers += [wr_a, wr_b]
     if prepass:
-        centers += [hit_dist] + list(rnd8)
+        centers += [hit_dist] + list(rnd8)[:n_dirs]
 
     rmin_b, rmax_b = block_minmax(blur_radius, BLOCK2, HALO2)
 
     n_out = c + (3 if has_sh else 0) + (1 if prepass else 0)
     outs = stencil_call2(
-        functools.partial(_blur2_kernel, c, has_sh, spec, prepass, mat_occ),
+        functools.partial(_blur2_kernel, c, has_sh, spec, prepass, mat_occ, n_dirs),
         windows, n_out=n_out, halo=HALO2, block=BLOCK2,
         scalars=scalars, block_scalars=[rmin_b, rmax_b], center_inputs=centers,
         scratch_blocks=1)

@@ -58,7 +58,7 @@ def _box_sums(win, r):
     return s1, s2
 
 
-def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, smem, bsm,
+def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, af_radius, smem, bsm,
                   wins, centers, outs, origin, scratch):
     """Tap loop over pre-decoded geometry windows (see reblur_blur2._blur2_kernel)."""
     wi = iter(wins)
@@ -206,9 +206,11 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, smem, bsm,
     outs[k_][:, :] = b3_1 / 9.0; k_ += 1
     outs[k_][:, :] = b3_2 / 9.0; k_ += 1
     if anti_firefly:
-        b9_1, b9_2 = _box_sums(fastw, 4)
-        outs[k_][:, :] = (b9_1 - b3_1) / 72.0; k_ += 1
-        outs[k_][:, :] = (b9_2 - b3_2) / 72.0; k_ += 1
+        # performance mode shrinks the ring to radius 3 (REBLUR_Config.hlsli:237)
+        ring_n = float((2 * af_radius + 1) ** 2 - 9)
+        b9_1, b9_2 = _box_sums(fastw, af_radius)
+        outs[k_][:, :] = (b9_1 - b3_1) / ring_n; k_ += 1
+        outs[k_][:, :] = (b9_2 - b3_2) / ring_n; k_ += 1
 
 
 def _sstep10_geom(ndx, ga, gb):
@@ -221,7 +223,7 @@ def history_fix_taps_pallas2(sc, dc, config, *, signal, sh, view_z_in,
                              normal_weight_param, ha, hb, frustum_size, frame_num,
                              material_id, hit_dist_scale, n, nv, is_diffuse,
                              anti_firefly, roughness=None, ra=None, rb=None,
-                             hit_dist=None, bguide=None):
+                             hit_dist=None, bguide=None, perf_mode=False):
     """Drop-in replacement for reblur_pallas.history_fix_taps_pallas (v2 kernel)."""
     c = signal.shape[-1]
     has_sh = sh is not None
@@ -259,7 +261,7 @@ def history_fix_taps_pallas2(sc, dc, config, *, signal, sh, view_z_in,
     n_out = c + (3 if has_sh else 0) + 2 + (2 if anti_firefly else 0)
     outs = stencil_call2(
         functools.partial(_hfix2_kernel, c, has_sh, is_diffuse, mat_occ,
-                          anti_firefly),
+                          anti_firefly, 3 if perf_mode else 4),
         windows, n_out=n_out, halo=HALO2, block=BLOCK2,
         scalars=scalars, block_scalars=[smin_b, smax_b], center_inputs=centers,
         scratch_blocks=1)

@@ -153,7 +153,8 @@ _CENTER = ((1, 1), (2, 1), (1, 2), (2, 2))  # (i, j) == kernels.py CENTER_TAPS (
 _CORNER = ((0, 0), (3, 0), (0, 3), (3, 3))
 
 
-def _smb_kernel(n_hist, n_bil, mat_occlusion, smem, bsm, wins, centers, outs, origin, scratch):
+def _smb_kernel(n_hist, n_bil, mat_occlusion, use_catrom, smem, bsm, wins, centers,
+                outs, origin, scratch):
     """See reblur_smb_resolve for the plane layout."""
     (zp_w, nr0, nr1, mat_w, dacc_w, sacc_w), rest = wins[:6], wins[6:]
     hist_wins = rest[:n_hist]
@@ -284,27 +285,32 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, smem, bsm, wins, centers, outs, or
 
     # CatRom-13 with bilinear-custom fallback (Common.hlsli:602-646 direct form):
     # per-tap weight wx_i*wy_j, corners dropped, off-screen taps dropped, renormalized.
-    wxs = _catrom_w(fx)
-    wys = _catrom_w(fy)
-    cat_w = {}
-    cat_wsum = jnp.zeros((bh, bw), jnp.float32)
-    for j_ in range(4):
-        for i_ in range(4):
-            if (i_, j_) in _CORNER:
-                continue
-            w_ = wxs[i_] * wys[j_] * on_screen(i_, j_)
-            cat_w[(i_, j_)] = w_
-            cat_wsum = cat_wsum + w_
+    if use_catrom:
+        wxs = _catrom_w(fx)
+        wys = _catrom_w(fy)
+        cat_w = {}
+        cat_wsum = jnp.zeros((bh, bw), jnp.float32)
+        for j_ in range(4):
+            for i_ in range(4):
+                if (i_, j_) in _CORNER:
+                    continue
+                w_ = wxs[i_] * wys[j_] * on_screen(i_, j_)
+                cat_w[(i_, j_)] = w_
+                cat_wsum = cat_wsum + w_
 
     use_cat = allow_catrom
     hist_out = []
     for hw_ in hist_wins:
         fp_ = fp(hw_)
-        cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
-        cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
-                        cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
         bil = resolve_custom(fp_)
-        hist_out.append(jnp.where(use_cat, cat, bil))
+        if use_catrom:
+            cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
+            cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                            cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0,
+                                                cat_wsum))
+            hist_out.append(jnp.where(use_cat, cat, bil))
+        else:  # performance mode: bilinear everywhere (REBLUR_Config.hlsli:196-207)
+            hist_out.append(bil)
     for bw_ in bil_wins:
         hist_out.append(resolve_custom(fp(bw_)))
 
@@ -328,7 +334,7 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, smem, bsm, wins, centers, outs, or
 def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_threshold,
                        navg_thr, material_id_center, nr_cur_packed, prev_view_z,
                        prev_nr_packed, prev_mat, diff_accum, spec_accum, hist_planes,
-                       bil_planes=()):
+                       bil_planes=(), use_catrom=True):
     """Surface-motion footprint resolve (TA lines 131-305 + sample_history).
 
     hist_planes: (H, W) planes sampled CatRom-13-with-bilinear-custom-fallback
@@ -364,7 +370,7 @@ def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_th
     n_out = n_hist + n_bil + 11
     wdt = None
     outs = stencil_call2(
-        functools.partial(_smb_kernel, n_hist, n_bil, mat_occ), windows,
+        functools.partial(_smb_kernel, n_hist, n_bil, mat_occ, use_catrom), windows,
         n_out=n_out, halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
         base_offset=(base_y, base_x),
@@ -388,7 +394,8 @@ def _smooth01(x):
     return t * t * (3.0 - 2.0 * t)
 
 
-def _vmb_kernel(mat_occlusion, n_sh, smem, bsm, wins, centers, outs, origin, scratch):
+def _vmb_kernel(mat_occlusion, n_sh, use_catrom, smem, bsm, wins, centers, outs,
+                origin, scratch):
     (zp_w, rough_w, mat_w, sacc_w, h0, h1, h2, h3, fast_w, hdtp_w) = wins[:10]
     sh_ws = wins[10:10 + n_sh]
     (mvy_r, mvx_r, noxc_r, thr_r, n0_r, n1_r, n2_r, v0_r, v1_r, v2_r,
@@ -487,26 +494,31 @@ def _vmb_kernel(mat_occlusion, n_sh, smem, bsm, wins, centers, outs, origin, scr
 
     sacc = resolve_custom(fp(sacc_w))
 
-    wxs = _catrom_w(fx)
-    wys = _catrom_w(fy)
-    cat_w = {}
-    cat_wsum = jnp.zeros((bh, bw), jnp.float32)
-    for j_ in range(4):
-        for i_ in range(4):
-            if (i_, j_) in _CORNER:
-                continue
-            w_ = wxs[i_] * wys[j_] * on_screen(i_, j_)
-            cat_w[(i_, j_)] = w_
-            cat_wsum = cat_wsum + w_
+    if use_catrom:
+        wxs = _catrom_w(fx)
+        wys = _catrom_w(fy)
+        cat_w = {}
+        cat_wsum = jnp.zeros((bh, bw), jnp.float32)
+        for j_ in range(4):
+            for i_ in range(4):
+                if (i_, j_) in _CORNER:
+                    continue
+                w_ = wxs[i_] * wys[j_] * on_screen(i_, j_)
+                cat_w[(i_, j_)] = w_
+                cat_wsum = cat_wsum + w_
 
     hist_out = []
     for hw_ in (h0, h1, h2, h3):
         fp_ = fp(hw_)
-        cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
-        cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
-                        cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
         bil = resolve_custom(fp_)
-        hist_out.append(jnp.where(allow_catrom, cat, bil))
+        if use_catrom:
+            cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
+            cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                            cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0,
+                                                cat_wsum))
+            hist_out.append(jnp.where(allow_catrom, cat, bil))
+        else:  # performance mode: bilinear everywhere
+            hist_out.append(bil)
 
     fast = resolve_custom(fp(fast_w))
 
@@ -535,7 +547,7 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
                        n, vmb_v, ra, rb, roughness_sigma, parallax_sm,
                        material_id_center, smb_allow_catrom, prev_view_z,
                        prev_nr_packed, prev_mat, spec_accum, spec_hist4, spec_fast,
-                       prev_hdt, sh_hist4=None):
+                       prev_hdt, sh_hist4=None, use_catrom=True):
     """Virtual-motion footprint resolve (TA lines 459-530 + history samples :708, :561).
 
     vmb_thr: the per-pixel threshold with all elementwise factors already applied
@@ -563,7 +575,7 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
                ra, rb, roughness_sigma, parallax_sm, material_id_center,
                smb_allow_catrom]
     outs = stencil_call2(
-        functools.partial(_vmb_kernel, mat_occ, n_sh), windows,
+        functools.partial(_vmb_kernel, mat_occ, n_sh, use_catrom), windows,
         n_out=11 + n_sh, halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
         base_offset=(base_y, base_x), offset_windows=[True] * len(windows))
@@ -852,7 +864,7 @@ def spatial_filter_taps_pallas(sc, dc, config, *, rotator, signal, sh, view_z_in
                                normal_weight_param, ha, hb, min_hit_dist_weight,
                                material_id, n, nv, wr_a=None, wr_b=None,
                                hit_dist=None, roughness=None, rnd8=None,
-                               spec=False, prepass=False):
+                               spec=False, prepass=False, perf_mode=False):
     """The Poisson tap loop of the REBLUR spatial filters on Pallas.
 
     All per-pixel weight parameters arrive as planes (computed by the XLA caller with the
@@ -1082,7 +1094,7 @@ def history_fix_taps_pallas(sc, dc, config, *, signal, sh, view_z_in, normal_rou
                             ha, hb, frustum_size, frame_num, material_id,
                             hit_dist_scale, n, nv, is_diffuse, anti_firefly,
                             roughness=None, ra=None, rb=None, hit_dist=None,
-                            bguide=None):
+                            bguide=None, perf_mode=False):
     """HistoryFix sparse reconstruction + fast-history moments on Pallas.
 
     Divergence: the per-pixel integer stride is resolved over STRIDE_LEVELS with hat
@@ -1269,7 +1281,8 @@ def hitdist_recon_pallas(sc, dc, config, *, radius, view_z_in, normal_roughness,
 # ---------------------------------------------------------------------------
 
 
-def _hist_sample_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
+def _hist_sample_kernel(n_planes, use_catrom, smem, bsm, wins, centers, outs, origin,
+                        scratch):
     ci = iter(centers)
     mvy = next(ci)[:, :]
     mvx = next(ci)[:, :]
@@ -1310,30 +1323,36 @@ def _hist_sample_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratc
     occ_w = [bws[k] * occ[k] * valid for k in range(4)]
     occ_wsum = occ_w[0] + occ_w[1] + occ_w[2] + occ_w[3]
 
-    wxs = _catrom_w(fx)
-    wys = _catrom_w(fy)
-    cat_w = {}
-    cat_wsum = jnp.zeros((bh, bw), jnp.float32)
-    for j_ in range(4):
-        for i_ in range(4):
-            if (i_, j_) in _CORNER:
-                continue
-            w_ = wxs[i_] * wys[j_] * on_screen(i_, j_) * valid
-            cat_w[(i_, j_)] = w_
-            cat_wsum = cat_wsum + w_
+    if use_catrom:
+        wxs = _catrom_w(fx)
+        wys = _catrom_w(fy)
+        cat_w = {}
+        cat_wsum = jnp.zeros((bh, bw), jnp.float32)
+        for j_ in range(4):
+            for i_ in range(4):
+                if (i_, j_) in _CORNER:
+                    continue
+                w_ = wxs[i_] * wys[j_] * on_screen(i_, j_) * valid
+                cat_w[(i_, j_)] = w_
+                cat_wsum = cat_wsum + w_
 
     for p in range(n_planes):
         fp_ = FP(wins[p], my, mx)
-        cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
-        cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
-                        cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
         bil_acc = sum(fp_.tap(i_, j_) * occ_w[k] for k, (i_, j_) in enumerate(_CENTER))
         bil = jnp.where(occ_wsum < 1e-4, 0.0,
                         bil_acc / jnp.where(occ_wsum < 1e-4, 1.0, occ_wsum))
-        outs[p][:, :] = jnp.where(allow, cat, bil)
+        if use_catrom:
+            cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
+            cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                            cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0,
+                                                cat_wsum))
+            outs[p][:, :] = jnp.where(allow, cat, bil)
+        else:  # performance mode: bilinear everywhere
+            outs[p][:, :] = bil
 
 
-def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom):
+def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom,
+                       use_catrom=True):
     """sample_history (CatRom-13 + bilinear-custom fallback) with caller-provided
     per-tap occlusion (REBLUR TS: occlusion comes from the fbits of TA)."""
     scalars = jnp.stack([jnp.asarray(sc["rect_size_prev"][0], jnp.float32),
@@ -1342,7 +1361,7 @@ def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom):
     centers = [mv_pix_y, mv_pix_x, occ4[..., 0], occ4[..., 1], occ4[..., 2],
                occ4[..., 3], allow_catrom]
     outs = stencil_call2(
-        functools.partial(_hist_sample_kernel, len(planes)), list(planes),
+        functools.partial(_hist_sample_kernel, len(planes), use_catrom), list(planes),
         n_out=len(planes), halo=HALO, block=BLOCK,
         scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
         base_offset=(base_y, base_x), offset_windows=[True] * len(planes))

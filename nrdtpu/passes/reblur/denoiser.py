@@ -187,6 +187,7 @@ class ReblurDenoiser:
                      and not self.directional
                      and cfg.rect_size == cfg.resource_size)
 
+        perf = s.enablePerformanceMode
         enable_hdrecon = (s.hitDistanceReconstructionMode
                           != HitDistanceReconstructionMode.OFF
                           and s.checkerboardMode == CheckerboardMode.OFF)
@@ -205,13 +206,13 @@ class ReblurDenoiser:
         spec_hdt_prepass = None
         if not skip_prepass:
             if self.has_diffuse and not self.directional:
-                diff_in, diff_sh_in = K.diffuse_pre_pass(sc, dc, diff_in, view_z,
-                                                         normal_roughness, cfg,
-                                                         sh=diff_sh_in, pallas=pallas_ok)
+                diff_in, diff_sh_in = K.diffuse_pre_pass(
+                    sc, dc, diff_in, view_z, normal_roughness, cfg,
+                    sh=diff_sh_in, pallas=pallas_ok, perf_mode=perf)
             if self.has_specular:
                 spec_in, spec_sh_in, spec_hdt_prepass = K.specular_spatial_filter(
                     sc, dc, K.PRE_BLUR, spec_in, view_z, normal_roughness, None, cfg,
-                    sh=spec_sh_in, occlusion=False, pallas=pallas_ok)
+                    sh=spec_sh_in, occlusion=False, pallas=pallas_ok, perf_mode=perf)
 
         prev_internal = {k: state[k] for k in ("diff_accum", "spec_accum", "material_id")}
 
@@ -238,7 +239,8 @@ class ReblurDenoiser:
             sm = K.surface_motion_reprojection_pallas(
                 sc, dc, view_z, normal_roughness, mv, state["prev_view_z"],
                 state["prev_normal_roughness"], prev_internal, cfg,
-                hist_planes, bil_planes, disocclusion_threshold_mix=dt_mix)
+                hist_planes, bil_planes, disocclusion_threshold_mix=dt_mix,
+                perf_mode=perf)
             hk = bk = 0
             if self.has_diffuse:
                 diff_samples = dict(
@@ -288,7 +290,7 @@ class ReblurDenoiser:
                 state["prev_spec_hitdist_for_tracking"], cfg, spec_conf,
                 occlusion=self.occlusion, has_prepass_hitdist=has_prepass_hitdist,
                 spec_sh_input=spec_sh_in, spec_sh_history=state.get("spec_sh_history"),
-                samples=spec_samples, sampler=sampler)
+                samples=spec_samples, sampler=sampler, perf_mode=perf)
             spec1, spec_fast1 = ta_spec["spec"], ta_spec["fast"]
             data1_spec = ta_spec["accum_speed"]
             fbits = fbits + ta_spec["fbits_vmb"]
@@ -304,31 +306,34 @@ class ReblurDenoiser:
                 diff_fast1, cfg, is_diffuse=True, occlusion=self.occlusion,
                 anti_firefly=s.enableAntiFirefly and not self.occlusion
                 and not self.directional,
-                sh=diff_sh1, directional=self.directional, pallas=pallas_ok)
+                sh=diff_sh1, directional=self.directional, pallas=pallas_ok,
+                perf_mode=perf)
         if self.has_specular:
             spec2, spec_fast2, spec_sh2 = K.history_fix(
                 sc, dc, view_z, normal_roughness, data1_diff, data1_spec, spec1,
                 spec_fast1, cfg, is_diffuse=False, occlusion=self.occlusion,
                 anti_firefly=s.enableAntiFirefly and not self.occlusion,
-                sh=spec_sh1, pallas=pallas_ok)
+                sh=spec_sh1, pallas=pallas_ok, perf_mode=perf)
 
         # BLUR + POST BLUR
         if self.has_diffuse:
             diff3, diff_sh3 = K.diffuse_spatial_filter(
                 sc, dc, K.BLUR, diff2, view_z, normal_roughness, data1_diff, cfg,
                 sh=diff_sh2, occlusion=self.occlusion, directional=self.directional,
-                pallas=pallas_ok)
+                pallas=pallas_ok, perf_mode=perf)
             diff4, diff_sh4 = K.diffuse_spatial_filter(
                 sc, dc, K.POST_BLUR, diff3, view_z, normal_roughness, data1_diff, cfg,
                 sh=diff_sh3, occlusion=self.occlusion, directional=self.directional,
-                pallas=pallas_ok)
+                pallas=pallas_ok, perf_mode=perf)
         if self.has_specular:
             spec3, spec_sh3, _ = K.specular_spatial_filter(
                 sc, dc, K.BLUR, spec2, view_z, normal_roughness, data1_spec, cfg,
-                sh=spec_sh2, occlusion=self.occlusion, pallas=pallas_ok)
+                sh=spec_sh2, occlusion=self.occlusion, pallas=pallas_ok,
+                perf_mode=perf)
             spec4, spec_sh4, _ = K.specular_spatial_filter(
                 sc, dc, K.POST_BLUR, spec3, view_z, normal_roughness, data1_spec, cfg,
-                sh=spec_sh3, occlusion=self.occlusion, pallas=pallas_ok)
+                sh=spec_sh3, occlusion=self.occlusion, pallas=pallas_ok,
+                perf_mode=perf)
 
         new_state = dict(state)
         keep = dead
@@ -356,7 +361,7 @@ class ReblurDenoiser:
                 has_prepass=not skip_prepass, directional=self.directional,
                 diff_sh=diff_sh4 if self.has_diffuse and self.sh else None,
                 spec_sh=spec_sh4 if self.has_specular and self.sh else None,
-                pallas=pallas_ok)
+                pallas=pallas_ok, perf_mode=perf)
             if self.has_diffuse:
                 diff_out = ts["diff"]
                 diff_sh_out = ts.get("diff_sh")

@@ -260,7 +260,8 @@ def uv_to_mv_pix(uv_target, h, w, rect_prev):
 def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_in,
                                        prev_view_z, prev_normal_roughness, prev_internal,
                                        config, hist_planes, bil_planes,
-                                       disocclusion_threshold_mix=None):
+                                       disocclusion_threshold_mix=None,
+                                       perf_mode=False):
     """surface_motion_reprojection with the gather work on the Pallas path.
 
     Same elementwise math as surface_motion_reprojection (kept line-parallel - any change
@@ -338,7 +339,8 @@ def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_i
 
     mv_pix_y, mv_pix_x = uv_to_mv_pix(smb_pixel_uv, h, w, sc["rect_size_prev"])
     res = reblur_smb_resolve(
-        sc, dc, config, mv_pix_y=mv_pix_y, mv_pix_x=mv_pix_x,
+        sc, dc, config, use_catrom=not perf_mode,
+        mv_pix_y=mv_pix_y, mv_pix_x=mv_pix_x,
         xv_prev_z=xv_prev[..., 2], base_threshold=base_threshold, navg_thr=navg_thr,
         material_id_center=material_id, nr_cur_packed=normal_roughness,
         prev_view_z=prev_view_z, prev_nr_packed=prev_normal_roughness,
@@ -469,7 +471,7 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
 def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, signal,
                 fast_history, config, *, is_diffuse: bool, occlusion: bool,
                 anti_firefly: bool = False, sh=None, directional: bool = False,
-                pallas: bool = False):
+                pallas: bool = False, perf_mode: bool = False):
     """Sparse 5x5-no-corners history reconstruction + fast-history color clamping.
 
     signal: (h, w, c) output of TA; fast_history: (h, w). Returns (signal_out, fast_out[,sh]).
@@ -534,7 +536,8 @@ def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, sig
             stride=stride, ga=ga, gb=gb, normal_weight_param=normal_weight_param,
             ha=ha, hb=hb, frustum_size=frustum_size, frame_num=frame_num,
             material_id=material_id, hit_dist_scale=hit_dist_scale, n=n, nv=nv,
-            is_diffuse=is_diffuse, anti_firefly=use_af, roughness=roughness, **kw)
+            is_diffuse=is_diffuse, anti_firefly=use_af, roughness=roughness,
+            perf_mode=perf_mode, **kw)
         use_fix = (stride != 0.0)
         signal_out = jnp.where(use_fix[..., None], signal_out, signal)
         sh_out = jnp.where(use_fix[..., None], sh_out, sh) if sh is not None else None
@@ -686,7 +689,7 @@ POST_BLUR = 2
 
 def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, data1,
                            config, sh=None, *, occlusion: bool, directional: bool = False,
-                           pallas: bool = False):
+                           pallas: bool = False, perf_mode: bool = False):
     """Adaptive-radius 8-tap Poisson blur (screen-space sampling path).
 
     mode: BLUR or POST_BLUR. Returns (signal_out[, sh_out]).
@@ -745,7 +748,8 @@ def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, da
             view_z_in=view_z_in, normal_roughness=normal_roughness,
             blur_radius=blur_radius, ga=ga, gb=gb,
             normal_weight_param=normal_weight_param, ha=ha, hb=hb,
-            min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv)[:2]
+            min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv,
+            perf_mode=perf_mode)[:2]
 
     # screen-space sampling (REBLUR_USE_SCREEN_SPACE_SAMPLING_FOR_DIFFUSE == 1)
     skew = nm.lerp(1.0 - jnp.abs(nv[..., :2]), 1.0, nov[..., None])
@@ -759,7 +763,7 @@ def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, da
     acc_sh = sh
     min_material = dc["diff_min_material"]
 
-    for tap in nm.SPECIAL_8:
+    for tap in (nm.SPECIAL_6 if perf_mode else nm.SPECIAL_8):
         offset = jnp.asarray(tap[:2])
         uv_s = uv + nm.rotate_vector2(scaled_rotator, jnp.broadcast_to(offset, uv.shape))
         uv_s = (jnp.floor(uv_s * rect) + 0.5) / rect  # snap to pixel center
@@ -867,6 +871,7 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
                                    config, spec_confidence=None, *, occlusion: bool,
                                    has_prepass_hitdist: bool,
                                    spec_sh_input=None, spec_sh_history=None,
+                                   perf_mode=False,
                                    samples=None, sampler=None):
     """Specular half of TA. Returns dict(spec, fast, accum_speed, fbits_vmb, curvature,
     virtual_history_amount, hit_dist_for_tracking[, sh]).
@@ -1080,7 +1085,8 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
             prev_mat=prev_internal["material_id"],
             spec_accum=prev_internal["spec_accum"], spec_hist4=spec_history,
             spec_fast=spec_fast_history, prev_hdt=prev_spec_hitdist_for_tracking,
-            sh_hist4=spec_sh_history if spec_sh_input is not None else None)
+            sh_hist4=spec_sh_history if spec_sh_input is not None else None,
+            use_catrom=not perf_mode)
         virtual_roughness_confidence = vmb_bundle["rough_conf"]
         fbits_vmb = vmb_bundle["fbits_vmb"]
         vmb_footprint_quality = jnp.sqrt(nm.saturate(vmb_bundle["footprint_raw"]))
@@ -1372,7 +1378,8 @@ PRE_BLUR = 0
 
 
 def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, data1,
-                            config, sh=None, *, occlusion: bool, pallas: bool = False):
+                            config, sh=None, *, occlusion: bool, pallas: bool = False,
+                            perf_mode: bool = False):
     """Adaptive Poisson specular blur. mode: PRE_BLUR / BLUR / POST_BLUR.
 
     PRE_BLUR additionally estimates hitDistForTracking (stochastic min of weighted taps)
@@ -1477,7 +1484,7 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
             normal_weight_param=normal_weight_param, ha=ha, hb=hb,
             min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv,
             wr_a=wr_a, wr_b=wr_b, hit_dist=hit_dist, roughness=roughness, rnd8=rnd8,
-            spec=True, prepass=prepass)
+            spec=True, prepass=prepass, perf_mode=perf_mode)
         if prepass:
             disabled = dc["spec_prepass_blur_radius"] == 0.0
             out = jnp.where(disabled, spec, out)
@@ -1498,7 +1505,7 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
     acc_sh = sh
     rng_state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]), sc["frame_index"])
 
-    for tap in nm.SPECIAL_8:
+    for tap in (nm.SPECIAL_6 if perf_mode else nm.SPECIAL_8):
         offset = jnp.asarray(tap[:2])
         uv_s = uv + nm.rotate_vector2(scaled_rotator, jnp.broadcast_to(offset, uv.shape))
         uv_s = (jnp.floor(uv_s * rect) + 0.5) / rect
@@ -1564,7 +1571,8 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
 
 
 def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, config,
-                     sh=None, *, occlusion: bool = False, pallas: bool = False):
+                     sh=None, *, occlusion: bool = False, pallas: bool = False,
+                     perf_mode: bool = False):
     """Diffuse PRE_BLUR: same as diffuse_spatial_filter but with pre-pass constants."""
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
@@ -1624,7 +1632,7 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
     sum_ = jnp.ones_like(view_z)
     acc = signal
     acc_sh = sh
-    for tap in nm.SPECIAL_8:
+    for tap in (nm.SPECIAL_6 if perf_mode else nm.SPECIAL_8):
         offset = jnp.asarray(tap[:2])
         uv_s = uv + nm.rotate_vector2(scaled_rotator, jnp.broadcast_to(offset, uv.shape))
         uv_s = (jnp.floor(uv_s * rect) + 0.5) / rect
@@ -1760,7 +1768,7 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
                            spec_hitdist_for_tracking, base_color_metalness, config, *,
                            has_diffuse: bool, has_specular: bool, has_prepass: bool,
                            diff_sh=None, spec_sh=None, directional: bool = False,
-                           pallas: bool = False):
+                           pallas: bool = False, perf_mode=False):
     """Anti-lag output filter. Returns dict(diff, spec, diff_luma_stab, spec_luma_stab,
     data1_diff, data1_spec, mv_out[, diff_sh, spec_sh])."""
     h, w = view_z_in.shape
@@ -1814,7 +1822,8 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
                                   jnp.clip(luma, lmin, lmax), luma)
             smb_mvy, smb_mvx = uv_to_mv_pix(smb_pixel_uv, h, w, sc["rect_size_prev"])
             smb_hist = hist_sample_pallas(sc, [luma_stab_history], smb_mvy, smb_mvx,
-                                          occ4, allow_catrom.astype(jnp.float32))[0]
+                                          occ4, allow_catrom.astype(jnp.float32),
+                                          use_catrom=not perf_mode)[0]
         else:
             m1 = jnp.zeros_like(luma)
             m2 = jnp.zeros_like(luma)
@@ -1931,10 +1940,12 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
             vmb_mvy, vmb_mvx = uv_to_mv_pix(vmb_pixel_uv, h, w, sc["rect_size_prev"])
             smb_hist = hist_sample_pallas(sc, [spec_luma_stab_history], smb_mvy,
                                           smb_mvx, smb_occ,
-                                          smb_allow_catrom.astype(jnp.float32))[0]
+                                          smb_allow_catrom.astype(jnp.float32),
+                                          use_catrom=not perf_mode)[0]
             vmb_hist = hist_sample_pallas(sc, [spec_luma_stab_history], vmb_mvy,
                                           vmb_mvx, vmb_occ,
-                                          vmb_allow_catrom.astype(jnp.float32))[0]
+                                          vmb_allow_catrom.astype(jnp.float32),
+                                          use_catrom=not perf_mode)[0]
         else:
             m1 = jnp.zeros_like(luma)
             m2 = jnp.zeros_like(luma)

@@ -275,3 +275,47 @@ def test_relax_sh_pallas_matches_xla(pallas_interpret):
         corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
         assert corr > 0.98, (name, corr)
         assert np.abs(a - b).mean() < 0.05, (name, np.abs(a - b).mean())
+
+
+def test_reblur_performance_mode(pallas_interpret):
+    """enablePerformanceMode: 6-tap Poisson + bilinear-only history sampling
+    (REBLUR_Config.hlsli:196-238). Output must stay finite and close to quality mode."""
+    from nrdtpu.settings import ReblurSettings
+
+    def run(perf):
+        import jax.numpy as jnp
+        from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+        HDP = jnp.asarray([3.0, 0.1, 20.0, -25.0])
+        size = (128, 96)
+        gen = SceneGenerator(SceneSpec(size=size, noise=0.4), camera_mode="static")
+        eng = Engine({0: Denoiser.REBLUR_DIFFUSE_SPECULAR}, resource_size=size)
+        s = ReblurSettings()
+        s.enablePerformanceMode = perf
+        eng.set_denoiser_settings(0, s)
+        outs = None
+        for i in range(3):
+            fd = gen.frame(i)
+            eng.set_common_settings(fd.common_settings)
+            dn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
+                                             jnp.asarray(fd.view_z), HDP, 1.0)
+            sn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.spec_hit_dist),
+                                             jnp.asarray(fd.view_z), HDP,
+                                             jnp.asarray(fd.roughness))
+            pool = {
+                RT.IN_VIEWZ: fd.view_z,
+                RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+                RT.IN_MV: fd.mv,
+                RT.IN_DIFF_RADIANCE_HITDIST: np.asarray(
+                    fe.reblur_pack_radiance_hitdist(jnp.asarray(fd.diff_noisy), dn)),
+                RT.IN_SPEC_RADIANCE_HITDIST: np.asarray(
+                    fe.reblur_pack_radiance_hitdist(jnp.asarray(fd.spec_noisy), sn)),
+            }
+            outs = eng.denoise([0], pool)
+        return np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST])
+
+    d_perf = run(True)
+    d_qual = run(False)
+    assert np.isfinite(d_perf).all()
+    corr = np.corrcoef(d_perf[..., :3].ravel(), d_qual[..., :3].ravel())[0, 1]
+    assert corr > 0.95, corr
