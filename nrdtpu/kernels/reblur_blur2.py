@@ -72,7 +72,7 @@ def _level_hat(radius, li):
     return up * dn
 
 
-def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, smem, bsm, wins,
+def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, has_cb, smem, bsm, wins,
                   centers, outs, origin, scratch):
     """Tap loop over pre-decoded geometry windows.
 
@@ -96,6 +96,7 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, smem, bsm, wins,
     if prepass:
         hd_r = next(ci)
         rnd_r = [next(ci) for _ in range(n_dirs)]
+    cbm_r = next(ci) if has_cb else None
 
     rmin_b, rmax_b = bsm[0], bsm[1]
     sum_ref = scratch[0]
@@ -146,14 +147,16 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, smem, bsm, wins,
     rmin = jnp.maximum(rmin_b[i_b, j_b], jnp.float32(_LEV[0]))
     rmax = jnp.minimum(rmax_b[i_b, j_b], jnp.float32(_LEV[-1]))
 
-    # init: center contribution
-    sum_ref[:, :] = jnp.ones((bh, bw), jnp.float32)
+    # init: center contribution (zeroed on checkerboard no-data pixels, like the
+    # reference's `sum = 0; diff = 0` in REBLUR_PrePass.hlsli:64-78)
+    cw = cbm_r[:, :] if has_cb else jnp.ones((bh, bw), jnp.float32)
+    sum_ref[:, :] = cw
     n_sig_out = c + (3 if has_sh else 0)
     for k_, sg in enumerate(sig):
-        outs[k_][:, :] = sg.tap()
+        outs[k_][:, :] = sg.tap() * cw
     if has_sh:
         for k_, sw in enumerate(shw):
-            outs[c + k_][:, :] = sw.tap()
+            outs[c + k_][:, :] = sw.tap() * cw
     if prepass:
         outs[n_sig_out][:, :] = jnp.where(hit_dist_c == 0.0, jnp.float32(NRD_INF),
                                           hit_dist_c)
@@ -238,6 +241,8 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, smem, bsm, wins,
     if prepass:
         hdt = outs[n_sig_out][:, :]
         outs[n_sig_out][:, :] = jnp.where(hdt >= jnp.float32(NRD_INF), 0.0, hdt)
+    if has_cb:  # report the weight sum so the caller can run the sum==0 fallback
+        outs[n_sig_out + (1 if prepass else 0)][:, :] = sum_ref[:, :]
 
 
 def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_in,
@@ -245,7 +250,8 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
                                 normal_weight_param, ha, hb, min_hit_dist_weight,
                                 material_id, n, nv, wr_a=None, wr_b=None,
                                 hit_dist=None, roughness=None, rnd8=None,
-                                spec=False, prepass=False, perf_mode=False):
+                                spec=False, prepass=False, perf_mode=False,
+                                cb_mask=None):
     """Drop-in replacement for reblur_pallas.spatial_filter_taps_pallas (v2 kernel).
 
     Additional documented divergence vs v1: the per-frame rotator is ignored (static tap
@@ -285,12 +291,16 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
         centers += [wr_a, wr_b]
     if prepass:
         centers += [hit_dist] + list(rnd8)[:n_dirs]
+    if cb_mask is not None:
+        centers += [cb_mask]
 
     rmin_b, rmax_b = block_minmax(blur_radius, BLOCK2, HALO2)
 
-    n_out = c + (3 if has_sh else 0) + (1 if prepass else 0)
+    has_cb = cb_mask is not None
+    n_out = c + (3 if has_sh else 0) + (1 if prepass else 0) + (1 if has_cb else 0)
     outs = stencil_call2(
-        functools.partial(_blur2_kernel, c, has_sh, spec, prepass, mat_occ, n_dirs),
+        functools.partial(_blur2_kernel, c, has_sh, spec, prepass, mat_occ, n_dirs,
+                          has_cb),
         windows, n_out=n_out, halo=HALO2, block=BLOCK2,
         scalars=scalars, block_scalars=[rmin_b, rmax_b], center_inputs=centers,
         scratch_blocks=1)
@@ -301,4 +311,6 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
         sh_out = jnp.concatenate([jnp.stack(outs[k:k + 3], -1), sh[..., 3:]], -1)
         k += 3
     hdt = outs[k] if prepass else None
+    if has_cb:
+        return sig_out, sh_out, hdt, outs[k + (1 if prepass else 0)]
     return sig_out, sh_out, hdt

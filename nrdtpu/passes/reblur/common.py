@@ -202,3 +202,11 @@ def get_modified_roughness_from_normal_variance(roughness, n_avg_unnormalized):
     l = nm.length(n_avg_unnormalized)
     kappa = nm.saturate(1.0 - l * l) / jnp.maximum(l * (3.0 - l * l), 1e-15)
     return jnp.sqrt(nm.saturate(roughness * roughness + kappa))
+
+
+def cb_expand(sig_half, w_full):
+    """Expand a half-width checkerboard input to full resolution: full-res pixel x
+    reads half-res texel x >> 1, exactly like the reference's `pos.x >>= 1` reads
+    (REBLUR_PrePass.hlsli:62-64). Works for (h, w/2) and (h, w/2, c)."""
+    rep = jnp.repeat(sig_half, 2, axis=1)
+    return rep[:, :w_full]

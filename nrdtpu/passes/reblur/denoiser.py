@@ -63,8 +63,6 @@ class ReblurDenoiser:
                 and s.checkerboardMode == CheckerboardMode.OFF)
 
     def specialize(self, s: ReblurSettings):
-        if s.checkerboardMode != CheckerboardMode.OFF:
-            raise NotImplementedError("REBLUR checkerboard mode is not implemented yet")
         self._s = s
 
     # -- pool ---------------------------------------------------------------------
@@ -166,15 +164,31 @@ class ReblurDenoiser:
         mv = inputs[RT.IN_MV]
         dt_mix = inputs.get(RT.IN_DISOCCLUSION_THRESHOLD_MIX)
         base_color_metalness = inputs.get(RT.IN_BASECOLOR_METALNESS)
+        h, w = view_z.shape
+        cb_on = s.checkerboardMode != CheckerboardMode.OFF
 
         def get_signal(which):
             sig = inputs[self._in_resource(which)]
-            return sig[..., None] if sig.ndim == 2 else sig
+            sig = sig[..., None] if sig.ndim == 2 else sig
+            return C.cb_expand(sig, w) if cb_on else sig
 
         diff_in = get_signal("diff") if self.has_diffuse else None
         spec_in = get_signal("spec") if self.has_specular else None
         diff_sh_in = inputs.get(RT.IN_DIFF_SH1) if self.sh and self.has_diffuse else None
         spec_sh_in = inputs.get(RT.IN_SPEC_SH1) if self.sh and self.has_specular else None
+        if cb_on:
+            diff_sh_in = C.cb_expand(diff_sh_in, w) if diff_sh_in is not None else None
+            spec_sh_in = C.cb_expand(spec_sh_in, w) if spec_sh_in is not None else None
+
+        cb_mask = None
+        has_data = True
+        if cb_on:
+            from ... import math as nm_
+            col = jnp.arange(w, dtype=jnp.int32)[None, :] * jnp.ones((h, 1), jnp.int32)
+            row = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones((1, w), jnp.int32)
+            cb = nm_.checkerboard((col, row), sc["frame_index"])
+            has_data = cb == jnp.uint32(int(s.checkerboardMode) - 1)
+            cb_mask = has_data.astype(jnp.float32)
         diff_conf = inputs.get(RT.IN_DIFF_CONFIDENCE)
         spec_conf = inputs.get(RT.IN_SPEC_CONFIDENCE)
 
@@ -208,11 +222,34 @@ class ReblurDenoiser:
             if self.has_diffuse and not self.directional:
                 diff_in, diff_sh_in = K.diffuse_pre_pass(
                     sc, dc, diff_in, view_z, normal_roughness, cfg,
-                    sh=diff_sh_in, pallas=pallas_ok, perf_mode=perf)
+                    sh=diff_sh_in, pallas=pallas_ok, perf_mode=perf, cb_mask=cb_mask)
             if self.has_specular:
                 spec_in, spec_sh_in, spec_hdt_prepass = K.specular_spatial_filter(
                     sc, dc, K.PRE_BLUR, spec_in, view_z, normal_roughness, None, cfg,
-                    sh=spec_sh_in, occlusion=False, pallas=pallas_ok, perf_mode=perf)
+                    sh=spec_sh_in, occlusion=False, pallas=pallas_ok, perf_mode=perf,
+                    cb_mask=cb_mask)
+
+        if cb_on and (self.occlusion or skip_prepass):
+            import jax.numpy as _jnp
+            from ... import math as nm_
+            vz = _jnp.abs(view_z) * sc["view_z_scale"]
+            fsz = nm_.get_frustum_size(sc["min_rect_dim_mul_unproject"],
+                                       sc["ortho_mode"], vz)
+            n_, _, _ = K.unpack_nr(sc, normal_roughness, cfg)
+            uv_ = None
+            import nrdtpu.ops.resample as _rs
+            uv_ = _rs.pixel_uv_grid(h, w)
+            xv_ = nm_.reconstruct_view_position(uv_, sc["frustum"][None, None, :], vz,
+                                                sc["ortho_mode"])
+            nv_ = n_ @ _jnp.asarray(sc["world_to_view"])[:3, :3].T
+            vv_ = C.get_view_vector_view_space(sc, xv_)
+            nov_ = _jnp.abs(nm_.dot(nv_, vv_))
+            if diff_in is not None:
+                res_ = K.cb_neighbor_resolve(sc, diff_in, vz, fsz, nov_)
+                diff_in = _jnp.where(has_data[..., None], diff_in, res_)
+            if spec_in is not None:
+                res_ = K.cb_neighbor_resolve(sc, spec_in, vz, fsz, nov_)
+                spec_in = _jnp.where(has_data[..., None], spec_in, res_)
 
         prev_internal = {k: state[k] for k in ("diff_accum", "spec_accum", "material_id")}
 
@@ -278,7 +315,8 @@ class ReblurDenoiser:
                 sc, dc, sm, diff_in, state["diff_history"], state["diff_fast_history"],
                 cfg, diff_conf, occlusion=self.occlusion, directional=self.directional,
                 diff_sh_input=diff_sh_in,
-                diff_sh_history=state.get("diff_sh_history"), samples=diff_samples)
+                diff_sh_history=state.get("diff_sh_history"), samples=diff_samples,
+                has_data=has_data)
         if self.has_specular:
             has_prepass_hitdist = not skip_prepass
             hdt_in = (spec_hdt_prepass if has_prepass_hitdist
@@ -290,7 +328,8 @@ class ReblurDenoiser:
                 state["prev_spec_hitdist_for_tracking"], cfg, spec_conf,
                 occlusion=self.occlusion, has_prepass_hitdist=has_prepass_hitdist,
                 spec_sh_input=spec_sh_in, spec_sh_history=state.get("spec_sh_history"),
-                samples=spec_samples, sampler=sampler, perf_mode=perf)
+                samples=spec_samples, sampler=sampler, perf_mode=perf,
+                has_data=has_data)
             spec1, spec_fast1 = ta_spec["spec"], ta_spec["fast"]
             data1_spec = ta_spec["accum_speed"]
             fbits = fbits + ta_spec["fbits_vmb"]

@@ -386,7 +386,7 @@ def sample_history_bilinear(history, smb_pixel_uv, rect_size_prev, occlusion_wei
 def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fast_history,
                                   config, diff_confidence=None, *, occlusion: bool,
                                   directional: bool = False, diff_sh_input=None,
-                                  diff_sh_history=None, samples=None):
+                                  diff_sh_history=None, samples=None, has_data=True):
     """Diffuse half of TA (lines 826-930). Returns (diff_out, fast_out, accum_speed_out[,sh]).
 
     samples: optional dict(history, fast[, sh]) of pre-resolved reprojected samples from
@@ -401,8 +401,6 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
                                                   1.0 / (1.0 + diff_accum_speed))
     diff_accum_speed = jnp.minimum(diff_accum_speed, dc["max_accumulated_frame_num"])
 
-    # checkerboard is not yet supported -> every pixel has data
-    diff_has_data = True
 
     if samples is not None:
         smb_diff_history = samples["history"]
@@ -417,6 +415,11 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
     smb_diff_history = C.clamp_negative_to_zero(smb_diff_history, occlusion, directional)
 
     diff_nlas = 1.0 / (1.0 + diff_accum_speed)
+    if not (isinstance(has_data, bool) and has_data):
+        # checkerboard: slower accumulation on no-data pixels (TA :878-880)
+        adj = diff_nlas * nm.lerp(1.0 - sc["checkerboard_resolve_accum_speed"], 1.0,
+                                  diff_nlas)
+        diff_nlas = jnp.where(has_data, diff_nlas, adj)
     # directional occlusion uses the float4 mix (xyz: f, w: max(f, limit)) - Common.hlsli:175-182
     diff_result = C.mix_history_and_current(dc, smb_diff_history, diff_input, diff_nlas,
                                             jnp.ones_like(diff_nlas),
@@ -452,6 +455,10 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
     # fast history (lines 911-924)
     fast_accum_speed = jnp.minimum(diff_accum_speed, dc["max_fast_accumulated_frame_num"])
     fast_nlas = 1.0 / (1.0 + fast_accum_speed)
+    if not (isinstance(has_data, bool) and has_data):
+        adj = fast_nlas * nm.lerp(1.0 - sc["checkerboard_resolve_accum_speed"], 1.0,
+                                  fast_nlas)
+        fast_nlas = jnp.where(has_data, fast_nlas, adj)
     fast_result = nm.lerp(smb_diff_fast, C.get_luma(diff_input, occlusion or directional),
                           fast_nlas)
     if not occlusion and not directional:
@@ -687,6 +694,25 @@ BLUR = 1
 POST_BLUR = 2
 
 
+def cb_neighbor_resolve(sc, signal, view_z, frustum_size, nov):
+    """Checkerboard wc-weighted horizontal-neighbor resolve (REBLUR_PrePass.hlsli:45-57,
+    REBLUR_TemporalAccumulation.hlsli:309-320). signal: full-res-expanded (h, w, c)."""
+    h, w = view_z.shape
+    thr = nm.get_disocclusion_threshold(C.NRD_DISOCCLUSION_THRESHOLD, frustum_size, nov)
+    z0 = stencil.shifted(view_z, 0, -1)
+    z1 = stencil.shifted(view_z, 0, 1)
+    col = jnp.arange(w)[None, :]
+    w0 = (jnp.abs(z0 - view_z) <= thr).astype(jnp.float32)
+    w1 = (jnp.abs(z1 - view_z) <= thr).astype(jnp.float32)
+    w0 = jnp.where((z0 > sc["denoising_range"]) | (col < 1), 0.0, w0)
+    w1 = jnp.where((z1 > sc["denoising_range"]) | (col >= w - 1), 0.0, w1)
+    wsum = w0 + w1
+    inv = jnp.where(wsum == 0.0, 0.0, 1.0 / jnp.maximum(wsum, 1e-15))
+    s0 = stencil.shifted(signal, 0, -1)
+    s1 = stencil.shifted(signal, 0, 1)
+    return s0 * (w0 * inv)[..., None] + s1 * (w1 * inv)[..., None]
+
+
 def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, data1,
                            config, sh=None, *, occlusion: bool, directional: bool = False,
                            pallas: bool = False, perf_mode: bool = False):
@@ -871,7 +897,7 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
                                    config, spec_confidence=None, *, occlusion: bool,
                                    has_prepass_hitdist: bool,
                                    spec_sh_input=None, spec_sh_history=None,
-                                   perf_mode=False,
+                                   perf_mode=False, has_data=True,
                                    samples=None, sampler=None):
     """Specular half of TA. Returns dict(spec, fast, accum_speed, fbits_vmb, curvature,
     virtual_history_amount, hit_dist_for_tracking[, sh]).
@@ -1296,6 +1322,13 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
 
     smb_nlas = 1.0 / (1.0 + smb_spec_accum_speed)
     vmb_nlas = 1.0 / (1.0 + vmb_spec_accum_speed)
+    if not (isinstance(has_data, bool) and has_data):
+        # checkerboard: slower accumulation on no-data pixels (TA :731-735)
+        cbra = sc["checkerboard_resolve_accum_speed"]
+        smb_nlas = jnp.where(has_data, smb_nlas,
+                             smb_nlas * nm.lerp(1.0 - cbra, 1.0, smb_nlas))
+        vmb_nlas = jnp.where(has_data, vmb_nlas,
+                             vmb_nlas * nm.lerp(1.0 - cbra, 1.0, vmb_nlas))
 
     smb_spec = C.mix_history_and_current(dc, smb_spec_history, spec, smb_nlas,
                                          roughness_modified, occlusion)
@@ -1346,10 +1379,10 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     # fast history (lines 779-794)
     smb_fast_nlas = C.get_non_linear_accum_speed(sc, smb_spec_accum_speed,
                                                  dc["max_fast_accumulated_frame_num"],
-                                                 surface_history_confidence, True)
+                                                 surface_history_confidence, has_data)
     vmb_fast_nlas = C.get_non_linear_accum_speed(sc, vmb_spec_accum_speed,
                                                  dc["max_fast_accumulated_frame_num"],
-                                                 virtual_confidence, True)
+                                                 virtual_confidence, has_data)
     smb_fast = nm.lerp(smb_spec_fast, C.get_luma(spec, occlusion), smb_fast_nlas)
     vmb_fast = nm.lerp(vmb_spec_fast, C.get_luma(spec, occlusion), vmb_fast_nlas)
     fast_result = nm.lerp(smb_fast, vmb_fast, virtual_history_amount)
@@ -1379,7 +1412,7 @@ PRE_BLUR = 0
 
 def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, data1,
                             config, sh=None, *, occlusion: bool, pallas: bool = False,
-                            perf_mode: bool = False):
+                            perf_mode: bool = False, cb_mask=None):
     """Adaptive Poisson specular blur. mode: PRE_BLUR / BLUR / POST_BLUR.
 
     PRE_BLUR additionally estimates hitDistForTracking (stochastic min of weighted taps)
@@ -1416,11 +1449,14 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
         fraction_scale = C.REBLUR_POST_BLUR_FRACTION_SCALE
         radius_scale = C.REBLUR_POST_BLUR_RADIUS_SCALE
 
+    # checkerboard: params/center use the ZEROED center; taps keep the expanded signal
+    spec_c = spec if cb_mask is None else spec * cb_mask[..., None]
+
     dv4 = nm.get_specular_dominant_direction(nv, vv, roughness)
     nod = jnp.abs(nm.dot(nv, dv4[..., :3]))
     hit_dist_scale = fe.get_hit_distance_normalization(
         view_z, dc["hit_dist_params"][None, None, :], roughness)
-    hit_dist = C.extract_hit_dist(spec) * hit_dist_scale
+    hit_dist = C.extract_hit_dist(spec_c) * hit_dist_scale
     hit_dist_factor = nm.get_hit_dist_factor(hit_dist, frustum_size)
 
     if mode == PRE_BLUR:
@@ -1457,7 +1493,8 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
     normal_weight_param = nm.get_normal_weight_param(nlas, dc["lobe_angle_fraction"],
                                                      roughness, enc_err) / fraction_scale
     wr_a, wr_b = nm.get_roughness_weight_params(roughness, roughness_fraction_scaled)
-    ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(spec), nlas, roughness)
+    ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(spec_c), nlas,
+                                               roughness)
     min_hit_dist_weight = dc["min_hit_distance_weight"] * fraction_scale * smc
     if mode != PRE_BLUR and not occlusion:
         min_hit_dist_weight = min_hit_dist_weight * jnp.sqrt(nlas)
@@ -1478,19 +1515,27 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
                 rnd8.append(rnd)
         mhdw = jnp.broadcast_to(jnp.asarray(min_hit_dist_weight, jnp.float32),
                                 view_z.shape)
-        out, out_sh, hdt = spatial_filter_taps_pallas(
+        res = spatial_filter_taps_pallas(
             sc, dc, config, rotator=rotator, signal=spec, sh=sh, view_z_in=view_z_in,
             normal_roughness=normal_roughness, blur_radius=blur_radius, ga=ga, gb=gb,
             normal_weight_param=normal_weight_param, ha=ha, hb=hb,
             min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv,
             wr_a=wr_a, wr_b=wr_b, hit_dist=hit_dist, roughness=roughness, rnd8=rnd8,
-            spec=True, prepass=prepass, perf_mode=perf_mode)
-        if prepass:
-            disabled = dc["spec_prepass_blur_radius"] == 0.0
-            out = jnp.where(disabled, spec, out)
+            spec=True, prepass=prepass, perf_mode=perf_mode, cb_mask=cb_mask)
+        out, out_sh, hdt = res[0], res[1], res[2]
+        if cb_mask is not None:
+            resolved = cb_neighbor_resolve(sc, spec, view_z, frustum_size, nov)
+            out = jnp.where((res[3] == 0.0)[..., None], resolved, out)
             if out_sh is not None:
-                out_sh = jnp.where(disabled, sh, out_sh)
-            hdt = jnp.where(disabled, C.extract_hit_dist(spec), hdt)
+                sh_res = cb_neighbor_resolve(sc, sh, view_z, frustum_size, nov)
+                out_sh = jnp.where((res[3] == 0.0)[..., None], sh_res, out_sh)
+        if prepass:
+            if cb_mask is None:
+                disabled = dc["spec_prepass_blur_radius"] == 0.0
+                out = jnp.where(disabled, spec, out)
+                if out_sh is not None:
+                    out_sh = jnp.where(disabled, sh, out_sh)
+                hdt = jnp.where(disabled, C.extract_hit_dist(spec), hdt)
             return out, out_sh, hdt
         return out, out_sh, None
 
@@ -1500,9 +1545,9 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
     scaled_rotator = nm.scale_rotator(jnp.broadcast_to(rotator, uv.shape[:2] + (4,)), skew)
 
     rect = sc["rect_size"][None, None, :]
-    sum_ = jnp.ones_like(view_z)
-    acc = spec
-    acc_sh = sh
+    sum_ = jnp.ones_like(view_z) if cb_mask is None else cb_mask
+    acc = spec_c
+    acc_sh = sh if cb_mask is None or sh is None else sh * cb_mask[..., None]
     rng_state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]), sc["frame_index"])
 
     for tap in (nm.SPECIAL_6 if perf_mode else nm.SPECIAL_8):
@@ -1557,23 +1602,33 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
     out_sh = None
     if acc_sh is not None:
         out_sh = jnp.concatenate([acc_sh[..., :3] * inv[..., None], acc_sh[..., 3:]], -1)
+    if cb_mask is not None:
+        resolved = cb_neighbor_resolve(sc, spec, view_z, frustum_size, nov)
+        out = jnp.where((sum_ == 0.0)[..., None], resolved, out)
+        if out_sh is not None:
+            sh_res = cb_neighbor_resolve(sc, sh, view_z, frustum_size, nov)
+            out_sh = jnp.where((sum_ == 0.0)[..., None], sh_res, out_sh)
     if mode == PRE_BLUR:
         hit_dist_for_tracking = jnp.where(hit_dist_for_tracking == NRD_INF, 0.0,
                                           hit_dist_for_tracking)
-        disabled = dc["spec_prepass_blur_radius"] == 0.0
-        out = jnp.where(disabled, spec, out)
-        if out_sh is not None:
-            out_sh = jnp.where(disabled, sh, out_sh)
-        hit_dist_for_tracking = jnp.where(
-            disabled, jnp.where(C.extract_hit_dist(spec) == 0.0, 0.0,
-                                C.extract_hit_dist(spec)), hit_dist_for_tracking)
+        if cb_mask is None:
+            disabled = dc["spec_prepass_blur_radius"] == 0.0
+            out = jnp.where(disabled, spec, out)
+            if out_sh is not None:
+                out_sh = jnp.where(disabled, sh, out_sh)
+            hit_dist_for_tracking = jnp.where(
+                disabled, jnp.where(C.extract_hit_dist(spec) == 0.0, 0.0,
+                                    C.extract_hit_dist(spec)), hit_dist_for_tracking)
     return out, out_sh, hit_dist_for_tracking
 
 
 def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, config,
                      sh=None, *, occlusion: bool = False, pallas: bool = False,
-                     perf_mode: bool = False):
-    """Diffuse PRE_BLUR: same as diffuse_spatial_filter but with pre-pass constants."""
+                     perf_mode: bool = False, cb_mask=None):
+    """Diffuse PRE_BLUR: same as diffuse_spatial_filter but with pre-pass constants.
+
+    cb_mask: checkerboard has-data mask (h, w) float; no-data centers get zero weight
+    and the wc neighbor fallback handles pixels where every tap failed."""
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
     view_z = unpack_view_z(sc, view_z_in)
@@ -1588,12 +1643,16 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
     signal = spec_like_signal
     enc_err = nm.normal_encoding_error(int(config.normal_encoding))
 
+    # checkerboard: params and the center contribution use the ZEROED center signal
+    # (REBLUR_PrePass.hlsli:64-78); tap windows keep the expanded full-res signal
+    sig_c = signal if cb_mask is None else signal * cb_mask[..., None]
+
     nlas = jnp.full_like(view_z, C.REBLUR_PRE_BLUR_NON_LINEAR_ACCUM_SPEED)
     fraction_scale = C.REBLUR_PRE_BLUR_FRACTION_SCALE
 
     hit_dist_scale = fe.get_hit_distance_normalization(
         view_z, dc["hit_dist_params"][None, None, :], jnp.ones_like(roughness))
-    hit_dist = C.extract_hit_dist(signal) * hit_dist_scale
+    hit_dist = C.extract_hit_dist(sig_c) * hit_dist_scale
     hit_dist_factor = nm.get_hit_dist_factor(hit_dist, frustum_size)
 
     blur_radius = dc["diff_prepass_blur_radius"] * jnp.sqrt(nm.saturate(hit_dist_factor))
@@ -1603,8 +1662,16 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
                                            xv, nv, nlas)
     normal_weight_param = nm.get_normal_weight_param(
         nlas, dc["lobe_angle_fraction"], jnp.ones_like(roughness), enc_err) / fraction_scale
-    ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(signal), nlas)
+    ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(sig_c), nlas)
     min_hit_dist_weight = dc["min_hit_distance_weight"] * fraction_scale
+
+    def cb_fallback(out, sum_, src):
+        if cb_mask is None:
+            return out
+        vv_ = C.get_view_vector_view_space(sc, xv)
+        nov_ = jnp.abs(nm.dot(nv, vv_))
+        resolved = cb_neighbor_resolve(sc, src, view_z, frustum_size, nov_)
+        return jnp.where((sum_ == 0.0)[..., None], resolved, out)
 
     if pallas:
         from ...kernels import get_spatial_filter
@@ -1613,25 +1680,33 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
 
         mhdw = jnp.broadcast_to(jnp.asarray(min_hit_dist_weight, jnp.float32),
                                 view_z.shape)
-        out, out_sh, _ = spatial_filter_taps_pallas(
+        res = spatial_filter_taps_pallas(
             sc, dc, config, rotator=rotator, signal=signal, sh=sh,
             view_z_in=view_z_in, normal_roughness=normal_roughness,
             blur_radius=blur_radius, ga=ga, gb=gb,
             normal_weight_param=normal_weight_param, ha=ha, hb=hb,
-            min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv)
-        disabled = dc["diff_prepass_blur_radius"] == 0.0
-        out = jnp.where(disabled, signal, out)
-        if out_sh is not None:
-            out_sh = jnp.where(disabled, sh, out_sh)
+            min_hit_dist_weight=mhdw, material_id=material_id, n=n, nv=nv,
+            perf_mode=perf_mode, cb_mask=cb_mask)
+        out, out_sh = res[0], res[1]
+        if cb_mask is not None:
+            out = cb_fallback(out, res[3], signal)
+            if out_sh is not None:
+                out_sh = cb_fallback(out_sh, res[3], sh)
+        else:
+            disabled = dc["diff_prepass_blur_radius"] == 0.0
+            out = jnp.where(disabled, signal, out)
+            if out_sh is not None:
+                out_sh = jnp.where(disabled, sh, out_sh)
         return out, out_sh
 
     skew = jnp.ones_like(uv) * sc["rect_size_inv"][None, None, :] * blur_radius[..., None]
     scaled_rotator = nm.scale_rotator(jnp.broadcast_to(rotator, uv.shape[:2] + (4,)), skew)
     rect = sc["rect_size"][None, None, :]
 
-    sum_ = jnp.ones_like(view_z)
-    acc = signal
-    acc_sh = sh
+    cw0 = jnp.ones_like(view_z) if cb_mask is None else cb_mask
+    sum_ = cw0
+    acc = sig_c
+    acc_sh = sh if cb_mask is None or sh is None else sh * cb_mask[..., None]
     for tap in (nm.SPECIAL_6 if perf_mode else nm.SPECIAL_8):
         offset = jnp.asarray(tap[:2])
         uv_s = uv + nm.rotate_vector2(scaled_rotator, jnp.broadcast_to(offset, uv.shape))
@@ -1662,10 +1737,15 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
     inv = 1.0 / jnp.maximum(sum_, 1e-15)
     out = acc * inv[..., None]
     out_sh = acc_sh * inv[..., None] if acc_sh is not None else None
-    disabled = dc["diff_prepass_blur_radius"] == 0.0
-    out = jnp.where(disabled, signal, out)
-    if out_sh is not None:
-        out_sh = jnp.where(disabled, sh, out_sh)
+    if cb_mask is not None:
+        out = cb_fallback(out, sum_, signal)
+        if out_sh is not None:
+            out_sh = cb_fallback(out_sh, sum_, sh)
+    if cb_mask is None:
+        disabled = dc["diff_prepass_blur_radius"] == 0.0
+        out = jnp.where(disabled, signal, out)
+        if out_sh is not None:
+            out_sh = jnp.where(disabled, sh, out_sh)
     return out, out_sh
 
 

@@ -27,6 +27,7 @@ from ...settings import (
     RelaxSettings,
     ResourceType,
 )
+from ... import math as nm
 from ..reblur import kernels as RK  # hit-dist reconstruction is shared machinery
 from . import kernels as K
 
@@ -47,8 +48,6 @@ class RelaxDenoiser:
                 min(max(s.atrousIterationNum, 2), 8), s.enableRoughnessEdgeStopping)
 
     def specialize(self, s: RelaxSettings):
-        if s.checkerboardMode != CheckerboardMode.OFF:
-            raise NotImplementedError("RELAX checkerboard mode is not implemented yet")
         self._s = s
 
     def init_state(self):
@@ -171,17 +170,69 @@ class RelaxDenoiser:
         diff_conf = inputs.get(RT.IN_DIFF_CONFIDENCE)
         spec_conf = inputs.get(RT.IN_SPEC_CONFIDENCE)
 
+        h, w = view_z.shape
+        cb_on = s.checkerboardMode != CheckerboardMode.OFF
+        from ..reblur import common as RC
+
         def sig(which):
             rt = {("diff", False): RT.IN_DIFF_RADIANCE_HITDIST,
                   ("spec", False): RT.IN_SPEC_RADIANCE_HITDIST,
                   ("diff", True): RT.IN_DIFF_SH0,
                   ("spec", True): RT.IN_SPEC_SH0}[(which, self.sh)]
-            return inputs.get(rt)
+            t = inputs.get(rt)
+            return RC.cb_expand(t, w) if (cb_on and t is not None) else t
 
         diff_in = sig("diff") if self.has_diffuse else None
         spec_in = sig("spec") if self.has_specular else None
         diff_sh_in = inputs.get(RT.IN_DIFF_SH1) if self.sh and self.has_diffuse else None
         spec_sh_in = inputs.get(RT.IN_SPEC_SH1) if self.sh and self.has_specular else None
+        if cb_on:
+            diff_sh_in = RC.cb_expand(diff_sh_in, w) if diff_sh_in is not None else None
+            spec_sh_in = RC.cb_expand(spec_sh_in, w) if spec_sh_in is not None else None
+
+        has_data = True
+        if cb_on:
+            # checkerboard resolve at the pipeline front (RELAX_PrePass.hlsli:28-110):
+            # bilateral-z + material weighted horizontal neighbors fill no-data pixels
+            col = jnp.arange(w, dtype=jnp.int32)[None, :] * jnp.ones((h, 1), jnp.int32)
+            rowg = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones((1, w), jnp.int32)
+            cb = nm.checkerboard((col, rowg), sc["frame_index"])
+            has_data = cb == jnp.uint32(int(s.checkerboardMode) - 1)
+            vz = K.unpack_view_z(sc, view_z)
+            _, _, mat_full = K.unpack_nr(sc, normal_roughness, cfg)
+            from ...ops import stencil as _st
+            z0 = _st.shifted(vz, 0, -1)
+            z1 = _st.shifted(vz, 0, 1)
+            m0 = _st.shifted(mat_full, 0, -1)
+            m1 = _st.shifted(mat_full, 0, 1)
+            w0 = K.get_bilateral_weight(z0, vz)
+            w1 = K.get_bilateral_weight(z1, vz)
+            colf = jnp.arange(w)[None, :]
+            w0 = jnp.where((z0 > sc["denoising_range"]) | (colf < 1), 0.0, w0)
+            w1 = jnp.where((z1 > sc["denoising_range"]) | (colf > w - 2), 0.0, w1)
+            min_mat = min(float(s.minMaterialForDiffuse), float(s.minMaterialForSpecular))
+            if cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+                _, _, mc = K.unpack_nr(sc, normal_roughness, cfg)
+                w0 = w0 * (jnp.maximum(mc, min_mat)
+                           == jnp.maximum(m0, min_mat)).astype(jnp.float32)
+                w1 = w1 * (jnp.maximum(mc, min_mat)
+                           == jnp.maximum(m1, min_mat)).astype(jnp.float32)
+            wsum = w0 + w1
+            winv = jnp.where(wsum == 0.0, 0.0, 1.0 / jnp.maximum(wsum, 1e-15))
+            w0 = w0 * winv
+            w1 = w1 * winv
+
+            def cb_resolve(t):
+                if t is None:
+                    return None
+                r = (_st.shifted(t, 0, -1) * w0[..., None]
+                     + _st.shifted(t, 0, 1) * w1[..., None])
+                return jnp.where(has_data[..., None], t, r)
+
+            diff_in = cb_resolve(diff_in)
+            spec_in = cb_resolve(spec_in)
+            diff_sh_in = cb_resolve(diff_sh_in)
+            spec_sh_in = cb_resolve(spec_sh_in)
 
         tile_map = K.classify_tiles(sc, view_z)
         dead = K.dead_mask(sc, tile_map, view_z)
@@ -206,7 +257,7 @@ class RelaxDenoiser:
 
         # TEMPORAL ACCUMULATION
         ta = K.temporal_accumulation(sc, dc, view_z, normal_roughness, mv,
-                                     diff_p, spec_p, state, cfg,
+                                     diff_p, spec_p, state, cfg, has_data=has_data,
                                      diff_confidence=diff_conf, spec_confidence=spec_conf,
                                      dt_mix=dt_mix, diff_sh=diff_sh_p, spec_sh=spec_sh_p,
                                      pallas=pallas_ok)

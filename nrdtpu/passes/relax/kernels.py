@@ -297,7 +297,7 @@ def _bicubic_or_bilinear(img, sample_pos, use_bicubic, custom_weights):
 def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec,
                           state, config, diff_confidence=None, spec_confidence=None,
                           dt_mix=None, diff_sh=None, spec_sh=None,
-                          pallas: bool = False):
+                          pallas: bool = False, has_data=True):
     """Port of the RELAX TA. Returns a dict of outputs.
 
     state planes: diff/spec_illum_prev (slow rgb+m2), diff/spec_responsive_prev,
@@ -539,6 +539,12 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
         alpha = jnp.where(found, jnp.maximum(1.0 / (dmax + 1.0), 1.0 / history_length), 1.0)
         alpha_resp = jnp.where(found, jnp.maximum(1.0 / (dmax_fast + 1.0),
                                                   1.0 / history_length), 1.0)
+        if not (isinstance(has_data, bool) and has_data):
+            # checkerboard accumulation slowdown (RELAX TA :597-607)
+            nd = jnp.logical_and(jnp.logical_not(has_data), history_length > 1.0)
+            cb_f = 1.0 - sc["checkerboard_resolve_accum_speed"]
+            alpha = jnp.where(nd, alpha * cb_f, alpha)
+            alpha_resp = jnp.where(nd, alpha_resp * cb_f, alpha_resp)
         m1 = nm.luminance(diff[..., :3])
         diff_and_m2 = jnp.concatenate([diff[..., :3], (m1 * m1)[..., None]], -1)
         out["diff"] = nm.lerp(prev_diff, diff_and_m2, alpha[..., None])
@@ -841,6 +847,14 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
         spec_smb_alpha = jnp.maximum(1.0 - spec_smb_confidence,
                                      1.0 / (1.0 + spec_frames))
         spec_smb_resp_alpha = jnp.maximum(spec_smb_alpha, 1.0 / (1.0 + spec_resp_frames))
+        if not (isinstance(has_data, bool) and has_data):
+            # checkerboard accumulation slowdown, smb half (RELAX TA :858-863)
+            cbra = sc["checkerboard_resolve_accum_speed"]
+            nd = jnp.logical_and(jnp.logical_not(has_data), parallax_max < 0.5)
+            f_smb = 1.0 - cbra * (smb_found > 0).astype(jnp.float32)
+            spec_smb_alpha = jnp.where(nd, spec_smb_alpha * f_smb, spec_smb_alpha)
+            spec_smb_resp_alpha = jnp.where(nd, spec_smb_resp_alpha * f_smb,
+                                            spec_smb_resp_alpha)
 
         m1s = nm.luminance(spec[..., :3])
         spec_m2 = m1s * m1s
@@ -858,6 +872,16 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
                                           1.0 / (1.0 + spec_resp_frames))
         spec_vmb_hit_alpha = jnp.maximum(1.0 - spec_vmb_confidence * vhd_conf,
                                          1.0 / (1.0 + spec_frames))
+        if not (isinstance(has_data, bool) and has_data):
+            # checkerboard accumulation slowdown, vmb half (RELAX TA :881-887)
+            cbra = sc["checkerboard_resolve_accum_speed"]
+            nd = jnp.logical_and(jnp.logical_not(has_data), parallax_max < 0.5)
+            f_vmb = 1.0 - cbra * vmb_found
+            spec_vmb_alpha = jnp.where(nd, spec_vmb_alpha * f_vmb, spec_vmb_alpha)
+            spec_vmb_resp_alpha = jnp.where(nd, spec_vmb_resp_alpha * f_vmb,
+                                            spec_vmb_resp_alpha)
+            spec_vmb_hit_alpha = jnp.where(nd, spec_vmb_hit_alpha * f_vmb,
+                                           spec_vmb_hit_alpha)
         acc_vmb_rgb = nm.lerp(prev_spec_vmb[..., :3], spec[..., :3],
                               spec_vmb_alpha[..., None])
         acc_vmb_hit = nm.lerp(prev_hit_t_vmb, spec[..., 3],

@@ -319,3 +319,56 @@ def test_reblur_performance_mode(pallas_interpret):
     assert np.isfinite(d_perf).all()
     corr = np.corrcoef(d_perf[..., :3].ravel(), d_qual[..., :3].ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_reblur_checkerboard_pallas(pallas_interpret):
+    """Checkerboard on the Pallas path stays finite and close to the XLA path."""
+    import jax.numpy as jnp
+    from nrdtpu.settings import CheckerboardMode, ReblurSettings
+    from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+    size = (128, 96)
+    w, h = size
+    HDP = jnp.asarray([3.0, 0.1, 20.0, -25.0])
+
+    def run(n_frames=3):
+        gen = SceneGenerator(SceneSpec(size=size, noise=0.3), camera_mode="static")
+        eng = Engine({0: Denoiser.REBLUR_DIFFUSE_SPECULAR}, resource_size=size)
+        s = ReblurSettings()
+        s.checkerboardMode = CheckerboardMode.BLACK
+        eng.set_denoiser_settings(0, s)
+        outs = None
+        for i in range(n_frames):
+            fd = gen.frame(i)
+            eng.set_common_settings(fd.common_settings)
+            dn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
+                                             jnp.asarray(fd.view_z), HDP, 1.0)
+            sn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.spec_hit_dist),
+                                             jnp.asarray(fd.view_z), HDP,
+                                             jnp.asarray(fd.roughness))
+            diff = np.asarray(fe.reblur_pack_radiance_hitdist(
+                jnp.asarray(fd.diff_noisy), dn))
+            spec = np.asarray(fe.reblur_pack_radiance_hitdist(
+                jnp.asarray(fd.spec_noisy), sn))
+            cb = (np.arange(w)[None, :] + np.arange(h)[:, None] + i) & 1
+            has = cb == 0
+            sel = np.where(has[:, ::2], 0, 1) + np.arange(0, w, 2)[None, :]
+            diff = diff[np.arange(h)[:, None], sel]
+            spec = spec[np.arange(h)[:, None], sel]
+            pool = {RT.IN_VIEWZ: fd.view_z,
+                    RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+                    RT.IN_MV: fd.mv,
+                    RT.IN_DIFF_RADIANCE_HITDIST: diff,
+                    RT.IN_SPEC_RADIANCE_HITDIST: spec}
+            outs = eng.denoise([0], pool)
+        return np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST])
+
+    a = run()
+    os.environ["NRDTPU_IMPL"] = "xla"
+    try:
+        b = run()
+    finally:
+        os.environ["NRDTPU_IMPL"] = "pallas"
+    assert np.isfinite(a).all()
+    corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
+    assert corr > 0.97, corr

@@ -164,3 +164,63 @@ class TestReblurDirectionalOcclusion:
         err_out = np.abs(out[..., 3][geom] - fd.ao_clean[geom]).mean()
         err_in = np.abs(fd.ao_noisy[geom] - fd.ao_clean[geom]).mean()
         assert err_out < 0.5 * err_in, (err_in, err_out)
+
+
+def test_reblur_checkerboard_modes():
+    """CheckerboardMode BLACK/WHITE: half-width noisy inputs reconstruct to a result
+    close to the full-resolution run (reference semantics: REBLUR_PrePass.hlsli:44-78,
+    REBLUR_TemporalAccumulation.hlsli:307-358)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrdtpu.engine import Engine
+    from nrdtpu.settings import (CheckerboardMode, CommonSettings, Denoiser,
+                                 ReblurSettings, ResourceType as RT)
+    from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+    from nrdtpu import frontend as fe
+
+    size = (128, 96)
+    w, h = size
+    HDP = jnp.asarray([3.0, 0.1, 20.0, -25.0])
+
+    def run(mode):
+        gen = SceneGenerator(SceneSpec(size=size, noise=0.3), camera_mode="static")
+        eng = Engine({0: Denoiser.REBLUR_DIFFUSE_SPECULAR}, resource_size=size)
+        s = ReblurSettings()
+        s.checkerboardMode = mode
+        eng.set_denoiser_settings(0, s)
+        outs = None
+        for i in range(4):
+            fd = gen.frame(i)
+            eng.set_common_settings(fd.common_settings)
+            dn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
+                                             jnp.asarray(fd.view_z), HDP, 1.0)
+            sn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.spec_hit_dist),
+                                             jnp.asarray(fd.view_z), HDP,
+                                             jnp.asarray(fd.roughness))
+            diff = np.asarray(fe.reblur_pack_radiance_hitdist(
+                jnp.asarray(fd.diff_noisy), dn))
+            spec = np.asarray(fe.reblur_pack_radiance_hitdist(
+                jnp.asarray(fd.spec_noisy), sn))
+            if mode != CheckerboardMode.OFF:
+                # pack the checkerboard-active pixels into a half-width texture:
+                # half texel x holds the data pixel of the full-res pair (2x, 2x+1)
+                cb = (np.arange(w)[None, :] + np.arange(h)[:, None] + i) & 1
+                has = cb == (int(mode) - 1)
+                sel = np.where(has[:, ::2], 0, 1) + np.arange(0, w, 2)[None, :]
+                diff = diff[np.arange(h)[:, None], sel]
+                spec = spec[np.arange(h)[:, None], sel]
+            pool = {RT.IN_VIEWZ: fd.view_z,
+                    RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+                    RT.IN_MV: fd.mv,
+                    RT.IN_DIFF_RADIANCE_HITDIST: diff,
+                    RT.IN_SPEC_RADIANCE_HITDIST: spec}
+            outs = eng.denoise([0], pool)
+        return np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST])
+
+    full = run(CheckerboardMode.OFF)
+    for mode in (CheckerboardMode.BLACK, CheckerboardMode.WHITE):
+        half = run(mode)
+        assert np.isfinite(half).all()
+        corr = np.corrcoef(half[..., :3].ravel(), full[..., :3].ravel())[0, 1]
+        assert corr > 0.9, (mode, corr)

@@ -133,3 +133,53 @@ class TestRelaxSH:
         outs, _, fd = run(scene, Denoiser.RELAX_DIFFUSE_SH, 6, pool)
         assert np.isfinite(np.asarray(outs[RT.OUT_DIFF_SH0])).all()
         assert np.isfinite(np.asarray(outs[RT.OUT_DIFF_SH1])).all()
+
+
+def test_relax_checkerboard_modes():
+    """RELAX CheckerboardMode: half-width inputs resolve at the pipeline front
+    (RELAX_PrePass.hlsli:28-110) and accumulate slower on no-data pixels."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nrdtpu import frontend as fe
+    from nrdtpu.engine import Engine
+    from nrdtpu.settings import (CheckerboardMode, Denoiser, RelaxSettings,
+                                 ResourceType as RT)
+    from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+    size = (128, 96)
+    w, h = size
+
+    def run(mode):
+        gen = SceneGenerator(SceneSpec(size=size, noise=0.3), camera_mode="static")
+        eng = Engine({0: Denoiser.RELAX_DIFFUSE_SPECULAR}, resource_size=size)
+        s = RelaxSettings()
+        s.checkerboardMode = mode
+        eng.set_denoiser_settings(0, s)
+        outs = None
+        for i in range(4):
+            fd = gen.frame(i)
+            eng.set_common_settings(fd.common_settings)
+            diff = np.asarray(fe.relax_pack_radiance_hitdist(
+                jnp.asarray(fd.diff_noisy), jnp.asarray(fd.diff_hit_dist)))
+            spec = np.asarray(fe.relax_pack_radiance_hitdist(
+                jnp.asarray(fd.spec_noisy), jnp.asarray(fd.spec_hit_dist)))
+            if mode != CheckerboardMode.OFF:
+                cb = (np.arange(w)[None, :] + np.arange(h)[:, None] + i) & 1
+                has = cb == (int(mode) - 1)
+                sel = np.where(has[:, ::2], 0, 1) + np.arange(0, w, 2)[None, :]
+                diff = diff[np.arange(h)[:, None], sel]
+                spec = spec[np.arange(h)[:, None], sel]
+            pool = {RT.IN_VIEWZ: fd.view_z,
+                    RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+                    RT.IN_MV: fd.mv,
+                    RT.IN_DIFF_RADIANCE_HITDIST: diff,
+                    RT.IN_SPEC_RADIANCE_HITDIST: spec}
+            outs = eng.denoise([0], pool)
+        return np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST])
+
+    full = run(CheckerboardMode.OFF)
+    half = run(CheckerboardMode.BLACK)
+    assert np.isfinite(half).all()
+    corr = np.corrcoef(half[..., :3].ravel(), full[..., :3].ravel())[0, 1]
+    assert corr > 0.9, corr
