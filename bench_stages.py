@@ -182,6 +182,8 @@ def main():
             spec_sh_history=None, samples=spec_samples, sampler=PallasSampler(sc))
 
     env["ta_spec"] = timeit("TA specular (vmb)", st_tas)
+    if os.environ.get("NRDTPU_STAGES_STOP_AFTER") == "tas":
+        return
 
     def st_hfd(e, env):
         return K.history_fix(sc, dc, env["view_z"], env["nr"], env["data1_diff"],

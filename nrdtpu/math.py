@@ -164,7 +164,12 @@ def bayer4x4(pixel_pos, frame_index) -> jnp.ndarray:
         px, py = pixel_pos[..., 0], pixel_pos[..., 1]
     px = jnp.asarray(px, jnp.int32) & 3
     py = jnp.asarray(py, jnp.int32) & 3
-    base = jnp.asarray(_BAYER4)[py, px].astype(jnp.uint32)
+    # closed form of the 4x4 Bayer matrix (bit-exact vs the table; see test_math):
+    # M(x, y) = ((x^y)&1)<<3 | (y&1)<<2 | (((x^y)>>1)&1)<<1 | ((y>>1)&1).
+    # A table gather here costs ~40 ms at 1440p on TPU (XLA gather) - arithmetic is free.
+    pxy = px ^ py
+    base = (((pxy & 1) << 3) | ((py & 1) << 2) | (((pxy >> 1) & 1) << 1)
+            | ((py >> 1) & 1)).astype(jnp.uint32)
     t = _reverse_bits_4(frame_index)
     return ((base + t) & 15).astype(jnp.float32) / 16.0
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ... import frontend as fe
 from ... import math as nm
+from ... import vec3 as v3
 from ...frontend import NRD_EPS, NRD_INF
 from ...ops import resample, stencil, tiles
 from . import common as C
@@ -30,6 +31,15 @@ from . import common as C
 # ---------------------------------------------------------------------------
 # Small helpers
 # ---------------------------------------------------------------------------
+
+
+def unpack_nr3(sc, packed, config):
+    """unpack_nr returning a plane-wise V3 normal (see vec3.py for why)."""
+    if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
+        n3 = v3.decode_oct_raw(packed[..., 0], packed[..., 1])
+        return n3, packed[..., 2], packed[..., 3] * 3.0
+    n, r, m = unpack_nr(sc, packed, config)
+    return v3.V3.of(n), r, m
 
 
 def unpack_view_z(sc, z):
@@ -276,38 +286,58 @@ def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_i
     view_z = unpack_view_z(sc, view_z_in)
     n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
 
-    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
-                                      sc["ortho_mode"])
+    # plane-wise V3 math throughout (see vec3.py): (H, W, 3) intermediates are ~40x
+    # slower on TPU than fused scalar-plane chains
+    u_p, v_p = uv[..., 0], uv[..., 1]
+    rw_, rh_ = sc["rect_size"][0], sc["rect_size"][1]
+    xv3 = v3.reconstruct_view_position(u_p, v_p, sc["frustum"], view_z,
+                                       sc["ortho_mode"])
     v2w = jnp.asarray(sc["view_to_world"])
-    x = xv @ v2w[:3, :3].T
+    x3 = v3.rotate(v2w, xv3)
 
-    mv = mv_in * sc["mv_scale"][None, None, :3]
+    mvs = sc["mv_scale"]
+    mv0 = mv_in[..., 0] * mvs[0]
+    mv1 = mv_in[..., 1] * mvs[1]
+    mv2 = mv_in[..., 2] * mvs[2]
     w2v_prev = jnp.asarray(sc["world_to_view_prev"])
     is_world_mv = sc["mv_scale"][3] != 0.0
 
-    smb_uv_screen = uv + mv[..., :2]
-    mv_z_computed = (x @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2] - view_z
-    mv_z = jnp.where(sc["mv_scale"][2] == 0.0, mv_z_computed, mv[..., 2])
+    smb_u_scr = u_p + mv0
+    smb_v_scr = v_p + mv1
+    mv_z_computed = v3.affine(w2v_prev, x3).z - view_z
+    mv_z = jnp.where(sc["mv_scale"][2] == 0.0, mv_z_computed, mv2)
     view_z_prev = view_z + mv_z
-    xv_prev_local = nm.reconstruct_view_position(
-        smb_uv_screen, sc["frustum_prev"][None, None, :], view_z_prev, sc["ortho_mode"])
-    x_prev_screen = xv_prev_local @ w2v_prev[:3, :3] + sc["camera_delta"][None, None, :]
+    xv_prev_local3 = v3.reconstruct_view_position(smb_u_scr, smb_v_scr,
+                                                  sc["frustum_prev"], view_z_prev,
+                                                  sc["ortho_mode"])
+    cd = sc["camera_delta"]
+    cd3 = v3.V3(cd[0], cd[1], cd[2])
+    x_prev_screen3 = v3.rotate_inv(w2v_prev, xv_prev_local3) + cd3
 
-    x_prev_world = x + mv
-    smb_uv_world = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_prev_world)
+    x_prev_world3 = x3 + v3.V3(mv0, mv1, mv2)
+    smb_u_wld, smb_v_wld = v3.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]),
+                                            x_prev_world3)
 
-    x_prev = jnp.where(is_world_mv, x_prev_world, x_prev_screen)
-    smb_pixel_uv = jnp.where(is_world_mv, smb_uv_world, smb_uv_screen)
+    xp3 = v3.where(is_world_mv, x_prev_world3, x_prev_screen3)
+    smb_u = jnp.where(is_world_mv, smb_u_wld, smb_u_scr)
+    smb_v = jnp.where(is_world_mv, smb_v_wld, smb_v_scr)
+    smb_pixel_uv = jnp.stack([smb_u, smb_v], -1)
 
     # parallax (lines 206-211)
-    cam_delta = sc["camera_delta"][None, None, :]
-    uv_zp1 = jnp.where(sc["ortho_mode"] == 0.0, smb_pixel_uv, uv)
-    uv_zp2 = jnp.where(sc["ortho_mode"] == 0.0, uv, smb_pixel_uv)
-    p1_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_prev + cam_delta)
-    p2_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip"]), x_prev - cam_delta)
+    is_persp = sc["ortho_mode"] == 0.0
+    zp1_u = jnp.where(is_persp, smb_u, u_p)
+    zp1_v = jnp.where(is_persp, smb_v, v_p)
+    zp2_u = jnp.where(is_persp, u_p, smb_u)
+    zp2_v = jnp.where(is_persp, v_p, smb_v)
+    p1u, p1v = v3.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), xp3 + cd3)
+    p2u, p2v = v3.get_screen_uv(jnp.asarray(sc["world_to_clip"]), xp3 - cd3)
     rect = sc["rect_size"][None, None, :]
-    parallax1 = nm.length((p1_uv - uv_zp1) * rect)
-    parallax2 = nm.length((p2_uv - uv_zp2) * rect)
+    d1x = (p1u - zp1_u) * rw_
+    d1y = (p1v - zp1_v) * rh_
+    d2x = (p2u - zp2_u) * rw_
+    d2y = (p2v - zp2_v) * rh_
+    parallax1 = jnp.sqrt(d1x * d1x + d1y * d1y)
+    parallax2 = jnp.sqrt(d2x * d2x + d2y * d2y)
     parallax_max = jnp.maximum(parallax1, parallax2)
     parallax_min = jnp.minimum(parallax1, parallax2)
 
@@ -328,20 +358,23 @@ def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_i
     small_parallax = nm.linearstep(0.25, 0.0, parallax_max)
     disocclusion_threshold = disocclusion_threshold + 0.05 * small_parallax
 
-    v = C.get_view_vector(sc, x)
-    nov = jnp.abs(nm.dot(n, v))
+    vvw = sc["view_vector_world"]
+    n3 = v3.V3.of(n)
+    v_3 = v3.where(is_persp, v3.normalize(-x3),
+                   v3.V3.full_like(view_z, vvw[0], vvw[1], vvw[2]))
+    nov = jnp.abs(v3.dot(n3, v_3))
     nov_strict = nm.lerp(nov, 1.0, nm.saturate(parallax_max / 30.0))
     base_threshold = nm.get_disocclusion_threshold(disocclusion_threshold, frustum_size,
                                                    nov_strict)
     navg_thr = C.REBLUR_ALMOST_ZERO_ANGLE - 0.25 * small_parallax
 
-    xv_prev = x_prev @ w2v_prev[:3, :3].T + w2v_prev[:3, 3]
+    xv_prev3 = v3.affine(w2v_prev, xp3)
 
     mv_pix_y, mv_pix_x = uv_to_mv_pix(smb_pixel_uv, h, w, sc["rect_size_prev"])
     res = reblur_smb_resolve(
         sc, dc, config, use_catrom=not perf_mode,
         mv_pix_y=mv_pix_y, mv_pix_x=mv_pix_x,
-        xv_prev_z=xv_prev[..., 2], base_threshold=base_threshold, navg_thr=navg_thr,
+        xv_prev_z=xv_prev3.z, base_threshold=base_threshold, navg_thr=navg_thr,
         material_id_center=material_id, nr_cur_packed=normal_roughness,
         prev_view_z=prev_view_z, prev_nr_packed=prev_normal_roughness,
         prev_mat=prev_internal["material_id"], diff_accum=prev_internal["diff_accum"],
@@ -349,8 +382,10 @@ def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_i
         bil_planes=bil_planes)
 
     # footprint quality (lines 296-305)
-    smb_vprev = C.get_view_vector_prev(sc, x_prev)
-    nov_prev = jnp.abs(nm.dot(n, smb_vprev))
+    vvwp = sc["view_vector_world_prev"]
+    smb_vprev3 = v3.where(is_persp, v3.normalize(cd3 - xp3),
+                          v3.V3.full_like(view_z, vvwp[0], vvwp[1], vvwp[2]))
+    nov_prev = jnp.abs(v3.dot(n3, smb_vprev3))
     size_quality = (nov_prev + 1e-3) / (nov + 1e-3)
     size_quality = size_quality * size_quality
     size_quality = nm.lerp(0.1, 1.0, nm.saturate(size_quality))
@@ -358,15 +393,16 @@ def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_i
 
     return dict(
         uv=uv, view_z=view_z, n=n, roughness=roughness, material_id=material_id,
-        x=x, xv=xv, v=v, nov=nov, n_avg=res["n_avg"], smb_navg=res["smb_navg"],
-        x_prev=x_prev, xv_prev=xv_prev, smb_pixel_uv=smb_pixel_uv,
+        x=x3.arr(), xv=xv3.arr(), v=v_3.arr(), nov=nov, n_avg=res["n_avg"],
+        smb_navg=res["smb_navg"],
+        x_prev=xp3.arr(), xv_prev=xv_prev3.arr(), smb_pixel_uv=smb_pixel_uv,
         parallax_max=parallax_max, parallax_min=parallax_min,
         pixel_size=pixel_size, frustum_size=frustum_size,
         occlusion_weights=None, allow_catrom=res["allow_catrom"] > 0.5,
         fbits=res["fbits"],
         diff_accum_speed=res["diff_accum_speed"], spec_accum_speed=res["spec_accum_speed"],
         footprint_quality=footprint_quality, bilinear_origin=None,
-        smb_vprev=smb_vprev, hist=res["hist"], bil=res["bil"],
+        smb_vprev=smb_vprev3.arr(), hist=res["hist"], bil=res["bil"],
     )
 
 
@@ -487,13 +523,16 @@ def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, sig
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
     view_z = unpack_view_z(sc, view_z_in)
-    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
+    n3, roughness, material_id = unpack_nr3(sc, normal_roughness, config)
     frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
                                        view_z)
-    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
-                                      sc["ortho_mode"])
+    u_p, v_p = uv[..., 0], uv[..., 1]
+    xv3 = v3.reconstruct_view_position(u_p, v_p, sc["frustum"], view_z,
+                                       sc["ortho_mode"])
     w2v = jnp.asarray(sc["world_to_view"])
-    nv = n @ w2v[:3, :3].T
+    nv3 = v3.rotate(w2v, n3)
+    n = n3.arr()
+    nv = nv3.arr()
 
     frame_num = data1_diff if is_diffuse else data1_spec
     stride = dc["history_fix_base_pixel_stride"] / (2.0 + frame_num)
@@ -510,8 +549,8 @@ def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, sig
     normal_weight_param = nm.get_normal_weight_param(
         nlas, dc["lobe_angle_fraction"],
         roughness if not is_diffuse else jnp.ones_like(roughness), enc_err)
-    ga, gb = nm.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
-                                           xv, nv, nlas)
+    ga = 1.0 / (dc["plane_dist_sensitivity"] * frustum_size)
+    gb = -v3.dot(nv3, xv3) * ga
     if not is_diffuse:
         ra, rb = nm.get_relaxed_roughness_weight_params(
             roughness * roughness, jnp.sqrt(dc["roughness_fraction"]))
@@ -724,13 +763,18 @@ def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, da
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
     view_z = unpack_view_z(sc, view_z_in)
-    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
+    n3, roughness, material_id = unpack_nr3(sc, normal_roughness, config)
     w2v = jnp.asarray(sc["world_to_view"])
-    nv = n @ w2v[:3, :3].T
-    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
-                                      sc["ortho_mode"])
-    vv = C.get_view_vector_view_space(sc, xv)
-    nov = jnp.abs(nm.dot(nv, vv))
+    nv3 = v3.rotate(w2v, n3)
+    u_p, v_p = uv[..., 0], uv[..., 1]
+    xv3 = v3.reconstruct_view_position(u_p, v_p, sc["frustum"], view_z,
+                                       sc["ortho_mode"])
+    vv3 = v3.where(sc["ortho_mode"] == 0.0, v3.normalize(-xv3),
+                   v3.V3.full_like(view_z, 0.0, 0.0, -1.0))
+    nov = jnp.abs(v3.dot(nv3, vv3))
+    n = n3.arr()
+    nv = nv3.arr()
+    xv = xv3.arr()
     frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
                                        view_z)
     rotator = sc["rotator"] if mode == BLUR else sc["rotator_post"]
@@ -753,8 +797,8 @@ def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, da
     blur_radius = jnp.maximum(blur_radius, dc["min_blur_radius"])
 
     enc_err = nm.normal_encoding_error(int(config.normal_encoding))
-    ga, gb = nm.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
-                                           xv, nv, nlas)
+    ga = 1.0 / (dc["plane_dist_sensitivity"] * frustum_size)
+    gb = -v3.dot(nv3, xv3) * ga
     normal_weight_param = nm.get_normal_weight_param(
         nlas, dc["lobe_angle_fraction"], jnp.ones_like(roughness), enc_err) / fraction_scale
     ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(signal), nlas)
@@ -890,6 +934,26 @@ def get_xvirtual(sc, hit_dist, curvature, x, x_prev, n, v, roughness):
     return origin - v * (iw_len * dw)[..., None]
 
 
+def get_xvirtual3(sc, hit_dist, curvature, x, x_prev, n, v, roughness):
+    """get_xvirtual on plane-wise V3s (see vec3.py for why)."""
+    d, dw = v3.get_specular_dominant_direction(n, v, roughness,
+                                               nm.get_specular_dominant_factor)
+    reflection_ray = d * hit_dist
+    t, b = v3.get_basis(n)
+    o = v3.V3(v3.dot(t, reflection_ray), v3.dot(b, reflection_ray),
+              v3.dot(n, reflection_ray))
+    oz = -o.z
+    mag = 1.0 / (2.0 * curvature * oz - 1.0)
+    f = v3.length(x)
+    f = f * (1.0 - jnp.abs(v3.dot(n, v)))
+    f = f * jnp.maximum(curvature, 0.0)
+    mag = mag / (1.0 + f)
+    iw_len = v3.length(o * mag)
+    closeness = nm.saturate(iw_len / (hit_dist + NRD_EPS))
+    origin = v3.lerp(x_prev, x, closeness * dw)
+    return origin - v * (iw_len * dw)
+
+
 def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fast_history,
                                    view_z_in, normal_roughness,
                                    prev_view_z, prev_normal_roughness, prev_internal,
@@ -958,88 +1022,117 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     spec = spec_input
 
     # ---- curvature estimation along predicted motion (lines 356-447) ----
-    uv_for_zero_parallax = jnp.where(sc["ortho_mode"] == 0.0, sm["smb_pixel_uv"], uv)
-    p1 = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]),
-                          x_prev + sc["camera_delta"][None, None, :])
-    delta_uv = (uv_for_zero_parallax - p1) * rect
-    parallax1 = nm.length((p1 - uv_for_zero_parallax) * rect)
-    delta_uv = delta_uv / jnp.maximum(parallax1, 1.0 / 256.0)[..., None]
+    # plane-wise V3 math throughout the glue: (H, W, 3) intermediates run at ~3/128
+    # lane utilization on TPU (see vec3.py) - this section was ~80% of the TA cost
+    x3 = v3.V3.of(x)
+    xp3 = v3.V3.of(x_prev)
+    n3 = v3.V3.of(n)
+    vv3 = v3.V3.of(v)
+    u_p, v_p = uv[..., 0], uv[..., 1]
+    smb_u = sm["smb_pixel_uv"][..., 0]
+    smb_v = sm["smb_pixel_uv"][..., 1]
+    rw_, rh_ = sc["rect_size"][0], sc["rect_size"][1]
+    riw_, rih_ = sc["rect_size_inv"][0], sc["rect_size_inv"][1]
+    is_persp = sc["ortho_mode"] == 0.0
+    cd = sc["camera_delta"]
+    cd3 = v3.V3(cd[0], cd[1], cd[2])
+
+    uvzp_u = jnp.where(is_persp, smb_u, u_p)
+    uvzp_v = jnp.where(is_persp, smb_v, v_p)
+    p1u, p1v = v3.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), xp3 + cd3)
+    dux = (uvzp_u - p1u) * rw_
+    duy = (uvzp_v - p1v) * rh_
+    parallax1 = jnp.sqrt(dux * dux + duy * duy)
+    inv_par = 1.0 / jnp.maximum(parallax1, 1.0 / 256.0)
+    dux = dux * inv_par
+    duy = duy * inv_par
 
     v2w = jnp.asarray(sc["view_to_world"])
-    rect_inv = sc["rect_size_inv"][None, None, :]
 
-    def edge_point(du, dv_):
-        xv1 = nm.reconstruct_view_position(uv + jnp.asarray([du, dv_], jnp.float32)
-                                           * rect_inv, sc["frustum"][None, None, :],
-                                           jnp.ones_like(view_z), sc["ortho_mode"])
-        xw = xv1 @ v2w[:3, :3].T
-        vw = C.get_view_vector(sc, xw)
-        o = jnp.where(sc["ortho_mode"] == 0.0, jnp.zeros_like(xw), xw)
-        t = nm.dot(x - o, n) / jnp.where(jnp.abs(nm.dot(n, vw)) < 1e-9, 1e-9, nm.dot(n, vw))
-        return o + vw * t[..., None]
+    def edge_point(du_, dv_):
+        xe = v3.reconstruct_view_position(u_p + du_ * riw_, v_p + dv_ * rih_,
+                                          sc["frustum"], jnp.ones_like(view_z),
+                                          sc["ortho_mode"])
+        xw = v3.rotate(v2w, xe)
+        vvw = sc["view_vector_world"]
+        vw = v3.where(is_persp, v3.normalize(-xw),
+                      v3.V3.full_like(view_z, vvw[0], vvw[1], vvw[2]))
+        o = v3.where(is_persp, v3.V3.full_like(view_z, 0.0, 0.0, 0.0), xw)
+        ndv = v3.dot(n3, vw)
+        t = v3.dot(x3 - o, n3) / jnp.where(jnp.abs(ndv) < 1e-9, 1e-9, ndv)
+        return o + vw * t
 
     x10 = edge_point(1.0, 0.0)
     x01 = edge_point(0.0, 1.0)
     if sampler is not None:
         shifted_nr = sampler.shift([normal_roughness[..., 0], normal_roughness[..., 1]],
                                    [(0, 1), (1, 0)])
-        n10 = nm.decode_unit_vector(jnp.stack([shifted_nr[0][0], shifted_nr[1][0]], -1),
-                                    signed=False)
-        n01 = nm.decode_unit_vector(jnp.stack([shifted_nr[0][1], shifted_nr[1][1]], -1),
-                                    signed=False)
+        n10 = v3.decode_oct(shifted_nr[0][0], shifted_nr[1][0])
+        n01 = v3.decode_oct(shifted_nr[0][1], shifted_nr[1][1])
     else:
-        n10, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 0, 1), config)
-        n01, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 1, 0), config)
+        nr01 = stencil.shifted(normal_roughness, 0, 1)
+        nr10 = stencil.shifted(normal_roughness, 1, 0)
+        n10 = v3.decode_oct_raw(nr01[..., 0], nr01[..., 1])
+        n01 = v3.decode_oct_raw(nr10[..., 0], nr10[..., 1])
 
-    wmix = jnp.abs(delta_uv) + 1.0 / 256.0
-    wmix = wmix / jnp.sum(wmix, -1, keepdims=True)
-    x_edge = x10 * wmix[..., 0:1] + x01 * wmix[..., 1:2]
-    n_edge = nm.normalize(n10 * wmix[..., 0:1] + n01 * wmix[..., 1:2])
+    wmx = jnp.abs(dux) + 1.0 / 256.0
+    wmy = jnp.abs(duy) + 1.0 / 256.0
+    wnorm = 1.0 / (wmx + wmy)
+    wmx = wmx * wnorm
+    wmy = wmy * wnorm
+    x_edge = x10 * wmx + x01 * wmy
+    n_edge = v3.normalize(n10 * wmx + n01 * wmy)
 
     # high-parallax flattening (lines 404-429)
     bayer = nm.bayer4x4((pixel_pos[..., 0], pixel_pos[..., 1]), sc["frame_index"])
     delta_uv_len_fixed = sm["parallax_min"] * (1.0 + sc["framerate_scale"] * bayer)
-    motion_uv_high = uv + delta_uv_len_fixed[..., None] * delta_uv * rect_inv
-    motion_uv_high = (jnp.floor(motion_uv_high * rect) + 0.5) / rect
+    mu = u_p + delta_uv_len_fixed * dux * riw_
+    mv_ = v_p + delta_uv_len_fixed * duy * rih_
+    mu = (jnp.floor(mu * rw_) + 0.5) * riw_
+    mv_ = (jnp.floor(mv_ * rh_) + 0.5) * rih_
+    in_screen_high = ((mu > 0.0) & (mu < 1.0) & (mv_ > 0.0)
+                      & (mv_ < 1.0)).astype(jnp.float32)
     if sampler is not None:
+        motion_uv_high = jnp.stack([mu, mv_], -1)
         (zh_raw, nh0, nh1), high_valid = sampler.nearest(
             [view_z_in, normal_roughness[..., 0], normal_roughness[..., 1]],
             motion_uv_high, rect_cur=True)
         z_high = unpack_view_z(sc, zh_raw)
-        n_high = nm.decode_unit_vector(jnp.stack([nh0, nh1], -1), signed=False)
-        in_screen_high = resample.is_in_screen_nearest(motion_uv_high) * high_valid
+        n_high = v3.decode_oct(nh0, nh1)
+        in_screen_high = in_screen_high * high_valid
     else:
+        motion_uv_high = jnp.stack([mu, mv_], -1)
         z_high = unpack_view_z(sc, resample.sample_nearest(view_z_in, motion_uv_high))
-        n_high, _, _ = unpack_nr(sc, resample.sample_nearest(normal_roughness,
-                                                             motion_uv_high), config)
-        in_screen_high = resample.is_in_screen_nearest(motion_uv_high)
-    x_high_v = nm.reconstruct_view_position(motion_uv_high, sc["frustum"][None, None, :],
-                                            z_high, sc["ortho_mode"])
-    x_high = x_high_v @ v2w[:3, :3].T
+        nr_high = resample.sample_nearest(normal_roughness, motion_uv_high)
+        n_high = v3.decode_oct_raw(nr_high[..., 0], nr_high[..., 1])
+    x_high = v3.rotate(v2w, v3.reconstruct_view_position(mu, mv_, sc["frustum"],
+                                                         z_high, sc["ortho_mode"]))
     z_error = jnp.abs(z_high - view_z) / jnp.maximum(jnp.maximum(z_high, view_z), 1e-15)
     replace = jnp.logical_and(z_error < C.NRD_CURVATURE_Z_THRESHOLD,
                               jnp.logical_and(delta_uv_len_fixed > 1.0,
                                               in_screen_high > 0.0))
-    x_edge = jnp.where(replace[..., None], x_high, x_edge)
-    n_edge = jnp.where(replace[..., None], n_high, n_edge)
+    x_edge = v3.where(replace, x_high, x_edge)
+    n_edge = v3.where(replace, n_high, n_edge)
 
-    edge = x_edge - x
-    edge_len_sq = jnp.sum(edge * edge, -1)
-    curvature = nm.dot(n_edge - n, edge) / jnp.maximum(edge_len_sq, 1e-15)
+    edge = x_edge - x3
+    edge_len_sq = v3.dot(edge, edge)
+    curvature = v3.dot(n_edge - n3, edge) / jnp.maximum(edge_len_sq, 1e-15)
     curvature = jnp.where(edge_len_sq < 1e-15, 0.0, curvature)
 
     # ---- virtual motion coordinates (lines 449-457) ----
-    x_virtual = get_xvirtual(sc, hit_dist_for_tracking, curvature, x, x_prev, n, v,
-                             roughness)
-    x_virtual_length = nm.length(x_virtual)
-    vmb_pixel_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_virtual)
+    x_virtual3 = get_xvirtual3(sc, hit_dist_for_tracking, curvature, x3, xp3, n3, vv3,
+                               roughness)
+    x_virtual_length = v3.length(x_virtual3)
+    vmb_u, vmb_v = v3.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_virtual3)
     is_camera_attached = (sm["material_id"]
                           == sc["camera_attached_reflection_material_id"])
-    vmb_pixel_uv = jnp.where(is_camera_attached[..., None], sm["smb_pixel_uv"],
-                             vmb_pixel_uv)
+    vmb_u = jnp.where(is_camera_attached, smb_u, vmb_u)
+    vmb_v = jnp.where(is_camera_attached, smb_v, vmb_v)
+    vmb_pixel_uv = jnp.stack([vmb_u, vmb_v], -1)
 
-    vmb_delta = vmb_pixel_uv - sm["smb_pixel_uv"]
-    vmb_pixels_traveled = nm.length(vmb_delta * rect)
+    vdx = (vmb_u - smb_u) * rw_
+    vdy = (vmb_v - smb_v) * rh_
+    vmb_pixels_traveled = jnp.sqrt(vdx * vdx + vdy * vdy)
 
     # ---- roughness confidence (lines 459-470) ----
     vmb_origin, vmb_frac = nm.bilinear_filter(vmb_pixel_uv, rect_prev)
@@ -1066,7 +1159,7 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         (vn0, vn1, vr_raw), _vmb_n_valid = sampler.nearest(
             [prev_normal_roughness[..., 0], prev_normal_roughness[..., 1],
              prev_normal_roughness[..., 2]], uv_s)
-        vmb_n = nm.decode_unit_vector(jnp.stack([vn0, vn1], -1), signed=False)
+        vmb_n3 = v3.decode_oct(vn0, vn1)
         if config.roughness_encoding.name == "SQRT_LINEAR":
             vmb_roughness = vr_raw * vr_raw
         elif config.roughness_encoding.name == "SQ_LINEAR":
@@ -1074,35 +1167,39 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         else:
             vmb_roughness = vr_raw
     else:
-        vmb_n, vmb_roughness, _ = _sample_normal_roughness_stochastic(
+        vmb_n_, vmb_roughness, _ = _sample_normal_roughness_stochastic(
             sc, prev_normal_roughness, vmb_pixel_uv, pixel_pos, config)
-    vmb_n = vmb_n @ jnp.asarray(sc["world_prev_to_world"])[:3, :3].T
+        vmb_n3 = v3.V3.of(vmb_n_)
+    vmb_n3 = v3.rotate(jnp.asarray(sc["world_prev_to_world"]), vmb_n3)
     dfactor = nm.get_specular_dominant_factor(nov, roughness)
+    nd3 = n3 - vmb_n3
     virtual_normal_confidence = 1.0 / (
-        1.0 + 0.5 * dfactor * nm.saturate(nm.length(n - vmb_n) - enc_err)
+        1.0 + 0.5 * dfactor * nm.saturate(v3.length(nd3) - enc_err)
         * vmb_pixels_traveled)
-    smb_navg = jnp.where((sm["footprint_quality"] == 0.0)[..., None], vmb_n, sm["smb_navg"])
+    smb_navg3 = v3.where(sm["footprint_quality"] == 0.0, vmb_n3,
+                         v3.V3.of(sm["smb_navg"]))
 
     # ---- virtual motion disocclusion (lines 481-519) ----
     disocclusion_threshold = sc["disocclusion_threshold"] + sc[
         "disocclusion_threshold_bonus"]
     vmb_thr = disocclusion_threshold * sm["frustum_size"]
     vmb_thr = vmb_thr * nm.lerp(0.25, 1.0, nov)
-    vmb_thr = vmb_thr * (nm.dot(vmb_n, n) > C.REBLUR_ALMOST_ZERO_ANGLE).astype(jnp.float32)
-    vmb_thr = vmb_thr * (nm.dot(vmb_n, smb_navg)
+    vmb_thr = vmb_thr * (v3.dot(vmb_n3, n3)
+                         > C.REBLUR_ALMOST_ZERO_ANGLE).astype(jnp.float32)
+    vmb_thr = vmb_thr * (v3.dot(vmb_n3, smb_navg3)
                          > C.REBLUR_ALMOST_ZERO_ANGLE).astype(jnp.float32)
 
     w2v_prev = jnp.asarray(sc["world_to_view_prev"])
-    vmb_vv = nm.reconstruct_view_position(vmb_pixel_uv, sc["frustum_prev"][None, None, :],
-                                          jnp.ones_like(view_z), 0.0)
-    vmb_v = vmb_vv @ w2v_prev[:3, :3]  # RotateVectorInverse
-    nox_curr = nm.dot(n, x_prev - sc["camera_delta"][None, None, :])
+    vmb_vv3 = v3.reconstruct_view_position(vmb_u, vmb_v, sc["frustum_prev"],
+                                           jnp.ones_like(view_z), 0.0)
+    vmb_v3_ = v3.rotate_inv(w2v_prev, vmb_vv3)  # RotateVectorInverse
+    nox_curr = v3.dot(n3, xp3 - cd3)
 
     if sampler is not None:
         vmb_mvy, vmb_mvx = uv_to_mv_pix(vmb_pixel_uv, h, w, sc["rect_size_prev"])
         vmb_bundle = sampler.vmb_bundle(
             sc, dc, config, mv_pix_y=vmb_mvy, mv_pix_x=vmb_mvx, nox_curr=nox_curr,
-            vmb_thr=vmb_thr, n=n, vmb_v=vmb_v, ra=ra, rb=rb,
+            vmb_thr=vmb_thr, n=n, vmb_v=vmb_v3_.arr(), ra=ra, rb=rb,
             roughness_sigma=roughness_sigma,
             parallax_sm=nm.smoothstep(1.0, 0.0, sm["parallax_max"]),
             material_id_center=sm["material_id"],
@@ -1128,8 +1225,8 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         for tap_idx, z_t in enumerate(z_taps_vmb):
             z_t = unpack_view_z(sc, z_t)
             zscale = jnp.where(sc["ortho_mode"] == 0.0, z_t, sc["ortho_mode"])
-            nox_prev = (n[..., 0] * vmb_v[..., 0] + n[..., 1] * vmb_v[..., 1]) * zscale \
-                + n[..., 2] * vmb_v[..., 2] * z_t
+            nox_prev = (n3.x * vmb_v3_.x + n3.y * vmb_v3_.y) * zscale \
+                + n3.z * vmb_v3_.z * z_t
             plane_dist = jnp.abs(nox_prev - nox_curr)
             thr = vmb_thr * in_screen_vmb[..., tap_idx] - NRD_EPS
             o = (plane_dist <= thr).astype(jnp.float32)
@@ -1173,8 +1270,9 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
                                                         percent_of_volume)
     lobe_half_angle = jnp.maximum(jnp.arctan(lobe_tan_half), enc_err)
 
-    normal_weight = nm.get_encoding_aware_normal_weight(n, vmb_n, lobe_half_angle,
-                                                        curvature_angle, enc_err)
+    angle_nw = nm.acos_approx(v3.dot(n3, vmb_n3))
+    normal_weight = nm.smoothstep01(
+        1.0 - (angle_nw - curvature_angle - enc_err) / lobe_half_angle)
     normal_weight = nm.lerp(nm.smoothstep(1.0, 0.0, vmb_pixels_traveled), 1.0,
                             normal_weight)
     virtual_normal_confidence = jnp.minimum(virtual_normal_confidence, normal_weight)
@@ -1189,51 +1287,60 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         hdt_prev = resample.sample_bilinear(prev_spec_hitdist_for_tracking,
                                             vmb_pixel_uv * sc["resolution_scale_prev"]
                                             [None, None, :])
-    x_virtual_prev = get_xvirtual(sc, hdt_prev, curvature, x, x_prev, n, v, roughness)
-    vmb_pixel_uv_prev = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]),
-                                         x_virtual_prev)
-    vmb_pixel_uv_prev = jnp.where(is_camera_attached[..., None], sm["smb_pixel_uv"],
-                                  vmb_pixel_uv_prev)
+    x_virtual_prev3 = get_xvirtual3(sc, hdt_prev, curvature, x3, xp3, n3, vv3,
+                                    roughness)
+    vpu, vpv = v3.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_virtual_prev3)
+    vpu = jnp.where(is_camera_attached, smb_u, vpu)
+    vpv = jnp.where(is_camera_attached, smb_v, vpv)
     pixel_size_at_xvirtual = nm.pixel_radius_to_world(sc["unproject"], sc["ortho_mode"],
                                                       1.0, x_virtual_length)
     r_conf = (lobe_tan_half + curvature_angle) * jnp.minimum(
         hit_dist_for_tracking, hdt_prev) / jnp.maximum(pixel_size_at_xvirtual, 1e-15)
-    d_conf = nm.length((vmb_pixel_uv_prev - vmb_pixel_uv) * rect)
+    dcx = (vpu - vmb_u) * rw_
+    dcy = (vpv - vmb_v) * rh_
+    d_conf = jnp.sqrt(dcx * dcx + dcy * dcy)
     r_conf = jnp.maximum(r_conf, 0.1)
     virtual_parallax_confidence = nm.linearstep(r_conf, 0.0, d_conf)
 
     # ---- prev-prev taps (lines 579-608) ----
     step_between_taps = jnp.minimum(vmb_pixels_traveled * sc["framerate_scale"], 2.0) \
         + vmb_pixels_traveled / C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM
-    vmb_dir = vmb_delta * jax_rsqrt(jnp.sum(vmb_delta * vmb_delta, -1,
-                                            keepdims=True))
-    vmb_dir = vmb_dir / rect_prev
+    duv_u = vmb_u - smb_u
+    duv_v = vmb_v - smb_v
+    inv_vd = jax_rsqrt(duv_u * duv_u + duv_v * duv_v)  # normalize in UV space
+    vmb_dir_u = duv_u * inv_vd / sc["rect_size_prev"][0]
+    vmb_dir_v = duv_v * inv_vd / sc["rect_size_prev"][1]
     ra2, rb2 = nm.get_relaxed_roughness_weight_params(
         vmb_roughness * vmb_roughness, dc["roughness_fraction"],
         C.REBLUR_ROUGHNESS_SENSITIVITY_IN_TA)
     for it in range(1, C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM + 1):
-        uv_pp = vmb_pixel_uv + vmb_dir * (it * step_between_taps)[..., None]
+        ppu = vmb_u + vmb_dir_u * (it * step_between_taps)
+        ppv = vmb_v + vmb_dir_v * (it * step_between_taps)
+        uv_pp = jnp.stack([ppu, ppv], -1)
+        in_screen = ((ppu > 0.0) & (ppu < 1.0) & (ppv > 0.0)
+                     & (ppv < 1.0)).astype(jnp.float32)
         if sampler is not None:
             uv_pp_s = _stochastic_bilinear_uv(sc, uv_pp, sc["rect_size_prev"], pixel_pos,
                                               config)
             (p0, p1, pr_raw), pp_valid = sampler.nearest(
                 [prev_normal_roughness[..., 0], prev_normal_roughness[..., 1],
                  prev_normal_roughness[..., 2]], uv_pp_s)
-            n_pp = nm.decode_unit_vector(jnp.stack([p0, p1], -1), signed=False)
+            n_pp3 = v3.decode_oct(p0, p1)
             if config.roughness_encoding.name == "SQRT_LINEAR":
                 r_pp = pr_raw * pr_raw
             elif config.roughness_encoding.name == "SQ_LINEAR":
                 r_pp = jnp.sqrt(nm.saturate(pr_raw))
             else:
                 r_pp = pr_raw
-            in_screen = resample.is_in_screen_nearest(uv_pp) * pp_valid
+            in_screen = in_screen * pp_valid
         else:
-            n_pp, r_pp, _ = _sample_normal_roughness_stochastic(sc, prev_normal_roughness,
-                                                                uv_pp, pixel_pos, config)
-            in_screen = resample.is_in_screen_nearest(uv_pp)
-        wx = nm.get_encoding_aware_normal_weight(
-            vmb_n, n_pp, lobe_half_angle,
-            curvature_angle * (1.0 + it * step_between_taps), enc_err)
+            n_pp_, r_pp, _ = _sample_normal_roughness_stochastic(
+                sc, prev_normal_roughness, uv_pp, pixel_pos, config)
+            n_pp3 = v3.V3.of(n_pp_)
+        angle_pp = nm.acos_approx(v3.dot(vmb_n3, n_pp3))
+        wx = nm.smoothstep01(
+            1.0 - (angle_pp - curvature_angle * (1.0 + it * step_between_taps)
+                   - enc_err) / lobe_half_angle)
         wy = nm.compute_non_exponential_weight_with_sigma(r_pp * r_pp, ra2, rb2,
                                                           roughness_sigma)
         if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
@@ -1261,7 +1368,7 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
                                                 sm["occlusion_weights"])
 
     a_par = jnp.arctan(sm["parallax_max"] * sm["pixel_size"]
-                       / jnp.maximum(nm.length(x), 1e-9))
+                       / jnp.maximum(v3.length(x3), 1e-9))
     nlas_smb = 1.0 / (1.0 + smb_spec_accum_speed)
     h_conf = nm.lerp(C.extract_hit_dist(smb_spec_history), C.extract_hit_dist(spec),
                      nlas_smb) * hit_dist_normalization
@@ -1276,8 +1383,8 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     # responsive accumulation (lines 656-668)
     responsive_factor = C.remap_roughness_to_responsive_factor(dc, roughness)
     smc = nm.get_spec_magic_curve(roughness_modified)
-    fx = nm.dot(n, nm.normalize(smb_navg))
-    fy = nm.dot(n, vmb_n)
+    fx = v3.dot(n3, v3.normalize(smb_navg3))
+    fy = v3.dot(n3, vmb_n3)
     power = nm.lerp(32.0, 1.0, smc) * (1.0 - responsive_factor)
     fx = nm.lerp(smc, 1.0, responsive_factor) * nm.pow01(fx, power)
     fy = nm.lerp(smc, 1.0, responsive_factor) * nm.pow01(fy, power)
@@ -1422,13 +1529,17 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
     view_z = unpack_view_z(sc, view_z_in)
-    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
+    n3, roughness, material_id = unpack_nr3(sc, normal_roughness, config)
     w2v = jnp.asarray(sc["world_to_view"])
-    nv = n @ w2v[:3, :3].T
-    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
-                                      sc["ortho_mode"])
-    vv = C.get_view_vector_view_space(sc, xv)
-    nov = jnp.abs(nm.dot(nv, vv))
+    nv3 = v3.rotate(w2v, n3)
+    u_p, v_p = uv[..., 0], uv[..., 1]
+    xv3 = v3.reconstruct_view_position(u_p, v_p, sc["frustum"], view_z,
+                                       sc["ortho_mode"])
+    vv3 = v3.where(sc["ortho_mode"] == 0.0, v3.normalize(-xv3),
+                   v3.V3.full_like(view_z, 0.0, 0.0, -1.0))
+    nov = jnp.abs(v3.dot(nv3, vv3))
+    n = n3.arr()
+    nv = nv3.arr()
     frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
                                        view_z)
     pixel_pos = resample.pixel_pos_grid(h, w)
@@ -1452,8 +1563,9 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
     # checkerboard: params/center use the ZEROED center; taps keep the expanded signal
     spec_c = spec if cb_mask is None else spec * cb_mask[..., None]
 
-    dv4 = nm.get_specular_dominant_direction(nv, vv, roughness)
-    nod = jnp.abs(nm.dot(nv, dv4[..., :3]))
+    dv3, dvf = v3.get_specular_dominant_direction(nv3, vv3, roughness,
+                                                  nm.get_specular_dominant_factor)
+    nod = jnp.abs(v3.dot(nv3, dv3))
     hit_dist_scale = fe.get_hit_distance_normalization(
         view_z, dc["hit_dist_params"][None, None, :], roughness)
     hit_dist = C.extract_hit_dist(spec_c) * hit_dist_scale
@@ -1481,15 +1593,15 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
             roughness, C.REBLUR_MAX_PERCENT_OF_LOBE_VOLUME_FOR_PRE_PASS)
         lobe_radius = hit_dist * nod * lobe_tan
         min_blur_radius = lobe_radius / nm.pixel_radius_to_world(
-            sc["unproject"], sc["ortho_mode"], 1.0, view_z + hit_dist * dv4[..., 3])
+            sc["unproject"], sc["ortho_mode"], 1.0, view_z + hit_dist * dvf)
         blur_radius = jnp.minimum(blur_radius, min_blur_radius)
 
     blur_radius = blur_radius * radius_scale
     blur_radius = jnp.maximum(blur_radius, dc["min_blur_radius"] * smc)
 
     roughness_fraction_scaled = nm.saturate(dc["roughness_fraction"] * fraction_scale)
-    ga, gb = nm.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
-                                           xv, nv, nlas)
+    ga = 1.0 / (dc["plane_dist_sensitivity"] * frustum_size)
+    gb = -v3.dot(nv3, xv3) * ga
     normal_weight_param = nm.get_normal_weight_param(nlas, dc["lobe_angle_fraction"],
                                                      roughness, enc_err) / fraction_scale
     wr_a, wr_b = nm.get_roughness_weight_params(roughness, roughness_fraction_scaled)
@@ -1539,6 +1651,7 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
             return out, out_sh, hdt
         return out, out_sh, None
 
+    xv = xv3.arr()  # XLA reference path below keeps (h, w, 3) arrays
     # screen-space sampling path (PRE_BLUR always; others via config default 0 -> but we
     # use screen-space everywhere for TPU friendliness; skew=1 mirrors the pre-pass)
     skew = jnp.ones_like(uv) * sc["rect_size_inv"][None, None, :] * blur_radius[..., None]
@@ -1632,11 +1745,15 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
     h, w = view_z_in.shape
     uv = resample.pixel_uv_grid(h, w)
     view_z = unpack_view_z(sc, view_z_in)
-    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
+    n3, roughness, material_id = unpack_nr3(sc, normal_roughness, config)
     w2v = jnp.asarray(sc["world_to_view"])
-    nv = n @ w2v[:3, :3].T
-    xv = nm.reconstruct_view_position(uv, sc["frustum"][None, None, :], view_z,
-                                      sc["ortho_mode"])
+    nv3 = v3.rotate(w2v, n3)
+    u_p, v_p = uv[..., 0], uv[..., 1]
+    xv3 = v3.reconstruct_view_position(u_p, v_p, sc["frustum"], view_z,
+                                       sc["ortho_mode"])
+    n = n3.arr()
+    nv = nv3.arr()
+    xv = xv3.arr()
     frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"], sc["ortho_mode"],
                                        view_z)
     rotator = sc["rotator_pre"]
@@ -1658,8 +1775,8 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
     blur_radius = dc["diff_prepass_blur_radius"] * jnp.sqrt(nm.saturate(hit_dist_factor))
     blur_radius = jnp.maximum(blur_radius, dc["min_blur_radius"])
 
-    ga, gb = nm.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
-                                           xv, nv, nlas)
+    ga = 1.0 / (dc["plane_dist_sensitivity"] * frustum_size)
+    gb = -v3.dot(nv3, xv3) * ga
     normal_weight_param = nm.get_normal_weight_param(
         nlas, dc["lobe_angle_fraction"], jnp.ones_like(roughness), enc_err) / fraction_scale
     ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(sig_c), nlas)
