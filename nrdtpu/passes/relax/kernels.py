@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ... import frontend as fe
 from ... import math as nm
+from ... import vec3 as v3
 from ...frontend import NRD_EPS, NRD_FP16_MAX, NRD_INF
 from ...ops import resample, stencil, tiles
 from ..reblur.kernels import uv_to_mv_pix as _uv2mv
@@ -49,6 +50,23 @@ def pack_prev_normal_roughness(normal, roughness):
 def unpack_prev_normal_roughness(packed):
     n = nm.safe_normalize(packed[..., :3] * 2.0 - 1.0)
     return n, packed[..., 3]
+
+
+def world_pos_from_uv3(sc, u, v_, view_z, prev: bool = False):
+    """world_pos_from_uv on uv planes -> V3 (see vec3.py for why)."""
+    pre = "prev_" if prev else ""
+    cx = u * 2.0 - 1.0
+    cy = v_ * 2.0 - 1.0
+    fwd = sc[pre + "frustum_forward"]
+    right = sc[pre + "frustum_right"]
+    up = sc[pre + "frustum_up"]
+    is_persp = sc["ortho_mode"] == 0.0
+
+    def comp(i):
+        base = right[i] * cx - up[i] * cy
+        return jnp.where(is_persp, view_z * (fwd[i] + base), view_z * fwd[i] + base)
+
+    return v3.V3(comp(0), comp(1), comp(2))
 
 
 def world_pos_from_uv(sc, uv, view_z, prev: bool = False):
@@ -309,28 +327,47 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
     view_z = unpack_view_z(sc, view_z_in)
     h, w = view_z.shape
     uv = resample.pixel_uv_grid(h, w)
-    n, roughness, material_id = unpack_nr(sc, normal_roughness, config)
-    x = world_pos_from_uv(sc, uv, view_z)
-    view_vec = jnp.where(sc["ortho_mode"] == 0.0, x,
-                         view_z[..., None] * nm.normalize(sc["frustum_forward"])[None, None, :])
-    v = -nm.normalize(view_vec)
-    nov = jnp.abs(nm.dot(n, v))
+    # plane-wise V3 math for the hot glue (see vec3.py)
+    from ..reblur.kernels import unpack_nr3
+    n3, roughness, material_id = unpack_nr3(sc, normal_roughness, config)
+    u_p, v_p = uv[..., 0], uv[..., 1]
+    x3 = world_pos_from_uv3(sc, u_p, v_p, view_z)
+    is_persp = sc["ortho_mode"] == 0.0
+    fwd_n = nm.normalize(sc["frustum_forward"])
+    view_vec3 = v3.where(is_persp, x3,
+                         v3.V3(view_z * fwd_n[0], view_z * fwd_n[1], view_z * fwd_n[2]))
+    v_3 = -v3.normalize(view_vec3)
+    nov = jnp.abs(v3.dot(n3, v_3))
+    n = n3.arr()
+    v = v_3.arr()
     rect = sc["rect_size"][None, None, :]
     rect_prev = sc["rect_size_prev"][None, None, :]
+    rw_, rh_ = sc["rect_size"][0], sc["rect_size"][1]
 
     # previous position / smb uv (lines 398-415)
-    mv = mv_in * sc["mv_scale"][None, None, :3]
-    uv_smb_screen = uv + mv[..., :2]
+    mvs = sc["mv_scale"]
+    mv0 = mv_in[..., 0] * mvs[0]
+    mv1 = mv_in[..., 1] * mvs[1]
+    mv2 = mv_in[..., 2] * mvs[2]
+    smb_u_scr = u_p + mv0
+    smb_v_scr = v_p + mv1
     w2v_prev = jnp.asarray(sc["world_to_view_prev"])
-    mv_z_computed = (x @ w2v_prev[:3, :3].T + w2v_prev[:3, 3])[..., 2] - view_z
-    mv_z = jnp.where(sc["mv_scale"][2] == 0.0, mv_z_computed, mv[..., 2])
-    x_prev_screen = world_pos_from_uv(sc, uv_smb_screen, view_z + mv_z, prev=True) \
-        + sc["camera_delta"][None, None, :]
-    x_prev_world = x + mv
-    uv_smb_world = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_prev_world)
+    mv_z_computed = v3.affine(w2v_prev, x3).z - view_z
+    mv_z = jnp.where(sc["mv_scale"][2] == 0.0, mv_z_computed, mv2)
+    cd = sc["camera_delta"]
+    cd3 = v3.V3(cd[0], cd[1], cd[2])
+    x_prev_screen3 = world_pos_from_uv3(sc, smb_u_scr, smb_v_scr, view_z + mv_z,
+                                        prev=True) + cd3
+    x_prev_world3 = x3 + v3.V3(mv0, mv1, mv2)
+    smb_u_wld, smb_v_wld = v3.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]),
+                                            x_prev_world3)
     is_world_mv = sc["mv_scale"][3] != 0.0
-    x_prev = jnp.where(is_world_mv, x_prev_world, x_prev_screen)
-    uv_smb = jnp.where(is_world_mv, uv_smb_world, uv_smb_screen)
+    xp3 = v3.where(is_world_mv, x_prev_world3, x_prev_screen3)
+    smb_u = jnp.where(is_world_mv, smb_u_wld, smb_u_scr)
+    smb_v = jnp.where(is_world_mv, smb_v_wld, smb_v_scr)
+    x = x3.arr()
+    x_prev = xp3.arr()
+    uv_smb = jnp.stack([smb_u, smb_v], -1)
 
     # 3x3: min spec hitT + averaged normal (lines 432-453)
     if not pallas:
@@ -354,12 +391,19 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
 
     # parallax (lines 470-477)
     cam_delta = sc["camera_delta"][None, None, :]
-    uv_zp1 = jnp.where(sc["ortho_mode"] == 0.0, uv_smb, uv)
-    uv_zp2 = jnp.where(sc["ortho_mode"] == 0.0, uv, uv_smb)
-    p1_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), x_prev + cam_delta)
-    p2_uv = nm.get_screen_uv(jnp.asarray(sc["world_to_clip"]), x_prev - cam_delta)
-    parallax1 = nm.length((p1_uv - uv_zp1) * rect)
-    parallax2 = nm.length((p2_uv - uv_zp2) * rect)
+    zp1_u = jnp.where(is_persp, smb_u, u_p)
+    zp1_v = jnp.where(is_persp, smb_v, v_p)
+    zp2_u = jnp.where(is_persp, u_p, smb_u)
+    zp2_v = jnp.where(is_persp, v_p, smb_v)
+    p1u, p1v = v3.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), xp3 + cd3)
+    p2u, p2v = v3.get_screen_uv(jnp.asarray(sc["world_to_clip"]), xp3 - cd3)
+    p1_uv = jnp.stack([p1u, p1v], -1)
+    d1x = (p1u - zp1_u) * rw_
+    d1y = (p1v - zp1_v) * rh_
+    d2x = (p2u - zp2_u) * rw_
+    d2y = (p2v - zp2_v) * rh_
+    parallax1 = jnp.sqrt(d1x * d1x + d1y * d1y)
+    parallax2 = jnp.sqrt(d2x * d2x + d2y * d2y)
     parallax_max = jnp.maximum(parallax1, parallax2)
     parallax_min = jnp.minimum(parallax1, parallax2)
     pixel_size = nm.pixel_radius_to_world(sc["unproject"], sc["ortho_mode"], 1.0, view_z)
@@ -575,36 +619,52 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
 
         hit_dist = jnp.where(min_hit == NRD_INF, 0.0, min_hit)
 
-        # curvature (lines 642-723) - same construction as REBLUR
-        uv_for_zero_parallax = jnp.where(sc["ortho_mode"] == 0.0, uv_smb, uv)
-        delta_uv = (uv_for_zero_parallax - p1_uv) * rect
-        delta_uv = delta_uv / jnp.maximum(parallax1, 1.0 / 256.0)[..., None]
-        rect_inv = sc["rect_size_inv"][None, None, :]
+        # curvature (lines 642-723) - same construction as REBLUR; plane-wise V3
+        uvzp_u = jnp.where(is_persp, smb_u, u_p)
+        uvzp_v = jnp.where(is_persp, smb_v, v_p)
+        inv_par = 1.0 / jnp.maximum(parallax1, 1.0 / 256.0)
+        dux = (uvzp_u - p1u) * rw_ * inv_par
+        duy = (uvzp_v - p1v) * rh_ * inv_par
+        riw_, rih_ = sc["rect_size_inv"][0], sc["rect_size_inv"][1]
+        mat_occ_enc = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
 
-        def edge_point(du, dv_):
-            xe = world_pos_from_uv(sc, uv + jnp.asarray([du, dv_], jnp.float32) * rect_inv,
-                                   jnp.ones_like(view_z))
-            ve = jnp.where(sc["ortho_mode"] == 0.0, nm.normalize(-xe),
-                           sc["frustum_forward"][None, None, :])
-            o = jnp.where(sc["ortho_mode"] == 0.0, jnp.zeros_like(xe), xe)
-            t = nm.dot(x - o, n) / jnp.where(jnp.abs(nm.dot(n, ve)) < 1e-9, 1e-9,
-                                             nm.dot(n, ve))
-            return o + ve * t[..., None]
+        def edge_point(du_, dv_):
+            xe = world_pos_from_uv3(sc, u_p + du_ * riw_, v_p + dv_ * rih_,
+                                    jnp.ones_like(view_z))
+            ffn = sc["frustum_forward"]
+            ve = v3.where(is_persp, v3.normalize(-xe),
+                          v3.V3.full_like(view_z, ffn[0], ffn[1], ffn[2]))
+            o = v3.where(is_persp, v3.V3.full_like(view_z, 0.0, 0.0, 0.0), xe)
+            ndv = v3.dot(n3, ve)
+            t = v3.dot(x3 - o, n3) / jnp.where(jnp.abs(ndv) < 1e-9, 1e-9, ndv)
+            return o + ve * t
 
         x10 = edge_point(1.0, 0.0)
         x01 = edge_point(0.0, 1.0)
-        n10, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 0, 1), config)
-        n01, _, _ = unpack_nr(sc, stencil.shifted(normal_roughness, 1, 0), config)
-        wmix = jnp.abs(delta_uv) + 1.0 / 256.0
-        wmix = wmix / jnp.sum(wmix, -1, keepdims=True)
-        x_edge = x10 * wmix[..., 0:1] + x01 * wmix[..., 1:2]
-        n_edge = nm.normalize(n10 * wmix[..., 0:1] + n01 * wmix[..., 1:2])
+        nr01 = stencil.shifted(normal_roughness, 0, 1)
+        nr10 = stencil.shifted(normal_roughness, 1, 0)
+        if mat_occ_enc:
+            n10 = v3.decode_oct_raw(nr01[..., 0], nr01[..., 1])
+            n01 = v3.decode_oct_raw(nr10[..., 0], nr10[..., 1])
+        else:
+            n10 = v3.V3.of(unpack_nr(sc, nr01, config)[0])
+            n01 = v3.V3.of(unpack_nr(sc, nr10, config)[0])
+        wmx = jnp.abs(dux) + 1.0 / 256.0
+        wmy = jnp.abs(duy) + 1.0 / 256.0
+        wnorm = 1.0 / (wmx + wmy)
+        wmx = wmx * wnorm
+        wmy = wmy * wnorm
+        x_edge = x10 * wmx + x01 * wmy
+        n_edge = v3.normalize(n10 * wmx + n01 * wmy)
 
         pixel_pos = resample.pixel_pos_grid(h, w)
         bayer = nm.bayer4x4((pixel_pos[..., 0], pixel_pos[..., 1]), sc["frame_index"])
         dulf = parallax_min * (1.0 + sc["framerate_scale"] * bayer)
-        motion_uv_high = (jnp.floor((uv + dulf[..., None] * delta_uv * rect_inv) * rect)
-                          + 0.5) / rect
+        mu = (jnp.floor((u_p + dulf * dux * riw_) * rw_) + 0.5) * riw_
+        mv_ = (jnp.floor((v_p + dulf * duy * rih_) * rh_) + 0.5) * rih_
+        in_screen_high = ((mu > 0.0) & (mu < 1.0) & (mv_ > 0.0)
+                          & (mv_ < 1.0)).astype(jnp.float32)
+        motion_uv_high = jnp.stack([mu, mv_], -1)
         if pallas:
             from ...kernels.reblur_pallas import nearest_resolve
 
@@ -614,33 +674,38 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
                 [view_z_in, normal_roughness[..., 0], normal_roughness[..., 1]],
                 hmvy, hmvx)
             z_high = unpack_view_z(sc, zh_raw)
-            n_high = nm.decode_unit_vector(jnp.stack([nh0, nh1], -1), signed=False)
-            in_screen_high = resample.is_in_screen_nearest(motion_uv_high) * high_valid
+            n_high = v3.decode_oct(nh0, nh1)
+            in_screen_high = in_screen_high * high_valid
         else:
             z_high = unpack_view_z(sc, resample.sample_nearest(view_z_in,
                                                                motion_uv_high))
-            n_high, _, _ = unpack_nr(sc, resample.sample_nearest(normal_roughness,
-                                                                 motion_uv_high), config)
-            in_screen_high = resample.is_in_screen_nearest(motion_uv_high)
-        x_high = world_pos_from_uv(sc, motion_uv_high, z_high)
+            nr_high = resample.sample_nearest(normal_roughness, motion_uv_high)
+            if mat_occ_enc:
+                n_high = v3.decode_oct_raw(nr_high[..., 0], nr_high[..., 1])
+            else:
+                n_high = v3.V3.of(unpack_nr(sc, nr_high, config)[0])
+        x_high = world_pos_from_uv3(sc, mu, mv_, z_high)
         z_err = jnp.abs(z_high - view_z) / jnp.maximum(jnp.maximum(z_high, view_z), 1e-15)
         rep = jnp.logical_and(z_err < NRD_CURVATURE_Z_THRESHOLD,
                               jnp.logical_and(dulf > 1.0, in_screen_high > 0.0))
-        x_edge = jnp.where(rep[..., None], x_high, x_edge)
-        n_edge = jnp.where(rep[..., None], n_high, n_edge)
-        edge = x_edge - x
-        edge_len_sq = jnp.sum(edge * edge, -1)
-        curvature = nm.dot(n_edge - n, edge) / jnp.maximum(edge_len_sq, 1e-15)
+        x_edge = v3.where(rep, x_high, x_edge)
+        n_edge = v3.where(rep, n_high, n_edge)
+        edge = x_edge - x3
+        edge_len_sq = v3.dot(edge, edge)
+        curvature = v3.dot(n_edge - n3, edge) / jnp.maximum(edge_len_sq, 1e-15)
         curvature = jnp.where(edge_len_sq < 1e-15, 0.0, curvature)
 
         hit_dist_focused = nm.apply_thin_lens_equation(hit_dist, curvature)
 
         # ---- loadVirtualMotionBasedPrevData (lines 222-348) ----
-        virtual_view = nm.normalize(view_vec) * hit_dist_focused[..., None]
-        prev_virtual_pos = x_prev + virtual_view
-        uv_vmb = nm.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]), prev_virtual_pos)
+        vvn3 = v3.normalize(view_vec3)
+        prev_virtual_pos3 = xp3 + vvn3 * hit_dist_focused
+        vmb_u_, vmb_v_ = v3.get_screen_uv(jnp.asarray(sc["world_to_clip_prev"]),
+                                          prev_virtual_pos3)
         is_cam_attached = material_id == sc["camera_attached_reflection_material_id"]
-        uv_vmb = jnp.where(is_cam_attached[..., None], uv_smb, uv_vmb)
+        vmb_u_ = jnp.where(is_cam_attached, smb_u, vmb_u_)
+        vmb_v_ = jnp.where(is_cam_attached, smb_v, vmb_v_)
+        uv_vmb = jnp.stack([vmb_u_, vmb_v_], -1)
 
         vmb_origin, vmb_frac = nm.bilinear_filter(uv_vmb, rect_prev)
         x_minus_delta = x - cam_delta
