@@ -14,7 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bench import RESOLUTION, make_inputs
+from bench import RESOLUTION, make_inputs, setup_jax_cache
+
+setup_jax_cache()
 from nrdtpu.engine import Engine
 from nrdtpu.settings import CommonSettings, Denoiser, ResourceType as RT
 

@@ -112,10 +112,15 @@ class Engine:
                  resource_size: Tuple[int, int],
                  rect_size: Optional[Tuple[int, int]] = None,
                  normal_encoding: NormalEncoding = NormalEncoding.R10_G10_B10_A2_UNORM,
-                 roughness_encoding: RoughnessEncoding = RoughnessEncoding.LINEAR):
+                 roughness_encoding: RoughnessEncoding = RoughnessEncoding.LINEAR,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with one axis ("sp") - row-shards every
+        frame spatially over the devices (parallel/spmd.py). The reference has no
+        multi-GPU equivalent; this is the TPU build's native scaling axis."""
         rect_size = rect_size or resource_size
         self.normal_encoding = normal_encoding
         self.roughness_encoding = roughness_encoding
+        self.mesh = mesh
         self._frame_math = camera.FrameMath()
         self._consts: Optional[dict] = None
         self._cs: Optional[CommonSettings] = None
@@ -171,6 +176,11 @@ class Engine:
                           enable_validation)
             if self._states[ident] is None or clear:
                 self._states[ident] = inst.init_state()
+                if self.mesh is not None:
+                    from .parallel.spmd import shard_frame_tree
+
+                    self._states[ident] = shard_frame_tree(
+                        self.mesh, self._states[ident], inst.config.rect_size[1])
 
             if self._static_keys.get(ident) != static_key:
                 self._static_keys[ident] = static_key
@@ -180,6 +190,13 @@ class Engine:
 
             dc = inst.frame_constants(self._consts, settings)
             sc = self._shared_consts()
+            if self.mesh is not None:
+                from .parallel.spmd import shard_frame_tree
+
+                h = inst.config.rect_size[1]
+                user_pool = shard_frame_tree(self.mesh, user_pool, h)
+                dc = shard_frame_tree(self.mesh, dc, h)
+                sc = shard_frame_tree(self.mesh, sc, h)
             outs, new_state = self._jitted[ident](sc, dc, self._states[ident], user_pool)
             self._states[ident] = new_state
             outputs.update(outs)

@@ -615,10 +615,11 @@ def _prepass_kernel(is_spec, mat_occ, rough_sq, n_sh, smem, bsm, wins, centers, 
             out.append(jnp.where(ortho == 0.0, persp, orth))
         return out
 
-    gauss = [float(np.exp(-0.66 * t[2] * t[2])) for t in nm.SPECIAL_8]
-    # static tap lattice (unrotated SPECIAL_8 x PRE_RADIUS_LEVELS, like reblur_blur2)
+    # RELAX_PrePass.hlsli:12 taps the true Poisson disk (g_Poisson8), not g_Special8
+    gauss = [float(np.exp(-0.66 * t[2] * t[2])) for t in nm.POISSON_8]
+    # static tap lattice (unrotated POISSON_8 x PRE_RADIUS_LEVELS, like reblur_blur2)
     static_offs = []
-    for tap in np.asarray(nm.SPECIAL_8):
+    for tap in np.asarray(nm.POISSON_8):
         static_offs.append([
             (int(np.clip(round(float(tap[1]) * lv), -32, 32)),
              int(np.clip(round(float(tap[0]) * lv), -32, 32)))
@@ -734,7 +735,7 @@ def relax_prepass_taps_pallas(sc, dc, config, *, is_spec, signal, view_z_in,
     rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
 
     dirs = []
-    for tap in nm.SPECIAL_8:
+    for tap in nm.POISSON_8:
         dirs.append(nm.rotate_vector2(jnp.asarray(sc["rotator_pre"]),
                                       jnp.asarray(tap[:2])))
     dirs = jnp.stack(dirs).reshape(-1)

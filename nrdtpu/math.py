@@ -522,6 +522,20 @@ SPECIAL_8 = np.array([
     (-0.25 * _S2, -0.25 * _S2, 0.5),
 ], np.float32)
 
+# True Poisson disk, 8 samples, min distance 0.5 (Poisson.hlsli:41-52; .z = |.xy|).
+# Used where the reference taps g_Poisson8 (RELAX_PrePass.hlsli:12) - blue-noise-ish
+# coverage without the axis/diagonal aliasing of the special sets.
+POISSON_8 = np.array([
+    (-0.4706069, -0.4427112, 0.6461146),
+    (-0.9057375, 0.3003471, 0.9542373),
+    (-0.3487388, 0.4037880, 0.5335386),
+    (0.1023042, 0.6439373, 0.6520134),
+    (0.5699277, 0.3513750, 0.6695386),
+    (0.2939128, -0.1131226, 0.3149309),
+    (0.7836658, -0.4208784, 0.8895339),
+    (0.1564120, -0.8198990, 0.8346850),
+], np.float32)
+
 
 def get_kernel_sample_coordinates(m_to_clip, offset, x, t, b, rotator=None):
     """GetKernelSampleCoordinates (Common.hlsli:465-482): world-space kernel tap -> uv.
@@ -679,6 +693,14 @@ def projective_transform(m, p):
     ones = jnp.ones(p.shape[:-1] + (1,), p.dtype)
     ph = jnp.concatenate([p, ones], axis=-1)
     return ph @ m.T
+
+
+def reverse_bits4(x):
+    """Math::ReverseBits4 - reverse the low 4 bits (used for trail scaling)."""
+    x = jnp.asarray(x, jnp.int32) & 15
+    x = ((x & 5) << 1) | ((x & 10) >> 1)
+    x = ((x & 3) << 2) | ((x & 12) >> 2)
+    return x.astype(jnp.float32)
 
 
 def get_screen_uv(m_world_to_clip, x):

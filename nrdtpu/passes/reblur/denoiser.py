@@ -174,6 +174,7 @@ class ReblurDenoiser:
 
         diff_in = get_signal("diff") if self.has_diffuse else None
         spec_in = get_signal("spec") if self.has_specular else None
+        diff_in_raw, spec_in_raw = diff_in, spec_in  # validation shows the noisy .w
         diff_sh_in = inputs.get(RT.IN_DIFF_SH1) if self.sh and self.has_diffuse else None
         spec_sh_in = inputs.get(RT.IN_SPEC_SH1) if self.sh and self.has_specular else None
         if cb_on:
@@ -463,11 +464,16 @@ class ReblurDenoiser:
 
         if getattr(self, "enable_validation", False):
             from ..validation import render_validation
-            outs[RT.OUT_VALIDATION] = render_validation(
+            overlay = render_validation(
                 sc, view_z, normal_roughness, mv, cfg,
                 diff_accum=data1_diff if self.has_diffuse else None,
                 spec_accum=data1_spec if self.has_specular else None,
                 virtual_history_amount=virtual_amount,
-                max_accumulated_frame_num=63.0)
+                max_accumulated_frame_num=63.0,
+                diff_hit_t=diff_in_raw[..., -1] if self.has_diffuse else None,
+                spec_hit_t=spec_in_raw[..., -1] if self.has_specular else None,
+                prev_validation=state.get("validation"))
+            outs[RT.OUT_VALIDATION] = overlay
+            new_state["validation"] = overlay
 
         return outs, new_state

@@ -373,11 +373,14 @@ class RelaxDenoiser:
                                                       ta["reflection_hit_t"])
 
         if getattr(self, "enable_validation", False):
+            # RELAX_Validation.cs.hlsl renders viewports 0-4 and 8 only
             from ..validation import render_validation
-            outs[RT.OUT_VALIDATION] = render_validation(
+            overlay = render_validation(
                 sc, view_z, normal_roughness, mv, cfg,
-                diff_accum=history_length if self.has_diffuse else None,
-                spec_accum=history_length if self.has_specular else None,
-                max_accumulated_frame_num=255.0)
+                diff_accum=history_length,
+                max_accumulated_frame_num=255.0,
+                prev_validation=state.get("validation"))
+            outs[RT.OUT_VALIDATION] = overlay
+            new_state["validation"] = overlay
 
         return outs, new_state

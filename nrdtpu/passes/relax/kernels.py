@@ -232,7 +232,7 @@ def pre_pass(sc, dc, diff, spec, view_z_in, normal_roughness, config,
         wsum = jnp.ones_like(view_z)
         min_material = dc["spec_min_material"] if is_spec else dc["diff_min_material"]
         depth_threshold_scale = jnp.where(sc["ortho_mode"] == 0.0, view_z, 1.0)
-        for tap in nm.SPECIAL_8:
+        for tap in nm.POISSON_8:  # RELAX_PrePass.hlsli:12 taps g_Poisson8
             off = nm.rotate_vector2(jnp.broadcast_to(rotator, uv.shape[:2] + (4,)),
                                     jnp.broadcast_to(jnp.asarray(tap[:2]), uv.shape))
             uv_s = (jnp.floor(uv * rect + off * blur_radius[..., None]) + 0.5) / rect

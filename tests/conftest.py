@@ -16,3 +16,18 @@ import jax  # noqa: E402
 # works. Tests must run on (virtual 8-device) CPU - the tunnel makes per-op dispatch ~10ms.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# The suite is compile-dominated (every Engine.specialize jits a full pass graph); the
+# persistent cache turns repeat runs from ~25 min into a few minutes. Cache keys include
+# platform + flags, so CPU test entries coexist with the TPU bench entries.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: exhaustive permutation sweeps (deselect with '-m \"not slow\"')")

@@ -111,12 +111,19 @@ def test_two_frames_finite(denoiser):
 
 def test_validation_overlay():
     eng = Engine({0: Denoiser.REBLUR_DIFFUSE}, resource_size=SIZE)
-    fd = _frames[0]
-    fd.common_settings.enableValidation = True
-    eng.set_common_settings(fd.common_settings)
-    outs = eng.denoise([0], build_pool(Denoiser.REBLUR_DIFFUSE, fd))
-    fd.common_settings.enableValidation = False
+    outs = None
+    for i in range(2):  # frame 0 has reset_history -> overlay clears (Validation:36-40)
+        fd = _frames[i]
+        fd.common_settings.enableValidation = True
+        eng.set_common_settings(fd.common_settings)
+        outs = eng.denoise([0], build_pool(Denoiser.REBLUR_DIFFUSE, fd))
+        fd.common_settings.enableValidation = False
     v = np.asarray(outs[RT.OUT_VALIDATION])
     assert v.shape == (SIZE[1], SIZE[0], 4)
     assert np.isfinite(v).all()
     assert v[..., 3].max() > 0.5  # overlay visible on geometry
+    h4, w4 = SIZE[1] // 4, SIZE[0] // 4
+    # cell 0 (normals) renders n*0.5+0.5 -> mid-range, opaque
+    assert v[:h4, :w4, 3].min() > 0.5
+    # unused viewport (cell 5) is transparent pass-through
+    assert v[h4:2 * h4, w4:2 * w4, 3].max() == 0.0
