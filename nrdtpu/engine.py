@@ -108,6 +108,8 @@ class Engine:
       DestroyInstance           -> garbage collection
     """
 
+    PROBE_KEY = "__probe__"  # outputs key holding printfAt pixel values (utils/probe.py)
+
     def __init__(self, denoisers: Dict[int, Denoiser],
                  resource_size: Tuple[int, int],
                  rect_size: Optional[Tuple[int, int]] = None,
@@ -172,8 +174,16 @@ class Engine:
             # static (permutation) key -> re-jit when structure changes
             enable_validation = bool(self._cs.enableValidation) if self._cs else False
             inst.enable_validation = enable_validation
+            # printfAt analogue: a valid probe pixel re-specializes the jit to also
+            # return tagged per-pass values at that pixel (utils/probe.py)
+            probe_at = None
+            if self._cs is not None:
+                px, py = self._cs.printfAt
+                w_, h_ = inst.config.rect_size
+                if 0 <= px < w_ and 0 <= py < h_:
+                    probe_at = (int(px), int(py))
             static_key = (getattr(inst, "static_key", lambda s: ())(settings),
-                          enable_validation)
+                          enable_validation, probe_at)
             if self._states[ident] is None or clear:
                 self._states[ident] = inst.init_state()
                 if self.mesh is not None:
@@ -186,7 +196,18 @@ class Engine:
                 self._static_keys[ident] = static_key
                 if hasattr(inst, "specialize"):
                     inst.specialize(settings)
-                self._jitted[ident] = jax.jit(inst.frame, donate_argnums=(2,))
+                frame_fn = inst.frame
+                if probe_at is not None:
+                    from .utils import probe as _probe
+
+                    # probe values ride as a separate output tree (ResourceType and
+                    # str keys cannot share one dict - pytrees sort keys)
+                    def frame_fn(sc, dc, state, inputs, _f=inst.frame, _at=probe_at):
+                        with _probe.collect(_at) as p:
+                            outs, new_state = _f(sc, dc, state, inputs)
+                        return (outs, dict(p.values)), new_state
+
+                self._jitted[ident] = jax.jit(frame_fn, donate_argnums=(2,))
 
             dc = inst.frame_constants(self._consts, settings)
             sc = self._shared_consts()
@@ -198,6 +219,9 @@ class Engine:
                 dc = shard_frame_tree(self.mesh, dc, h)
                 sc = shard_frame_tree(self.mesh, sc, h)
             outs, new_state = self._jitted[ident](sc, dc, self._states[ident], user_pool)
+            if probe_at is not None:
+                outs, probe_vals = outs
+                outputs[Engine.PROBE_KEY] = probe_vals
             self._states[ident] = new_state
             outputs.update(outs)
         return outputs

@@ -339,6 +339,16 @@ class ReblurDenoiser:
             hdt_out = ta_spec["hit_dist_for_tracking"]
             spec_sh1 = ta_spec["sh"]
 
+        from ...utils import probe as _pb
+        if _pb.active():  # printfAt pixel probe (utils/probe.py)
+            _pb.emit("reblur/smb/footprint_quality", sm.get("footprint_quality"))
+            _pb.emit("reblur/smb/fbits", fbits)
+            _pb.emit("reblur/ta/diff_accum_frames", data1_diff)
+            _pb.emit("reblur/ta/spec_accum_frames", data1_spec)
+            _pb.emit("reblur/ta/curvature", curvature)
+            _pb.emit("reblur/ta/virtual_history_amount", virtual_amount)
+            _pb.emit("reblur/ta/hit_dist_for_tracking", hdt_out)
+
         # HISTORY FIX
         if self.has_diffuse:
             diff2, diff_fast2, diff_sh2 = K.history_fix(

@@ -18,6 +18,7 @@ Deliberate divergences (SURVEY.md §7.3.5):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ... import frontend as fe
@@ -75,6 +76,7 @@ def unpack_nr(sc, packed, config):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("REBLUR/classify_tiles")
 def classify_tiles(sc, view_z):
     return tiles.classify_sky_tiles(unpack_view_z(sc, view_z), sc["denoising_range"])
 
@@ -91,6 +93,7 @@ def sky_pixel_mask(sc, tile_map, view_z):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("REBLUR/surface_motion_reprojection")
 def surface_motion_reprojection(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
                                 prev_normal_roughness, prev_internal, config,
                                 disocclusion_threshold_mix=None):
@@ -267,6 +270,7 @@ def uv_to_mv_pix(uv_target, h, w, rect_prev):
     return mv_pix[..., 1], mv_pix[..., 0]
 
 
+@jax.named_scope("REBLUR/surface_motion_reprojection_pallas")
 def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_in,
                                        prev_view_z, prev_normal_roughness, prev_internal,
                                        config, hist_planes, bil_planes,
@@ -419,6 +423,7 @@ def sample_history_bilinear(history, smb_pixel_uv, rect_size_prev, occlusion_wei
     return resample.bilinear_custom(history, origin, occlusion_weights)
 
 
+@jax.named_scope("REBLUR/temporal_accumulation_diffuse")
 def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fast_history,
                                   config, diff_confidence=None, *, occlusion: bool,
                                   directional: bool = False, diff_sh_input=None,
@@ -511,6 +516,7 @@ def temporal_accumulation_diffuse(sc, dc, sm, diff_input, diff_history, diff_fas
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("REBLUR/history_fix")
 def history_fix(sc, dc, view_z_in, normal_roughness, data1_diff, data1_spec, signal,
                 fast_history, config, *, is_diffuse: bool, occlusion: bool,
                 anti_firefly: bool = False, sh=None, directional: bool = False,
@@ -752,6 +758,7 @@ def cb_neighbor_resolve(sc, signal, view_z, frustum_size, nov):
     return s0 * (w0 * inv)[..., None] + s1 * (w1 * inv)[..., None]
 
 
+@jax.named_scope("REBLUR/diffuse_spatial_filter")
 def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, data1,
                            config, sh=None, *, occlusion: bool, directional: bool = False,
                            pallas: bool = False, perf_mode: bool = False):
@@ -875,6 +882,7 @@ def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, da
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("REBLUR/split_screen")
 def split_screen(sc, noisy_input, view_z_in, out_signal):
     h, w = view_z_in.shape
     view_z = unpack_view_z(sc, view_z_in)
@@ -954,6 +962,7 @@ def get_xvirtual3(sc, hit_dist, curvature, x, x_prev, n, v, roughness):
     return origin - v * (iw_len * dw)
 
 
+@jax.named_scope("REBLUR/temporal_accumulation_specular")
 def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fast_history,
                                    view_z_in, normal_roughness,
                                    prev_view_z, prev_normal_roughness, prev_internal,
@@ -1517,6 +1526,7 @@ def jax_rsqrt(x):
 PRE_BLUR = 0
 
 
+@jax.named_scope("REBLUR/specular_spatial_filter")
 def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, data1,
                             config, sh=None, *, occlusion: bool, pallas: bool = False,
                             perf_mode: bool = False, cb_mask=None):
@@ -1735,6 +1745,7 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
     return out, out_sh, hit_dist_for_tracking
 
 
+@jax.named_scope("REBLUR/diffuse_pre_pass")
 def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, config,
                      sh=None, *, occlusion: bool = False, pallas: bool = False,
                      perf_mode: bool = False, cb_mask=None):
@@ -1871,6 +1882,7 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("REBLUR/hit_dist_reconstruction")
 def hit_dist_reconstruction(sc, dc, view_z_in, normal_roughness, diff, spec, config,
                             *, radius: int, pallas: bool = False):
     """Reconstruct hitT==0 holes from 3x3 (radius=1) / 5x5 (radius=2) neighbors.
@@ -1959,6 +1971,7 @@ def hit_dist_reconstruction(sc, dc, view_z_in, normal_roughness, diff, spec, con
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("REBLUR/temporal_stabilization")
 def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_diff,
                            data1_spec, fbits, curvature, virtual_history_amount,
                            diff, spec, diff_luma_stab_history, spec_luma_stab_history,

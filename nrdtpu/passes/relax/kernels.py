@@ -12,6 +12,7 @@ camera-relative, reconstructed from the frustum right/up/forward vectors
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ... import frontend as fe
@@ -139,6 +140,7 @@ def get_bilateral_weight(z, zc):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("RELAX/classify_tiles")
 def classify_tiles(sc, view_z):
     return tiles.classify_sky_tiles(unpack_view_z(sc, view_z), sc["denoising_range"])
 
@@ -154,6 +156,7 @@ def dead_mask(sc, tile_map, view_z):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("RELAX/pre_pass")
 def pre_pass(sc, dc, diff, spec, view_z_in, normal_roughness, config,
              diff_sh=None, spec_sh=None, pallas: bool = False):
     """Poisson spatial reuse; specular also re-estimates min hitT. Checkerboard off.
@@ -312,6 +315,7 @@ def _bicubic_or_bilinear(img, sample_pos, use_bicubic, custom_weights):
     return resample.sample_catrom(img, sample_pos, use_bicubic, custom_weights)
 
 
+@jax.named_scope("RELAX/temporal_accumulation")
 def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec,
                           state, config, diff_confidence=None, spec_confidence=None,
                           dt_mix=None, diff_sh=None, spec_sh=None,
@@ -1009,6 +1013,7 @@ def temporal_accumulation(sc, dc, view_z_in, normal_roughness, mv_in, diff, spec
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("RELAX/history_fix")
 def history_fix(sc, dc, view_z_in, normal_roughness, history_length, diff, spec, config,
                 diff_sh=None, spec_sh=None, pallas: bool = False):
     """Sparse 5x5 cross-bilateral reconstruction of the RESPONSIVE history after
@@ -1131,6 +1136,7 @@ def history_fix(sc, dc, view_z_in, normal_roughness, history_length, diff, spec,
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("RELAX/history_clamping")
 def history_clamping(sc, dc, view_z_in, noisy_diff, noisy_spec, diff_slow, spec_slow,
                      diff_resp, spec_resp, history_length, config,
                      diff_sh=None, spec_sh=None, diff_sh_fast=None, spec_sh_fast=None,

@@ -98,6 +98,13 @@ class SigmaDenoiser:
             penum2, shadow2 = K.blur(sc, dc, penum1, shadow1, view_z, normal_roughness,
                                      tiles_smoothed, first_pass=False, **kw)
 
+        from ...utils import probe as _pb
+        if _pb.active():
+            _pb.emit("sigma/tiles_smoothed", tiles_smoothed)
+            _pb.emit("sigma/blur/penumbra1", penum1)
+            _pb.emit("sigma/postblur/penumbra2", penum2)
+            _pb.emit("sigma/history_len", state["history_len"])
+
         if self._stabilization and mv is not None:
             if mv.ndim == 3 and mv.shape[-1] == 2:
                 mv = jnp.concatenate([mv, jnp.zeros_like(mv[..., :1])], -1)

@@ -22,6 +22,7 @@ Deliberate divergences from the HLSL (documented per SURVEY.md §7.3.5):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ... import math as nm
@@ -67,6 +68,7 @@ def are_both_lit_or_unlit(penumbra1, penumbra2):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("SIGMA/classify_tiles")
 def classify_tiles(sc, penumbra, view_z, translucency=None):
     """Per-16x16-tile masks. Returns (th, tw, 3): x = needs-denoising, y = maxRadius/16,
     z = all-sky. Ballot counting (InterlockedAdd at :62-63) becomes tile_reduce sums."""
@@ -103,6 +105,7 @@ def classify_tiles(sc, penumbra, view_z, translucency=None):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("SIGMA/smooth_tiles")
 def smooth_tiles(tile_map):
     """Gaussian dilation of the radius channel, width driven by the center radius.
 
@@ -126,6 +129,7 @@ def smooth_tiles(tile_map):
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("SIGMA/blur")
 def blur(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughness, tiles_smoothed,
          *, first_pass: bool, translucent: bool, channels: int,
          normal_encoding, roughness_encoding):
@@ -282,6 +286,7 @@ def blur(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughness, tiles_smoo
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("SIGMA/temporal_stabilization")
 def temporal_stabilization(sc, dc, view_z_in, mv_in, penumbra, shadow_packed,
                            history_packed, prev_view_z, prev_history_len, tiles_smoothed,
                            *, channels: int):
@@ -414,6 +419,7 @@ def temporal_stabilization(sc, dc, view_z_in, mv_in, penumbra, shadow_packed,
 # ---------------------------------------------------------------------------
 
 
+@jax.named_scope("SIGMA/split_screen")
 def split_screen(sc, penumbra, view_z_in, out_shadow, translucency=None, *, channels: int):
     """Left `splitScreen` fraction shows the raw (hard) shadow input."""
     h, w = penumbra.shape

@@ -127,3 +127,20 @@ def test_validation_overlay():
     assert v[:h4, :w4, 3].min() > 0.5
     # unused viewport (cell 5) is transparent pass-through
     assert v[h4:2 * h4, w4:2 * w4, 3].max() == 0.0
+
+
+def test_printf_at_probe():
+    """printfAt analogue: tagged per-pass values at the probe pixel ride the outputs."""
+    from nrdtpu.engine import Engine as E
+
+    eng = Engine({0: Denoiser.REBLUR_DIFFUSE_SPECULAR}, resource_size=SIZE)
+    fd = _frames[0]
+    fd.common_settings.printfAt = (SIZE[0] // 2, SIZE[1] // 2)
+    eng.set_common_settings(fd.common_settings)
+    outs = eng.denoise([0], build_pool(Denoiser.REBLUR_DIFFUSE_SPECULAR, fd))
+    fd.common_settings.printfAt = (9999, 9999)
+    probe = outs[E.PROBE_KEY]
+    assert "reblur/ta/diff_accum_frames" in probe
+    assert "reblur/ta/curvature" in probe
+    for k, v in probe.items():
+        assert np.isfinite(np.asarray(v)), k
