@@ -1,17 +1,26 @@
-"""REBLUR adaptive Poisson blur, v2: static tap offsets + per-block level predication.
+"""REBLUR adaptive Poisson blur, v3: one block-level disk + per-pixel Gaussian rescale.
 
 The v1 kernel (reblur_pallas.spatial_filter_taps_pallas) rotated the 8-tap Poisson disk
 by the per-frame rotator, making every tap offset runtime-uniform -> 2 dynamic window
 rolls per tap-plane (~21 us each at 1440p, ~500 of them per blur = ~11 ms/pass).
+v2 used static offsets at 5 radius levels with per-pixel hat blending: each block ran
+the 2-3 levels its radius range touched -> 16-24 tap sets per block.
 
-v2 redesign (TPU-first, divergences documented in the caller's docstring):
-  * tap offsets are COMPILE-TIME integers: the unrotated SPECIAL_8 disk scaled by each
-    RADIUS_LEVELS entry. The per-frame rotator is dropped: its purpose (decorrelating a
-    sparse 8-tap pattern across frames) is largely subsumed by the 8x5 static tap lattice
-    + per-pixel hat blending over levels, which is denser than any single rotated ring.
-  * per-BLOCK level skipping: the hat weights give each pixel <=2 active levels; blocks
-    are spatially coherent in radius, so a per-block (min,max) radius prunes the level
-    loop with `pl.when` - typically 2-3 of 5 levels run per block.
+v3 redesign (TPU-first, divergences documented in the caller's docstring):
+  * tap offsets are COMPILE-TIME integers: the unrotated Poisson disk scaled by ONE
+    RADIUS_LEVELS entry per block - the smallest level covering the block's max radius
+    (exactly one `pl.when` fires). 8 tap sets per block, not 16-24.
+  * per-PIXEL radius rides the Gaussian: the reference weights tap fraction f of the
+    pixel radius r by exp(-0.66 f^2) (GetGaussianWeight, Common.hlsli:571-574). With the
+    lattice at level L the tap sits at fraction (L*tapr)/r of the pixel's radius, so the
+    per-tap Gaussian becomes exp(k_t / r^2), k_t = -0.66 (L*tapr)^2 - a compile-time
+    constant times one per-pixel plane (1/r^2), i.e. one fma + one (hardware) exp per
+    tap. Pixels with radius << L see their far taps Gaussian-suppressed, which is the
+    correct limit: small radius = converged history = little spatial filtering wanted.
+  * bf16 windows for signal / normals / roughness / material (the reference's pipeline
+    is FP16, Reblur.cpp:37-64): an unaligned bf16 tap load costs ~5.6 us/plane vs
+    ~10.3 us f32 (bench_micro); the f32 upcast at the slice is free. viewZ stays f32
+    (reference keeps R32f, REBLUR_FORMAT_PREV_VIEWZ).
   * all taps are static slices of the normalized window ref (harness2) - no rolls, no
     live window-sized values.
 
@@ -38,38 +47,31 @@ from .reblur_pallas import (
 BLOCK2 = (160, 512)
 HALO2 = (32, 128)
 
-# level hat supports: weight for level i is nonzero iff radius in (lo_i, hi_i)
+# level buckets: level i runs for a block iff its max radius is in (lo_i, hi_i]
 _LEV = RADIUS_LEVELS
 _LO = [-1e9] + list(_LEV[:-1])
-_HI = list(_LEV[1:]) + [1e9]
+_HI = list(_LEV[1:-1]) + [1e9, 1e9]
 
 
 def _static_offsets(n_dirs=8):
-    """n_dirs x len(RADIUS_LEVELS) compile-time integer offsets (+ gauss weights).
+    """n_dirs x len(RADIUS_LEVELS) compile-time integer offsets (+ gauss constants).
 
-    Performance mode uses the 6-tap Poisson set (g_Special6), like the reference's
-    REBLUR_POISSON_SAMPLE_NUM override (REBLUR_Config.hlsli:196-238)."""
+    Per tap: the integer lattice offset at each level and k_t = -0.66 (L*tapr)^2, the
+    Gaussian constant such that exp(k_t / r^2) is GetGaussianWeight of the tap's
+    fraction of the per-pixel radius r. Performance mode uses the 6-tap set
+    (g_Special6), like the reference's REBLUR_POISSON_SAMPLE_NUM override
+    (REBLUR_Config.hlsli:196-238)."""
     out = []
     taps = nm.SPECIAL_6 if n_dirs == 6 else nm.SPECIAL_8
     for tap in np.asarray(taps):
-        gauss = float(np.exp(-0.66 * tap[2] * tap[2]))
         per_level = []
         for lv in _LEV:
             ox = int(np.clip(round(float(tap[0]) * lv), -32, 32))
             oy = int(np.clip(round(float(tap[1]) * lv), -32, 32))
-            per_level.append((oy, ox))
-        out.append((gauss, per_level))
+            k_t = -0.66 * (float(tap[2]) * lv) ** 2
+            per_level.append((oy, ox, k_t))
+        out.append(per_level)
     return out
-
-
-def _level_hat(radius, li):
-    """Hat weight of level li for per-pixel radius (radius pre-clipped to level range)."""
-    lv = _LEV[li]
-    up = jnp.ones_like(radius) if li == 0 else \
-        jnp.clip((radius - _LEV[li - 1]) / max(lv - _LEV[li - 1], 1e-6), 0.0, 1.0)
-    dn = jnp.ones_like(radius) if li + 1 == len(_LEV) else \
-        jnp.clip((_LEV[li + 1] - radius) / max(_LEV[li + 1] - lv, 1e-6), 0.0, 1.0)
-    return up * dn
 
 
 def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, has_cb, smem, bsm, wins,
@@ -115,8 +117,12 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, has_cb, smem, bsm, 
     inv_h = 1.0 / rect_h
     row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
-    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+    # integer pixel coords for the per-tap in-screen test: tap (px+ox, py+oy) is valid
+    # iff px+ox in [0, W-1] etc. - comparisons against per-tap scalar constants
+    fx = origin[1].astype(jnp.float32) + col
+    fy = origin[0].astype(jnp.float32) + row
+    u = (fx + 0.5) * inv_w
+    v = (fy + 0.5) * inv_h
     # view_pos(us, vs, z) = ((us*fdx+fx0)*s, (vs*fdy+fy0)*s, z) with s affine in z;
     # us = u + off_x*inv_w is affine in the static offset, so per tap it reduces to
     # (dirx + cx_k) * s - two fmas instead of the full uv reconstruction.
@@ -126,12 +132,17 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, has_cb, smem, bsm, 
     diry = v * fdy + fy0
 
     radius = jnp.clip(radius_r[:, :], _LEV[0], _LEV[-1])
+    inv_r2 = 1.0 / (radius * radius)
     ga = ga_r[:, :]; gb = gb_r[:, :]
     nwp = nwp_r[:, :]; ha = ha_r[:, :]; hb = hb_r[:, :]
     mhdw = mhdw_r[:, :]
     mat_c = jnp.maximum(mat_r[:, :], min_material) if mat_occ else None
     ncx, ncy, ncz = wnx.tap(), wny.tap(), wnz.tap()
     nvx, nvy, nvz = nv_r[0][:, :], nv_r[1][:, :], nv_r[2][:, :]
+    # plane-distance algebra: dot(Nv, X_tap) = s_f*(A + kx*nvx + ky*nvy) + nvz*zs with
+    # A = nvx*dirx + nvy*diry per pixel and (kx, ky) per-tap scalars - 4 vector fmas
+    # per tap instead of the full sx/sy/dot reconstruction
+    plane_a = nvx * dirx + nvy * diry
     if spec:
         wra = wra_r[:, :]; wrb = wrb_r[:, :]
     if prepass:
@@ -163,32 +174,30 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, has_cb, smem, bsm, 
 
     taps = _static_offsets(n_dirs)
     for li in range(len(_LEV)):
-        active = (rmax > jnp.float32(_LO[li])) & (rmin < jnp.float32(_HI[li]))
+        # exactly one bucket fires: the smallest level covering the block's max radius
+        active = (rmax > jnp.float32(_LO[li])) & (rmax <= jnp.float32(_HI[li]))
 
         @pl.when(active)
         def _(li=li):
-            lw = _level_hat(radius, li)
             sum_acc = sum_ref[:, :]
             acc = [outs[k_][:, :] for k_ in range(n_sig_out)]
             hdt = outs[n_sig_out][:, :] if prepass else None
             for k in range(n_dirs):
-                gauss, per_level = taps[k]
-                off_y, off_x = per_level[li]
+                off_y, off_x, k_t = taps[k][li]
                 zs = zw.tap(off_y, off_x)
                 nsx = wnx.tap(off_y, off_x)
                 nsy = wny.tap(off_y, off_x)
                 nsz = wnz.tap(off_y, off_x)
 
-                us = u + jnp.float32(off_x) * inv_w
-                vs = v + jnp.float32(off_y) * inv_h
                 angle = _acos_approx(ncx * nsx + ncy * nsy + ncz * nsz)
                 s_f = zs * s_lin + abs_ortho
-                sx = (dirx + jnp.float32(off_x) * inv_w * fdx) * s_f
-                sy = (diry + jnp.float32(off_y) * inv_h * fdy) * s_f
-                sz = zs
-                w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
-                      & (vs < 1.0)).astype(jnp.float32)
-                w_ = w_ * _sstep10(jnp.abs((nvx * sx + nvy * sy + nvz * sz) * ga + gb))
+                kx = jnp.float32(off_x) * inv_w * fdx
+                ky = jnp.float32(off_y) * inv_h * fdy
+                w_ = ((fx >= jnp.float32(-off_x)) & (fx <= rect_w - jnp.float32(1 + off_x))
+                      & (fy >= jnp.float32(-off_y))
+                      & (fy <= rect_h - jnp.float32(1 + off_y))).astype(jnp.float32)
+                plane_d = (plane_a + kx * nvx + ky * nvy) * s_f + nvz * zs
+                w_ = w_ * _sstep10(jnp.abs(plane_d * ga + gb))
                 if mat_occ:
                     ms = wmat.tap(off_y, off_x)
                     w_ = w_ * (mat_c == jnp.maximum(ms, min_material)).astype(
@@ -203,6 +212,9 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, has_cb, smem, bsm, 
                 s_hd = s_taps[-1]
 
                 if prepass:
+                    sx = (dirx + kx) * s_f
+                    sy = (diry + ky) * s_f
+                    sz = zs
                     hdn_s = (hdp[0] + zs * hdp[1]) * (
                         1.0 + (hdp[2] - 1.0)
                         * jnp.clip(jnp.exp2(hdp[3] * rs * rs), 0.0, 1.0))
@@ -220,7 +232,7 @@ def _blur2_kernel(c, has_sh, spec, prepass, mat_occ, n_dirs, has_cb, smem, bsm, 
                                + (1.0 - jnp.clip(t, 0.0, 1.0)) * rough_term)
 
                 w_ = w_ * (mhdw + (1.0 - mhdw) * _exp_w(s_hd * ha + hb))
-                w_ = w_ * (gauss * lw)
+                w_ = w_ * jnp.exp(jnp.float32(k_t) * inv_r2)
 
                 sum_acc = sum_acc + w_
                 acc = [a + st * w_ for a, st in zip(acc[:c], s_taps)] + acc[c:]
@@ -277,14 +289,18 @@ def spatial_filter_taps_pallas2(sc, dc, config, *, rotator, signal, sh, view_z_i
     scalars = jnp.concatenate([dirs_pad, jnp.asarray(sc["frustum"], jnp.float32), misc,
                                jnp.asarray(dc["hit_dist_params"], jnp.float32)])
 
-    # decoded geometry planes, hoisting the per-tap decodes out of the kernel
+    # decoded geometry planes, hoisting the per-tap decodes out of the kernel;
+    # everything except viewZ rides bf16 windows (half the unaligned-load cost,
+    # mirrors the reference's FP16 pipeline) - taps upcast to f32 in the kernel
+    bf = lambda x: x.astype(jnp.bfloat16)
     view_z_dec = jnp.abs(view_z_in) * sc["view_z_scale"]
-    windows = [view_z_dec, n[..., 0], n[..., 1], n[..., 2]]
+    windows = [view_z_dec, bf(n[..., 0]), bf(n[..., 1]), bf(n[..., 2])]
     if spec or prepass:
-        windows.append(roughness)
+        windows.append(bf(roughness))
     if mat_occ:
-        windows.append(material_id)
-    windows += _split(signal)[:c] + (_split(sh)[:3] if has_sh else [])
+        windows.append(bf(material_id))
+    windows += [bf(p) for p in _split(signal)[:c]] \
+        + ([bf(p) for p in _split(sh)[:3]] if has_sh else [])
     centers = [blur_radius, ga, gb, normal_weight_param, ha, hb, min_hit_dist_weight,
                material_id, nv[..., 0], nv[..., 1], nv[..., 2]]
     if spec:

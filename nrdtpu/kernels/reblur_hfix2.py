@@ -32,20 +32,13 @@ BLOCK2 = (160, 512)
 HALO2 = (32, 128)
 
 _LEV = STRIDE_LEVELS
-_LO = [-1e9] + list(_LEV[:-1])
-_HI = list(_LEV[1:]) + [1e9]
+# nearest-level buckets: pixel uses level li iff its stride is in (MID[li-1], MID[li]]
+_MID = [(_LEV[k] + _LEV[k + 1]) * 0.5 for k in range(len(_LEV) - 1)]
+_M_LO = [-1e9] + _MID
+_M_HI = _MID + [1e9]
 
 _TAPS20 = [(i_, j_) for j_ in range(-2, 3) for i_ in range(-2, 3)
            if not (i_ == 0 and j_ == 0) and abs(i_) + abs(j_) != 4]
-
-
-def _level_hat(stride, li):
-    lv = _LEV[li]
-    up = jnp.ones_like(stride) if li == 0 else \
-        jnp.clip((stride - _LEV[li - 1]) / max(lv - _LEV[li - 1], 1e-6), 0.0, 1.0)
-    dn = jnp.ones_like(stride) if li + 1 == len(_LEV) else \
-        jnp.clip((_LEV[li + 1] - stride) / max(_LEV[li + 1] - lv, 1e-6), 0.0, 1.0)
-    return up * dn
 
 
 def _box_sums(win, r):
@@ -93,8 +86,10 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, af_radius, smem,
     inv_h = 1.0 / rect_h
     row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-    u = (origin[1].astype(jnp.float32) + col + 0.5) * inv_w
-    v = (origin[0].astype(jnp.float32) + row + 0.5) * inv_h
+    fx = origin[1].astype(jnp.float32) + col
+    fy = origin[0].astype(jnp.float32) + row
+    u = (fx + 0.5) * inv_w
+    v = (fy + 0.5) * inv_h
     abs_ortho = jnp.abs(ortho)
     s_lin = 1.0 - abs_ortho
     dirx = u * fdx + fx0
@@ -125,6 +120,7 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, af_radius, smem,
         hd_scale = hds_r[:, :]
         ncx, ncy, ncz = wnx.tap(), wny.tap(), wnz.tap()
         nvx, nvy, nvz = nv_r[0][:, :], nv_r[1][:, :], nv_r[2][:, :]
+        plane_a = nvx * dirx + nvy * diry
         if not is_diffuse:
             ra = ra_r[:, :]; rb = rb_r[:, :]
             hit_dist_c = hd_r[:, :]
@@ -137,11 +133,15 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, af_radius, smem,
         smin_c = jnp.maximum(smin, jnp.float32(_LEV[0]))
         smax_c = jnp.minimum(smax, jnp.float32(_LEV[-1]))
         for li in range(len(_LEV)):
-            active = (smax_c > jnp.float32(_LO[li])) & (smin_c < jnp.float32(_HI[li]))
+            # nearest-level bucketing: a pixel taps the single lattice whose stride is
+            # closest to its own (the reference's continuous stride lands between
+            # lattice spacings either way; v2's hat blend paid 2x for the same shape)
+            active = (smax_c > jnp.float32(_M_LO[li])) & (smin_c <= jnp.float32(_M_HI[li]))
 
             @pl.when(active)
             def _(li=li):
-                lw = _level_hat(stride, li)
+                lw = ((stride > jnp.float32(_M_LO[li]))
+                      & (stride <= jnp.float32(_M_HI[li]))).astype(jnp.float32)
                 sum_acc = sum_ref[:, :]
                 acc = [outs[k_][:, :] for k_ in range(n_sig_out)]
                 for (i_, j_) in _TAPS20:
@@ -152,16 +152,17 @@ def _hfix2_kernel(c, has_sh, is_diffuse, mat_occ, anti_firefly, af_radius, smem,
                     nsy = wny.tap(off_y, off_x)
                     nsz = wnz.tap(off_y, off_x)
 
-                    us = u + jnp.float32(off_x) * inv_w
-                    vs = v + jnp.float32(off_y) * inv_h
                     angle = _acos_approx(nsx * ncx + nsy * ncy + nsz * ncz)
                     s_f = zs * s_lin + abs_ortho
-                    sx = (dirx + jnp.float32(off_x) * inv_w * fdx) * s_f
-                    sy = (diry + jnp.float32(off_y) * inv_h * fdy) * s_f
-                    sz = zs
-                    w_ = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
-                          & (vs < 1.0)).astype(jnp.float32)
-                    w_ = w_ * _sstep10_geom(nvx * sx + nvy * sy + nvz * sz, ga, gb)
+                    kx = jnp.float32(off_x) * inv_w * fdx
+                    ky = jnp.float32(off_y) * inv_h * fdy
+                    w_ = ((fx >= jnp.float32(-off_x))
+                          & (fx <= rect_w - jnp.float32(1 + off_x))
+                          & (fy >= jnp.float32(-off_y))
+                          & (fy <= rect_h - jnp.float32(1 + off_y))
+                          ).astype(jnp.float32)
+                    plane_d = (plane_a + kx * nvx + ky * nvy) * s_f + nvz * zs
+                    w_ = w_ * _sstep10_geom(plane_d, ga, gb)
                     if mat_occ:
                         ms = wmat.tap(off_y, off_x)
                         w_ = w_ * (mat_c == jnp.maximum(ms, min_material)
@@ -242,14 +243,16 @@ def history_fix_taps_pallas2(sc, dc, config, *, signal, sh, view_z_in,
                                jnp.asarray(sc["frustum"], jnp.float32), misc,
                                jnp.asarray(dc["hit_dist_params"], jnp.float32)])
 
+    # bf16 windows for everything except viewZ (see reblur_blur2 module docstring)
+    bf = lambda x: x.astype(jnp.bfloat16)
     view_z_dec = jnp.abs(view_z_in) * sc["view_z_scale"]
-    windows = [view_z_dec, n[..., 0], n[..., 1], n[..., 2]]
+    windows = [view_z_dec, bf(n[..., 0]), bf(n[..., 1]), bf(n[..., 2])]
     if not is_diffuse:
-        windows.append(roughness)
+        windows.append(bf(roughness))
     if mat_occ:
-        windows.append(material_id)
-    windows += (_split(signal)[:c] + [data1, fast_history]
-                + (_split(sh)[:3] if has_sh else []))
+        windows.append(bf(material_id))
+    windows += ([bf(p) for p in _split(signal)[:c]] + [bf(data1), bf(fast_history)]
+                + ([bf(p) for p in _split(sh)[:3]] if has_sh else []))
     centers = [stride, ga, gb, normal_weight_param, ha, hb, frustum_size, frame_num,
                material_id, hit_dist_scale,
                nv[..., 0], nv[..., 1], nv[..., 2]]

@@ -362,9 +362,14 @@ def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_th
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
     n_hist = len(hist_planes)
     n_bil = len(bil_planes)
-    windows = ([prev_view_z] + _split(prev_nr_packed)[:2] + [prev_mat, diff_accum,
-               spec_accum] + list(hist_planes) + list(bil_planes)
-               + _split(nr_cur_packed)[:2])
+    # geometry windows ride bf16 (oct-encoded normals are 10-bit unorm at heart,
+    # accum speeds are small ints - both exact enough at bf16); viewZ and the
+    # radiance history planes (temporal feedback) stay f32
+    bf = lambda x: x.astype(jnp.bfloat16)
+    windows = ([prev_view_z] + [bf(p) for p in _split(prev_nr_packed)[:2]]
+               + [bf(prev_mat), bf(diff_accum), bf(spec_accum)]
+               + list(hist_planes) + list(bil_planes)
+               + [bf(p) for p in _split(nr_cur_packed)[:2]])
     centers = [mv_pix_y, mv_pix_x, xv_prev_z, base_threshold, navg_thr,
                material_id_center]
     n_out = n_hist + n_bil + 11
@@ -566,7 +571,9 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
 
     n_sh = 0 if sh_hist4 is None else 4
-    windows = ([prev_view_z, _split(prev_nr_packed)[2], prev_mat, spec_accum]
+    bf = lambda x: x.astype(jnp.bfloat16)
+    windows = ([prev_view_z, bf(_split(prev_nr_packed)[2]), bf(prev_mat),
+                bf(spec_accum)]
                + _split(spec_hist4)[:4] + [spec_fast, prev_hdt]
                + (_split(sh_hist4)[:4] if n_sh else []))
     centers = [mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
@@ -716,9 +723,11 @@ def _sstep10(x):
 
 
 def _exp_w(x):
-    """ComputeExponentialWeight: ExpApprox(-3|x|) = 1/(y^2 - y + 1), y = -3|x|."""
-    y = -3.0 * jnp.abs(x)
-    return 1.0 / (y * y - y + 1.0)
+    """ComputeExponentialWeight: exp(-3|x|) via the hardware transcendental unit.
+
+    Matches math.compute_exponential_weight (true exp instead of the reference's
+    rational ExpApprox - see that docstring for the divergence rationale)."""
+    return jnp.exp(-3.0 * jnp.abs(x))
 
 
 def _blur_kernel(c, has_sh, spec, prepass, mat_occ, rough_sq, smem, bsm, wins, centers,

@@ -618,8 +618,13 @@ def get_relaxed_roughness_weight_params(m, fraction=1.0, sensitivity=NRD_ROUGHNE
 
 
 def compute_exponential_weight(x, px, py):
-    """ComputeExponentialWeight (Common.hlsli:554-555)."""
-    return exp_approx(-NRD_EXP_WEIGHT_DEFAULT_SCALE * jnp.abs(x * px + py))
+    """ComputeExponentialWeight (Common.hlsli:554-555).
+
+    The reference uses ExpApprox (a rational fit of e^x chosen because GPU exp is a
+    multi-instruction sequence); TPU VPUs have a pipelined hardware transcendental
+    unit, so the true exponential is both cheaper and closer to the formula's intent.
+    Documented divergence: exp(x) instead of 1/(x^2-x+1)."""
+    return jnp.exp(-NRD_EXP_WEIGHT_DEFAULT_SCALE * jnp.abs(x * px + py))
 
 
 def compute_non_exponential_weight(x, px, py):

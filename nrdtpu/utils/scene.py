@@ -58,6 +58,11 @@ def camera_path(frame: int, mode: str = "static"):
         a = 0.02 * frame
         eye = np.array([np.sin(a) * 6.0, 1.8, 2.0 + np.cos(a) * 2.0 - 2.0])
         return eye, np.array([0.0, 1.0, -6.0])
+    if mode == "zoom":
+        # dolly toward the scene: radial screen motion, worst case for any
+        # block-uniform motion model (VERDICT r1: rotation/zoom divergence)
+        z = 2.0 - 0.08 * frame
+        return np.array([0.0, 1.5, z]), np.array([0.0, 1.0, -6.0])
     raise ValueError(mode)
 
 

@@ -31,3 +31,23 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: exhaustive permutation sweeps (deselect with '-m \"not slow\"')")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def pallas_interpret(monkeypatch):
+    """Force pallas_call(interpret=True) + NRDTPU_IMPL=pallas (shared across files)."""
+    import jax.experimental.pallas as pl_mod
+
+    orig = pl_mod.pallas_call
+
+    def interp(*a, **k):
+        k = dict(k)
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl_mod, "pallas_call", interp)
+    monkeypatch.setenv("NRDTPU_IMPL", "pallas")
+    yield
