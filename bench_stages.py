@@ -130,18 +130,21 @@ def main():
 
     timeit("classify_tiles+sky", st_tiles)
 
-    def st_dpre(e, env):
-        return K.diffuse_pre_pass(sc, dc, env["diff_in0"] + e, env["view_z"],
-                                  env["nr"], cfg, sh=None, pallas=True)
+    def st_geom(e, env):
+        return K.make_filter_geometry(sc, dc, env["view_z"] + e, env["nr"], cfg)
 
-    env["diff_in"] = timeit("prepass diff", st_dpre)[0]
+    env["geom"] = timeit("filter geometry", st_geom)
 
-    def st_spre(e, env):
-        return K.specular_spatial_filter(sc, dc, K.PRE_BLUR, env["spec_in0"] + e,
-                                         env["view_z"], env["nr"], None, cfg, sh=None,
-                                         occlusion=False, pallas=True)
+    def st_pre_f(e, env):
+        return K.fused_spatial_filter(
+            sc, dc, K.PRE_BLUR, env["geom"], env["view_z"], cfg,
+            diff=dict(signal=env["diff_in0"] + e, sh=None),
+            spec=dict(signal=env["spec_in0"] + e, sh=None), occlusion=False)
 
-    env["spec_in"], _, env["spec_hdt_prepass"] = timeit("prepass spec", st_spre)
+    fr = timeit("prepass fused", st_pre_f)
+    env["diff_in"] = fr["diff"]
+    env["spec_in"] = fr["spec"]
+    env["spec_hdt_prepass"] = fr["spec_hdt"]
 
     def st_smb(e, env):
         state = env["state"]
@@ -187,55 +190,39 @@ def main():
     if os.environ.get("NRDTPU_STAGES_STOP_AFTER") == "tas":
         return
 
-    def st_hfd(e, env):
-        return K.history_fix(sc, dc, env["view_z"], env["nr"], env["data1_diff"],
-                             env["ta_spec"]["accum_speed"], env["diff1"] + e,
-                             env["diff_fast1"], cfg, is_diffuse=True, occlusion=False,
-                             anti_firefly=False, sh=None, directional=False,
-                             pallas=True)
-
-    env["diff2"], env["diff_fast2"], _ = timeit("history fix diff", st_hfd)
-
-    def st_hfs(e, env):
+    def st_hf_f(e, env):
         ta = env["ta_spec"]
-        return K.history_fix(sc, dc, env["view_z"], env["nr"], env["data1_diff"],
-                             ta["accum_speed"], ta["spec"] + e, ta["fast"], cfg,
-                             is_diffuse=False, occlusion=False, anti_firefly=False,
-                             sh=None, pallas=True)
+        return K.fused_history_fix(
+            sc, dc, env["geom"], env["view_z"], cfg,
+            diff=dict(signal=env["diff1"] + e, sh=None, data1=env["data1_diff"],
+                      fast_history=env["diff_fast1"], anti_firefly=False),
+            spec=dict(signal=ta["spec"] + e, sh=None, data1=ta["accum_speed"],
+                      fast_history=ta["fast"], anti_firefly=False),
+            occlusion=False, directional=False)
 
-    env["spec2"], env["spec_fast2"], _ = timeit("history fix spec", st_hfs)
+    hf = timeit("history fix fused", st_hf_f)
+    env["diff2"], env["diff_fast2"], _ = hf["diff"]
+    env["spec2"], env["spec_fast2"], _ = hf["spec"]
 
-    def st_bd(e, env):
-        return K.diffuse_spatial_filter(sc, dc, K.BLUR, env["diff2"] + e,
-                                        env["view_z"], env["nr"], env["data1_diff"],
-                                        cfg, sh=None, occlusion=False,
-                                        directional=False, pallas=True)
+    def st_blur_f(e, env):
+        return K.fused_spatial_filter(
+            sc, dc, K.BLUR, env["geom"], env["view_z"], cfg,
+            diff=dict(signal=env["diff2"] + e, sh=None, data1=env["data1_diff"]),
+            spec=dict(signal=env["spec2"] + e, sh=None,
+                      data1=env["ta_spec"]["accum_speed"]), occlusion=False)
 
-    env["diff3"] = timeit("blur diff", st_bd)[0]
+    fb = timeit("blur fused", st_blur_f)
+    env["diff3"], env["spec3"] = fb["diff"], fb["spec"]
 
-    def st_pbd(e, env):
-        return K.diffuse_spatial_filter(sc, dc, K.POST_BLUR, env["diff3"] + e,
-                                        env["view_z"], env["nr"], env["data1_diff"],
-                                        cfg, sh=None, occlusion=False,
-                                        directional=False, pallas=True)
+    def st_pblur_f(e, env):
+        return K.fused_spatial_filter(
+            sc, dc, K.POST_BLUR, env["geom"], env["view_z"], cfg,
+            diff=dict(signal=env["diff3"] + e, sh=None, data1=env["data1_diff"]),
+            spec=dict(signal=env["spec3"] + e, sh=None,
+                      data1=env["ta_spec"]["accum_speed"]), occlusion=False)
 
-    env["diff4"] = timeit("postblur diff", st_pbd)[0]
-
-    def st_bs(e, env):
-        return K.specular_spatial_filter(sc, dc, K.BLUR, env["spec2"] + e,
-                                         env["view_z"], env["nr"],
-                                         env["ta_spec"]["accum_speed"], cfg, sh=None,
-                                         occlusion=False, pallas=True)
-
-    env["spec3"] = timeit("blur spec", st_bs)[0]
-
-    def st_pbs(e, env):
-        return K.specular_spatial_filter(sc, dc, K.POST_BLUR, env["spec3"] + e,
-                                         env["view_z"], env["nr"],
-                                         env["ta_spec"]["accum_speed"], cfg, sh=None,
-                                         occlusion=False, pallas=True)
-
-    env["spec4"] = timeit("postblur spec", st_pbs)[0]
+    fpb = timeit("postblur fused", st_pblur_f)
+    env["diff4"], env["spec4"] = fpb["diff"], fpb["spec"]
 
     def st_ts(e, env):
         ta = env["ta_spec"]

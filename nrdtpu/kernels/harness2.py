@@ -111,11 +111,14 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     shiftable: per-window bools; True allocates an f32 shadow scratch enabling Win2.shift.
     scratch_blocks: extra (bh, bw) f32 VMEM scratch refs handed to the body (accumulators
       for predicated multi-level loops).
-    base_offset: optional ((gh, gw) i32, (gh, gw) i32) per-block (oy, ox) added to the
-      DMA start of windows flagged in `offset_windows` - reprojection motion bases ride
-      the DMA for free instead of paying a window roll. Offsets must stay within
-      halo bounds (block_motion_base guarantees this); image-edge overreach is folded
-      into the pl.when normalization like the static comp.
+    base_offset: optional ((gh, gw) i32, (gh, gw) i32) per-block (oy, ox) pair - OR a
+      list of such pairs - added to the DMA start of windows flagged in
+      `offset_windows`: reprojection motion bases ride the DMA for free instead of
+      paying a window roll. With a list, `offset_windows` entries are int indices into
+      it (True means pair 0), so one launch can resolve several motion fields (e.g.
+      surface + virtual + prev-prev taps) over shared HBM planes. Offsets must stay
+      within halo bounds (block_motion_base guarantees this); image-edge overreach is
+      folded into the pl.when normalization like the static comp.
     """
     n_windows = len(images)
     h, w = images[0].shape[:2]
@@ -123,23 +126,30 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     bh, bw = pick_block(h, w, block, halo)
     gh, gw = -(-h // bh), -(-w // bw)
     ph, pw = gh * bh, gw * bw
+
+    # normalize base_offset to a list of (by, bx) pairs + integer window indices
+    if base_offset is not None and not isinstance(base_offset, list):
+        base_offset = [base_offset]
+    if offset_windows is not None:
+        offset_windows = [0 if o is True else o if o is not False and o is not None
+                          else None for o in offset_windows]
     win_h, win_w = bh + 2 * hy, bw + 2 * hx
     if shiftable is None:
         shiftable = [False] * n_windows
     if offset_windows is None:
-        offset_windows = [False] * n_windows
-    assert base_offset is not None or not any(offset_windows)
+        offset_windows = [None] * n_windows
+    assert base_offset is not None \
+        or not any(o is not None for o in offset_windows)
 
     # comp-in-{0, +-halo} requires exact division + alignment; otherwise edge-pad (tests)
-    _any_off = any(offset_windows)
+    any_off = any(o is not None for o in offset_windows)
     nopad = (h == ph and w == pw and h % 8 == 0 and w % 128 == 0
              and hy % 8 == 0 and hx % 128 == 0 and bh % 8 == 0 and bw % 128 == 0
-             and h >= win_h + (8 if _any_off else 0)
-             and w >= win_w + (128 if _any_off else 0))
+             and h >= win_h + (8 if any_off else 0)
+             and w >= win_w + (128 if any_off else 0))
 
     # offset windows are (8, 128) larger: the tile-alignment remainder of the DMA
     # start (absorbed by the normalization roll) consumes up to (7, 127) of slack
-    any_off = any(offset_windows)
     owin_h, owin_w = win_h + 8, win_w + 128
 
     center_inputs = [c if getattr(c, "ndim", 2) == 2
@@ -159,7 +169,7 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     num_scalars = 0 if scalars is None else scalars.shape[0]
     n_center = len(centers)
     n_bs = len(block_scalars)
-    n_off = 2 if base_offset is not None else 0
+    n_off = 2 * len(base_offset) if base_offset is not None else 0
     n_shadow = sum(bool(s) for s in shiftable)
     win_dtypes = [img.dtype for img in hbm_imgs]
 
@@ -199,23 +209,27 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
             sy = pl.multiple_of(sy, 8)
             sx = pl.multiple_of(sx, 128)
         cy, cx = oy0 - sy, ox0 - sx
+        starts = []
         if base_offset is not None:
             # Mosaic requires DMA starts aligned to the (8, 128) tile: floor-align and
             # let the normalization roll absorb the remainder (one roll pair per
-            # offset window - the roll fires via the same pl.when as edge comp)
+            # offset window - the roll fires via the same pl.when as edge comp).
+            # One (start, comp) set per base-offset pair.
             hhb = hh + (8 if not nopad else 0)
             wwb = ww + (128 if not nopad else 0)
-            by = off_refs[0][i, j]
-            bx = off_refs[1][i, j]
-            syb = jnp.clip(oy0 + by, 0, hhb - owin_h)
-            sxb = jnp.clip(ox0 + bx, 0, wwb - owin_w)
-            syb = pl.multiple_of((syb // 8) * 8, 8)
-            sxb = pl.multiple_of((sxb // 128) * 128, 128)
-            cyb, cxb = (oy0 + by) - syb, (ox0 + bx) - sxb
+            for p_ in range(len(base_offset)):
+                by = off_refs[2 * p_][i, j]
+                bx = off_refs[2 * p_ + 1][i, j]
+                syb = jnp.clip(oy0 + by, 0, hhb - owin_h)
+                sxb = jnp.clip(ox0 + bx, 0, wwb - owin_w)
+                syb = pl.multiple_of((syb // 8) * 8, 8)
+                sxb = pl.multiple_of((sxb // 128) * 128, 128)
+                starts.append((syb, sxb, (oy0 + by) - syb, (ox0 + bx) - sxb))
 
         copies = []
         for k, (src, dst) in enumerate(zip(hbm_refs, win_refs)):
-            if offset_windows[k]:
+            if offset_windows[k] is not None:
+                syb, sxb, _, _ = starts[offset_windows[k]]
                 copies.append(pltpu.make_async_copy(
                     src.at[pl.ds(syb, owin_h), pl.ds(sxb, owin_w)], dst, sem.at[k]))
             else:
@@ -226,7 +240,8 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
         for c in copies:
             c.wait()
         for k, r in enumerate(win_refs):
-            if offset_windows[k]:
+            if offset_windows[k] is not None:
+                _, _, cyb, cxb = starts[offset_windows[k]]
                 _normalize(r, cyb, cxb)
             elif nopad:
                 _normalize(r, cy, cx)
@@ -252,14 +267,14 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
                       for _ in range(n_out))
 
     scratch_shapes = (
-        [pltpu.VMEM((owin_h, owin_w) if off else (win_h, win_w), dt)
+        [pltpu.VMEM((owin_h, owin_w) if off is not None else (win_h, win_w), dt)
          for dt, off in zip(win_dtypes, offset_windows)]
         + [pltpu.VMEM((win_h, win_w), jnp.float32)
            for s in shiftable if s]
         + [pltpu.VMEM((bh, bw), jnp.float32) for _ in range(scratch_blocks)]
         + [pltpu.SemaphoreType.DMA((n_windows,))])
 
-    off_args = [jnp.asarray(o, jnp.int32) for o in base_offset] \
+    off_args = [jnp.asarray(o, jnp.int32) for pair in base_offset for o in pair] \
         if base_offset is not None else []
     args = ([scalars] if num_scalars else []) + off_args + list(block_scalars) \
         + hbm_imgs + centers

@@ -145,6 +145,53 @@ def nearest_resolve(planes, mv_pix_y, mv_pix_x):
     return list(outs[:n]), outs[n]
 
 
+def _nearest_multi_kernel(n_planes, n_sets, smem, bsm, wins, centers, outs, origin,
+                          scratch):
+    i, j = pl.program_id(0), pl.program_id(1)
+    for s in range(n_sets):
+        mvy = centers[2 * s][:, :]
+        mvx = centers[2 * s + 1][:, :]
+        base_y, base_x = bsm[2 * s][i, j], bsm[2 * s + 1][i, j]
+        qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x)
+        ry = jnp.clip(jnp.round(qy), -1.0, 1.0)
+        rx = jnp.clip(jnp.round(qx), -1.0, 1.0)
+        sels = [(dy, dx, ((ry == dy) & (rx == dx)).astype(jnp.float32))
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        for p in range(n_planes):
+            wb = wins[s * n_planes + p]
+            acc = jnp.zeros_like(mvy)
+            for dy, dx, m in sels:
+                acc = acc + wb.tap(dy, dx) * m
+            outs[s * (n_planes + 1) + p][:, :] = acc
+        outs[s * (n_planes + 1) + n_planes][:, :] = valid
+
+
+def nearest_resolve_multi(planes, mv_sets):
+    """nearest_resolve over SEVERAL motion fields in ONE launch.
+
+    mv_sets: list of (mv_pix_y, mv_pix_x). Each set gets its own per-block DMA base
+    (harness2 multi-base support), windows over the same HBM planes. One launch
+    replaces len(mv_sets) nearest_resolve calls - the TA specular path uses this for
+    the virtual-motion normal + the two prev-prev taps
+    (REBLUR_TemporalAccumulation.hlsli:472-608).
+    Returns a list of (resolved list, valid) per set."""
+    n = len(planes)
+    n_sets = len(mv_sets)
+    bases = [rp.block_motion_base(my, mx, BLOCK, bound=(HALO[0] - 4, HALO[1] - 4))
+             for (my, mx) in mv_sets]
+    images = [p for _ in range(n_sets) for p in planes]
+    offset_windows = [s for s in range(n_sets) for _ in planes]
+    centers = [c for (my, mx) in mv_sets for c in (my, mx)]
+    block_scalars = [b for pair in bases for b in pair]
+    outs = stencil_call2(
+        functools.partial(_nearest_multi_kernel, n, n_sets), images,
+        n_out=n_sets * (n + 1), halo=HALO, block=BLOCK,
+        block_scalars=block_scalars, center_inputs=centers,
+        base_offset=[tuple(b) for b in bases], offset_windows=offset_windows)
+    return [(list(outs[s * (n + 1): s * (n + 1) + n]), outs[s * (n + 1) + n])
+            for s in range(n_sets)]
+
+
 # ---------------------------------------------------------------------------
 # reblur_smb_resolve
 # ---------------------------------------------------------------------------
@@ -676,6 +723,11 @@ class PallasSampler:
     def nearest(self, planes, uv_target, rect_cur=False):
         mvy, mvx = self._mv_pix(uv_target, rect_cur)
         return nearest_resolve(planes, mvy, mvx)
+
+    def nearest_multi(self, planes, uv_targets, rect_cur=False):
+        """One launch resolving `planes` at several reprojected uv fields."""
+        sets = [self._mv_pix(uv, rect_cur) for uv in uv_targets]
+        return nearest_resolve_multi(planes, sets)
 
     def vmb_bundle(self, sc, dc, config, **kw):
         return reblur_vmb_resolve(sc, dc, config, **kw)

@@ -217,18 +217,37 @@ class ReblurDenoiser:
                 sc, dc, view_z, normal_roughness, diff_in, spec_in, cfg, radius=radius,
                 pallas=pallas_ok)
 
+        # Fused diff+spec spatial stages: one Pallas launch per stage with shared
+        # geometry windows/math (kernels/reblur_fused.py); single-signal variants and
+        # the XLA path keep the per-signal calls below.
+        fused_ok = (pallas_ok and self.has_diffuse and self.has_specular
+                    and not self.directional)
+        geom = (K.make_filter_geometry(sc, dc, view_z, normal_roughness, cfg)
+                if fused_ok else None)
+
         # PREPASS
         spec_hdt_prepass = None
         if not skip_prepass:
-            if self.has_diffuse and not self.directional:
-                diff_in, diff_sh_in = K.diffuse_pre_pass(
-                    sc, dc, diff_in, view_z, normal_roughness, cfg,
-                    sh=diff_sh_in, pallas=pallas_ok, perf_mode=perf, cb_mask=cb_mask)
-            if self.has_specular:
-                spec_in, spec_sh_in, spec_hdt_prepass = K.specular_spatial_filter(
-                    sc, dc, K.PRE_BLUR, spec_in, view_z, normal_roughness, None, cfg,
-                    sh=spec_sh_in, occlusion=False, pallas=pallas_ok, perf_mode=perf,
-                    cb_mask=cb_mask)
+            if fused_ok:
+                fr = K.fused_spatial_filter(
+                    sc, dc, K.PRE_BLUR, geom, view_z, cfg,
+                    diff=dict(signal=diff_in, sh=diff_sh_in, cb_mask=cb_mask),
+                    spec=dict(signal=spec_in, sh=spec_sh_in, cb_mask=cb_mask),
+                    occlusion=False, perf_mode=perf)
+                diff_in, diff_sh_in = fr["diff"], fr["diff_sh"]
+                spec_in, spec_sh_in = fr["spec"], fr["spec_sh"]
+                spec_hdt_prepass = fr["spec_hdt"]
+            else:
+                if self.has_diffuse and not self.directional:
+                    diff_in, diff_sh_in = K.diffuse_pre_pass(
+                        sc, dc, diff_in, view_z, normal_roughness, cfg,
+                        sh=diff_sh_in, pallas=pallas_ok, perf_mode=perf,
+                        cb_mask=cb_mask)
+                if self.has_specular:
+                    spec_in, spec_sh_in, spec_hdt_prepass = K.specular_spatial_filter(
+                        sc, dc, K.PRE_BLUR, spec_in, view_z, normal_roughness, None,
+                        cfg, sh=spec_sh_in, occlusion=False, pallas=pallas_ok,
+                        perf_mode=perf, cb_mask=cb_mask)
 
         if cb_on and (self.occlusion or skip_prepass):
             import jax.numpy as _jnp
@@ -350,40 +369,71 @@ class ReblurDenoiser:
             _pb.emit("reblur/ta/hit_dist_for_tracking", hdt_out)
 
         # HISTORY FIX
-        if self.has_diffuse:
-            diff2, diff_fast2, diff_sh2 = K.history_fix(
-                sc, dc, view_z, normal_roughness, data1_diff, data1_spec, diff1,
-                diff_fast1, cfg, is_diffuse=True, occlusion=self.occlusion,
-                anti_firefly=s.enableAntiFirefly and not self.occlusion
-                and not self.directional,
-                sh=diff_sh1, directional=self.directional, pallas=pallas_ok,
+        if fused_ok:
+            hf = K.fused_history_fix(
+                sc, dc, geom, view_z, cfg,
+                diff=dict(signal=diff1, sh=diff_sh1, data1=data1_diff,
+                          fast_history=diff_fast1,
+                          anti_firefly=s.enableAntiFirefly and not self.occlusion
+                          and not self.directional),
+                spec=dict(signal=spec1, sh=spec_sh1, data1=data1_spec,
+                          fast_history=spec_fast1,
+                          anti_firefly=s.enableAntiFirefly and not self.occlusion),
+                occlusion=self.occlusion, directional=self.directional,
                 perf_mode=perf)
-        if self.has_specular:
-            spec2, spec_fast2, spec_sh2 = K.history_fix(
-                sc, dc, view_z, normal_roughness, data1_diff, data1_spec, spec1,
-                spec_fast1, cfg, is_diffuse=False, occlusion=self.occlusion,
-                anti_firefly=s.enableAntiFirefly and not self.occlusion,
-                sh=spec_sh1, pallas=pallas_ok, perf_mode=perf)
+            diff2, diff_fast2, diff_sh2 = hf["diff"]
+            spec2, spec_fast2, spec_sh2 = hf["spec"]
+        else:
+            if self.has_diffuse:
+                diff2, diff_fast2, diff_sh2 = K.history_fix(
+                    sc, dc, view_z, normal_roughness, data1_diff, data1_spec, diff1,
+                    diff_fast1, cfg, is_diffuse=True, occlusion=self.occlusion,
+                    anti_firefly=s.enableAntiFirefly and not self.occlusion
+                    and not self.directional,
+                    sh=diff_sh1, directional=self.directional, pallas=pallas_ok,
+                    perf_mode=perf)
+            if self.has_specular:
+                spec2, spec_fast2, spec_sh2 = K.history_fix(
+                    sc, dc, view_z, normal_roughness, data1_diff, data1_spec, spec1,
+                    spec_fast1, cfg, is_diffuse=False, occlusion=self.occlusion,
+                    anti_firefly=s.enableAntiFirefly and not self.occlusion,
+                    sh=spec_sh1, pallas=pallas_ok, perf_mode=perf)
 
         # BLUR + POST BLUR
-        if self.has_diffuse:
-            diff3, diff_sh3 = K.diffuse_spatial_filter(
-                sc, dc, K.BLUR, diff2, view_z, normal_roughness, data1_diff, cfg,
-                sh=diff_sh2, occlusion=self.occlusion, directional=self.directional,
-                pallas=pallas_ok, perf_mode=perf)
-            diff4, diff_sh4 = K.diffuse_spatial_filter(
-                sc, dc, K.POST_BLUR, diff3, view_z, normal_roughness, data1_diff, cfg,
-                sh=diff_sh3, occlusion=self.occlusion, directional=self.directional,
-                pallas=pallas_ok, perf_mode=perf)
-        if self.has_specular:
-            spec3, spec_sh3, _ = K.specular_spatial_filter(
-                sc, dc, K.BLUR, spec2, view_z, normal_roughness, data1_spec, cfg,
-                sh=spec_sh2, occlusion=self.occlusion, pallas=pallas_ok,
-                perf_mode=perf)
-            spec4, spec_sh4, _ = K.specular_spatial_filter(
-                sc, dc, K.POST_BLUR, spec3, view_z, normal_roughness, data1_spec, cfg,
-                sh=spec_sh3, occlusion=self.occlusion, pallas=pallas_ok,
-                perf_mode=perf)
+        if fused_ok:
+            fb = K.fused_spatial_filter(
+                sc, dc, K.BLUR, geom, view_z, cfg,
+                diff=dict(signal=diff2, sh=diff_sh2, data1=data1_diff),
+                spec=dict(signal=spec2, sh=spec_sh2, data1=data1_spec),
+                occlusion=self.occlusion, perf_mode=perf)
+            diff3, diff_sh3 = fb["diff"], fb["diff_sh"]
+            spec3, spec_sh3 = fb["spec"], fb["spec_sh"]
+            fpb = K.fused_spatial_filter(
+                sc, dc, K.POST_BLUR, geom, view_z, cfg,
+                diff=dict(signal=diff3, sh=diff_sh3, data1=data1_diff),
+                spec=dict(signal=spec3, sh=spec_sh3, data1=data1_spec),
+                occlusion=self.occlusion, perf_mode=perf)
+            diff4, diff_sh4 = fpb["diff"], fpb["diff_sh"]
+            spec4, spec_sh4 = fpb["spec"], fpb["spec_sh"]
+        else:
+            if self.has_diffuse:
+                diff3, diff_sh3 = K.diffuse_spatial_filter(
+                    sc, dc, K.BLUR, diff2, view_z, normal_roughness, data1_diff, cfg,
+                    sh=diff_sh2, occlusion=self.occlusion,
+                    directional=self.directional, pallas=pallas_ok, perf_mode=perf)
+                diff4, diff_sh4 = K.diffuse_spatial_filter(
+                    sc, dc, K.POST_BLUR, diff3, view_z, normal_roughness, data1_diff,
+                    cfg, sh=diff_sh3, occlusion=self.occlusion,
+                    directional=self.directional, pallas=pallas_ok, perf_mode=perf)
+            if self.has_specular:
+                spec3, spec_sh3, _ = K.specular_spatial_filter(
+                    sc, dc, K.BLUR, spec2, view_z, normal_roughness, data1_spec, cfg,
+                    sh=spec_sh2, occlusion=self.occlusion, pallas=pallas_ok,
+                    perf_mode=perf)
+                spec4, spec_sh4, _ = K.specular_spatial_filter(
+                    sc, dc, K.POST_BLUR, spec3, view_z, normal_roughness, data1_spec,
+                    cfg, sh=spec_sh3, occlusion=self.occlusion, pallas=pallas_ok,
+                    perf_mode=perf)
 
         new_state = dict(state)
         keep = dead

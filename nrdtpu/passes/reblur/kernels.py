@@ -1162,12 +1162,34 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         virtual_roughness_confidence = jnp.sum(rough_weights4 * bwv, -1)
 
     # ---- virtual normal confidence: parallax (lines 472-479) ----
+    # prev-prev tap positions (lines 579-585) are pure functions of the smb/vmb uvs,
+    # so their stochastic-nearest fetches batch with the vmb normal fetch into ONE
+    # Pallas launch (sampler.nearest_multi; weights still applied below in order)
+    step_between_taps = jnp.minimum(vmb_pixels_traveled * sc["framerate_scale"], 2.0) \
+        + vmb_pixels_traveled / C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM
+    duv_u = vmb_u - smb_u
+    duv_v = vmb_v - smb_v
+    inv_vd = jax_rsqrt(duv_u * duv_u + duv_v * duv_v)  # normalize in UV space
+    vmb_dir_u = duv_u * inv_vd / sc["rect_size_prev"][0]
+    vmb_dir_v = duv_v * inv_vd / sc["rect_size_prev"][1]
+    pp_uvs, pp_inscreen = [], []
+    for it in range(1, C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM + 1):
+        ppu = vmb_u + vmb_dir_u * (it * step_between_taps)
+        ppv = vmb_v + vmb_dir_v * (it * step_between_taps)
+        pp_uvs.append(jnp.stack([ppu, ppv], -1))
+        pp_inscreen.append(((ppu > 0.0) & (ppu < 1.0) & (ppv > 0.0)
+                            & (ppv < 1.0)).astype(jnp.float32))
+    pp_samples = None
     if sampler is not None:
         uv_s = _stochastic_bilinear_uv(sc, vmb_pixel_uv, sc["rect_size_prev"], pixel_pos,
                                        config)
-        (vn0, vn1, vr_raw), _vmb_n_valid = sampler.nearest(
+        pp_uv_s = [_stochastic_bilinear_uv(sc, u_, sc["rect_size_prev"], pixel_pos,
+                                           config) for u_ in pp_uvs]
+        multi = sampler.nearest_multi(
             [prev_normal_roughness[..., 0], prev_normal_roughness[..., 1],
-             prev_normal_roughness[..., 2]], uv_s)
+             prev_normal_roughness[..., 2]], [uv_s] + pp_uv_s)
+        (vn0, vn1, vr_raw), _vmb_n_valid = multi[0]
+        pp_samples = multi[1:]
         vmb_n3 = v3.decode_oct(vn0, vn1)
         if config.roughness_encoding.name == "SQRT_LINEAR":
             vmb_roughness = vr_raw * vr_raw
@@ -1311,29 +1333,15 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     r_conf = jnp.maximum(r_conf, 0.1)
     virtual_parallax_confidence = nm.linearstep(r_conf, 0.0, d_conf)
 
-    # ---- prev-prev taps (lines 579-608) ----
-    step_between_taps = jnp.minimum(vmb_pixels_traveled * sc["framerate_scale"], 2.0) \
-        + vmb_pixels_traveled / C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM
-    duv_u = vmb_u - smb_u
-    duv_v = vmb_v - smb_v
-    inv_vd = jax_rsqrt(duv_u * duv_u + duv_v * duv_v)  # normalize in UV space
-    vmb_dir_u = duv_u * inv_vd / sc["rect_size_prev"][0]
-    vmb_dir_v = duv_v * inv_vd / sc["rect_size_prev"][1]
+    # ---- prev-prev taps (lines 579-608; positions + fetches hoisted above) ----
     ra2, rb2 = nm.get_relaxed_roughness_weight_params(
         vmb_roughness * vmb_roughness, dc["roughness_fraction"],
         C.REBLUR_ROUGHNESS_SENSITIVITY_IN_TA)
     for it in range(1, C.REBLUR_VIRTUAL_MOTION_PREV_PREV_WEIGHT_ITERATION_NUM + 1):
-        ppu = vmb_u + vmb_dir_u * (it * step_between_taps)
-        ppv = vmb_v + vmb_dir_v * (it * step_between_taps)
-        uv_pp = jnp.stack([ppu, ppv], -1)
-        in_screen = ((ppu > 0.0) & (ppu < 1.0) & (ppv > 0.0)
-                     & (ppv < 1.0)).astype(jnp.float32)
+        uv_pp = pp_uvs[it - 1]
+        in_screen = pp_inscreen[it - 1]
         if sampler is not None:
-            uv_pp_s = _stochastic_bilinear_uv(sc, uv_pp, sc["rect_size_prev"], pixel_pos,
-                                              config)
-            (p0, p1, pr_raw), pp_valid = sampler.nearest(
-                [prev_normal_roughness[..., 0], prev_normal_roughness[..., 1],
-                 prev_normal_roughness[..., 2]], uv_pp_s)
+            (p0, p1, pr_raw), pp_valid = pp_samples[it - 1]
             n_pp3 = v3.decode_oct(p0, p1)
             if config.roughness_encoding.name == "SQRT_LINEAR":
                 r_pp = pr_raw * pr_raw
@@ -1743,6 +1751,308 @@ def specular_spatial_filter(sc, dc, mode, spec, view_z_in, normal_roughness, dat
                 disabled, jnp.where(C.extract_hit_dist(spec) == 0.0, 0.0,
                                     C.extract_hit_dist(spec)), hit_dist_for_tracking)
     return out, out_sh, hit_dist_for_tracking
+
+
+@jax.named_scope("REBLUR/filter_geometry")
+def make_filter_geometry(sc, dc, view_z_in, normal_roughness, config):
+    """Shared per-frame geometry for the fused spatial filters / history fix.
+
+    Everything here depends only on the frame's G-buffer (viewZ, normal/roughness),
+    not on any signal - computed ONCE per frame and reused by prepass, history fix,
+    blur and post-blur instead of re-deriving ~15 decoded planes in each stage's XLA
+    glue (the reference reloads these per pass from textures; on TPU the rebuild was
+    measured at ~1 ms of VPU work per pass call)."""
+    h, w = view_z_in.shape
+    uv = resample.pixel_uv_grid(h, w)
+    view_z = unpack_view_z(sc, view_z_in)
+    n3, roughness, material_id = unpack_nr3(sc, normal_roughness, config)
+    w2v = jnp.asarray(sc["world_to_view"])
+    nv3 = v3.rotate(w2v, n3)
+    u_p, v_p = uv[..., 0], uv[..., 1]
+    xv3 = v3.reconstruct_view_position(u_p, v_p, sc["frustum"], view_z,
+                                       sc["ortho_mode"])
+    vv3 = v3.where(sc["ortho_mode"] == 0.0, v3.normalize(-xv3),
+                   v3.V3.full_like(view_z, 0.0, 0.0, -1.0))
+    nov = jnp.abs(v3.dot(nv3, vv3))
+    frustum_size = nm.get_frustum_size(sc["min_rect_dim_mul_unproject"],
+                                       sc["ortho_mode"], view_z)
+    ga = 1.0 / (dc["plane_dist_sensitivity"] * frustum_size)
+    gb = -v3.dot(nv3, xv3) * ga
+    return dict(view_z=view_z, n3=n3, n=n3.arr(), roughness=roughness,
+                material_id=material_id, nv3=nv3, nv=nv3.arr(), nov=nov, vv3=vv3,
+                frustum_size=frustum_size, ga=ga, gb=gb,
+                smc=nm.get_spec_magic_curve(roughness),
+                enc_err=nm.normal_encoding_error(int(config.normal_encoding)),
+                hd_scale_diff=fe.get_hit_distance_normalization(
+                    view_z, dc["hit_dist_params"][None, None, :],
+                    jnp.ones_like(roughness)),
+                hd_scale_spec=fe.get_hit_distance_normalization(
+                    view_z, dc["hit_dist_params"][None, None, :], roughness))
+
+
+def _fused_diff_params(sc, dc, mode, geom, signal, data1, cb_mask, occlusion):
+    """Per-signal kernel params for the diffuse side of the fused filter.
+
+    Formula source: diffuse_spatial_filter (BLUR/POST_BLUR) / diffuse_pre_pass
+    (PRE_BLUR) - kept line-for-line equivalent."""
+    view_z = geom["view_z"]
+    sig_c = signal if cb_mask is None else signal * cb_mask[..., None]
+    hit_dist = C.extract_hit_dist(sig_c) * geom["hd_scale_diff"]
+    hit_dist_factor = nm.get_hit_dist_factor(hit_dist, geom["frustum_size"])
+    if mode == PRE_BLUR:
+        fraction_scale = C.REBLUR_PRE_BLUR_FRACTION_SCALE
+        nlas = jnp.full_like(view_z, C.REBLUR_PRE_BLUR_NON_LINEAR_ACCUM_SPEED)
+        blur_radius = dc["diff_prepass_blur_radius"] * jnp.sqrt(
+            nm.saturate(hit_dist_factor))
+        mhdw = dc["min_hit_distance_weight"] * fraction_scale
+    else:
+        fraction_scale = (C.REBLUR_BLUR_FRACTION_SCALE if mode == BLUR
+                          else C.REBLUR_POST_BLUR_FRACTION_SCALE)
+        radius_scale = 1.0 if mode == BLUR else C.REBLUR_POST_BLUR_RADIUS_SCALE
+        boost = 1.0 - C.get_fade_based_on_accumulated_frames(dc, data1)
+        boost = boost * (1.0 - jnp.power(nm.saturate(1.0 - geom["nov"]), 5.0))
+        nlas = 1.0 / (1.0 + C.REBLUR_SAMPLES_PER_FRAME * (1.0 - boost) * data1)
+        blur_radius = dc["max_blur_radius"] * jnp.sqrt(
+            nm.saturate(hit_dist_factor * nlas)) * radius_scale
+        mhdw = dc["min_hit_distance_weight"] * fraction_scale
+        if not occlusion:
+            mhdw = mhdw * jnp.sqrt(nlas)
+    blur_radius = jnp.maximum(blur_radius, dc["min_blur_radius"])
+    nwp = nm.get_normal_weight_param(
+        nlas, dc["lobe_angle_fraction"], jnp.ones_like(view_z),
+        geom["enc_err"]) / fraction_scale
+    ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(sig_c), nlas)
+    return dict(blur_radius=blur_radius, normal_weight_param=nwp, ha=ha, hb=hb,
+                min_hit_dist_weight=jnp.broadcast_to(
+                    jnp.asarray(mhdw, jnp.float32), view_z.shape),
+                min_material=dc.get("diff_min_material", 0.0))
+
+
+def _fused_spec_params(sc, dc, mode, geom, signal, data1, cb_mask, occlusion):
+    """Per-signal kernel params for the specular side (specular_spatial_filter)."""
+    view_z = geom["view_z"]
+    roughness = geom["roughness"]
+    smc = geom["smc"]
+    sig_c = signal if cb_mask is None else signal * cb_mask[..., None]
+    hit_dist = C.extract_hit_dist(sig_c) * geom["hd_scale_spec"]
+    hit_dist_factor = nm.get_hit_dist_factor(hit_dist, geom["frustum_size"])
+
+    if mode == PRE_BLUR:
+        fraction_scale = C.REBLUR_PRE_BLUR_FRACTION_SCALE
+        radius_scale = 1.0
+        blur_radius = dc["spec_prepass_blur_radius"]
+        area_factor = roughness * hit_dist_factor
+        nlas = jnp.full_like(view_z, C.REBLUR_PRE_BLUR_NON_LINEAR_ACCUM_SPEED)
+    else:
+        fraction_scale = (C.REBLUR_BLUR_FRACTION_SCALE if mode == BLUR
+                          else C.REBLUR_POST_BLUR_FRACTION_SCALE)
+        radius_scale = 1.0 if mode == BLUR else C.REBLUR_POST_BLUR_RADIUS_SCALE
+        boost = 1.0 - C.get_fade_based_on_accumulated_frames(dc, data1)
+        boost = boost * (1.0 - jnp.power(nm.saturate(1.0 - geom["nov"]), 5.0))
+        boost = boost * smc
+        nlas = 1.0 / (1.0 + C.REBLUR_SAMPLES_PER_FRAME * (1.0 - boost) * data1)
+        blur_radius = dc["max_blur_radius"]
+        area_factor = roughness * hit_dist_factor * nlas
+    blur_radius = blur_radius * jnp.sqrt(nm.saturate(area_factor))
+    if mode == PRE_BLUR:
+        dv3, dvf = v3.get_specular_dominant_direction(
+            geom["nv3"], geom["vv3"], roughness, nm.get_specular_dominant_factor)
+        nod = jnp.abs(v3.dot(geom["nv3"], dv3))
+        lobe_tan = nm.get_specular_lobe_tan_half_angle(
+            roughness, C.REBLUR_MAX_PERCENT_OF_LOBE_VOLUME_FOR_PRE_PASS)
+        lobe_radius = hit_dist * nod * lobe_tan
+        min_blur_radius = lobe_radius / nm.pixel_radius_to_world(
+            sc["unproject"], sc["ortho_mode"], 1.0, view_z + hit_dist * dvf)
+        blur_radius = jnp.minimum(blur_radius, min_blur_radius)
+    blur_radius = blur_radius * radius_scale
+    blur_radius = jnp.maximum(blur_radius, dc["min_blur_radius"] * smc)
+
+    roughness_fraction_scaled = nm.saturate(dc["roughness_fraction"] * fraction_scale)
+    nwp = nm.get_normal_weight_param(nlas, dc["lobe_angle_fraction"], roughness,
+                                     geom["enc_err"]) / fraction_scale
+    wr_a, wr_b = nm.get_roughness_weight_params(roughness, roughness_fraction_scaled)
+    ha, hb = nm.get_hit_distance_weight_params(C.extract_hit_dist(sig_c), nlas,
+                                               roughness)
+    mhdw = dc["min_hit_distance_weight"] * fraction_scale * smc
+    if mode != PRE_BLUR and not occlusion:
+        mhdw = mhdw * jnp.sqrt(nlas)
+    out = dict(blur_radius=blur_radius, normal_weight_param=nwp, ha=ha, hb=hb,
+               min_hit_dist_weight=jnp.broadcast_to(
+                   jnp.asarray(mhdw, jnp.float32), view_z.shape),
+               min_material=dc.get("spec_min_material", 0.0),
+               spec=True, wr_a=wr_a, wr_b=wr_b)
+    if mode == PRE_BLUR:
+        out["hit_dist"] = hit_dist
+    return out
+
+
+@jax.named_scope("REBLUR/fused_spatial_filter")
+def fused_spatial_filter(sc, dc, mode, geom, view_z_in, config, *, diff=None,
+                         spec=None, occlusion=False, perf_mode=False):
+    """One fused Pallas launch running the diffuse AND specular spatial filter.
+
+    mode: PRE_BLUR / BLUR / POST_BLUR. diff/spec: dicts {signal, sh, data1, cb_mask}
+    (data1 unused for PRE_BLUR). Returns
+    {diff, diff_sh, spec, spec_sh, spec_hdt} with the same per-signal outputs as
+    diffuse_pre_pass / diffuse_spatial_filter / specular_spatial_filter."""
+    from ...kernels.reblur_fused import spatial_filter_fused_pallas
+
+    signals = []
+    order = []
+    if diff is not None:
+        p = _fused_diff_params(sc, dc, mode, geom, diff["signal"],
+                               diff.get("data1"), diff.get("cb_mask"), occlusion)
+        p.update(signal=diff["signal"], sh=diff.get("sh"),
+                 cb_mask=diff.get("cb_mask"))
+        signals.append(p)
+        order.append("diff")
+    if spec is not None:
+        p = _fused_spec_params(sc, dc, mode, geom, spec["signal"],
+                               spec.get("data1"), spec.get("cb_mask"), occlusion)
+        p.update(signal=spec["signal"], sh=spec.get("sh"),
+                 cb_mask=spec.get("cb_mask"))
+        if mode == PRE_BLUR:
+            p["prepass"] = True
+            h, w = view_z_in.shape
+            pixel_pos = resample.pixel_pos_grid(h, w)
+            rng_state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]),
+                                     sc["frame_index"])
+            rnd8 = []
+            for _ in range(8):
+                rng_state, rnd = nm.hash_float(rng_state)
+                rnd8.append(rnd)
+            p["rnd"] = rnd8
+        signals.append(p)
+        order.append("spec")
+
+    res = spatial_filter_fused_pallas(
+        sc, dc, config, signals=signals, view_z_in=view_z_in, n=geom["n"],
+        nv=geom["nv"], roughness=geom["roughness"],
+        material_id=geom["material_id"], ga=geom["ga"], gb=geom["gb"],
+        perf_mode=perf_mode)
+
+    out = {"diff": None, "diff_sh": None, "spec": None, "spec_sh": None,
+           "spec_hdt": None}
+    for name, src, r in zip(order, signals, res):
+        sig_out, sh_out = r["signal"], r["sh"]
+        if src.get("cb_mask") is not None:
+            resolved = cb_neighbor_resolve(sc, src["signal"], geom["view_z"],
+                                           geom["frustum_size"], geom["nov"])
+            sig_out = jnp.where((r["wsum"] == 0.0)[..., None], resolved, sig_out)
+            if sh_out is not None:
+                sh_res = cb_neighbor_resolve(sc, src["sh"], geom["view_z"],
+                                             geom["frustum_size"], geom["nov"])
+                sh_out = jnp.where((r["wsum"] == 0.0)[..., None], sh_res, sh_out)
+        if mode == PRE_BLUR and src.get("cb_mask") is None:
+            key = "diff_prepass_blur_radius" if name == "diff" \
+                else "spec_prepass_blur_radius"
+            disabled = dc[key] == 0.0
+            sig_out = jnp.where(disabled, src["signal"], sig_out)
+            if sh_out is not None:
+                sh_out = jnp.where(disabled, src["sh"], sh_out)
+            if r["hdt"] is not None:
+                r["hdt"] = jnp.where(disabled, C.extract_hit_dist(src["signal"]),
+                                     r["hdt"])
+        out[name] = sig_out
+        out[name + "_sh"] = sh_out
+        if r["hdt"] is not None:
+            out["spec_hdt"] = r["hdt"]
+    return out
+
+
+def _fused_hfix_params(sc, dc, geom, signal, data1, is_diffuse):
+    """Per-signal history-fix params (formula source: history_fix above)."""
+    roughness = geom["roughness"]
+    frame_num = data1
+    stride = dc["history_fix_base_pixel_stride"] / (2.0 + frame_num)
+    stride = stride * (frame_num < dc["history_fix_frame_num"]).astype(jnp.float32)
+    if not is_diffuse:
+        stride = stride * nm.lerp(0.5, 1.0, geom["smc"])
+    stride = jnp.floor(stride)
+    nlas = 1.0 / (1.0 + frame_num)
+    nwp = nm.get_normal_weight_param(
+        nlas, dc["lobe_angle_fraction"],
+        roughness if not is_diffuse else jnp.ones_like(roughness), geom["enc_err"])
+    hd_scale = geom["hd_scale_diff"] if is_diffuse else geom["hd_scale_spec"]
+    hit_dist = C.extract_hit_dist(signal) * hd_scale
+    hit_dist_factor = nm.get_hit_dist_factor(hit_dist, geom["frustum_size"])
+    ha, hb = nm.get_hit_distance_weight_params(
+        hit_dist_factor, nlas,
+        jnp.ones_like(roughness) if is_diffuse else roughness)
+    p = dict(stride=stride, normal_weight_param=nwp, ha=ha, hb=hb,
+             frame_num=frame_num, data1=data1, hit_dist_scale=hd_scale,
+             min_material=dc.get(
+                 "diff_min_material" if is_diffuse else "spec_min_material", 0.0))
+    if not is_diffuse:
+        ra, rb = nm.get_relaxed_roughness_weight_params(
+            roughness * roughness, jnp.sqrt(dc["roughness_fraction"]))
+        p.update(spec=True, ra=ra, rb=rb, hit_dist=hit_dist,
+                 bguide=nm.linearstep(0.03, 0.05, roughness))
+    return p
+
+
+def _hfix_post(sc, dc, geom, r, signal, sh, fast_history, stride, frame_num,
+               is_diffuse, occ_like, occlusion, directional, anti_firefly):
+    """Post-kernel fast-history clamp chain (history_fix pallas branch, kept 1:1)."""
+    signal_out = jnp.where((stride != 0.0)[..., None], r["signal"], signal)
+    sh_out = None
+    if sh is not None:
+        sh_out = jnp.where((stride != 0.0)[..., None], r["sh"], sh)
+    f = nm.saturate(frame_num / (dc["history_fix_frame_num"] + NRD_EPS))
+    if not is_diffuse:
+        f = nm.lerp(1.0, f, geom["smc"])
+    fast_out = nm.lerp(C.get_luma(signal_out, occ_like), fast_history, f)
+    sigma = nm.get_std_dev(r["m1"], r["m2"]) * C.color_clamping_sigma_scale(occ_like)
+    luma = C.get_luma(signal_out, occ_like)
+    if anti_firefly:
+        asig = nm.get_std_dev(r["am1"], r["am2"]) * C.REBLUR_ANTI_FIREFLY_SIGMA_SCALE
+        luma = jnp.clip(luma, r["am1"] - asig, r["am1"] + asig)
+    luma_clamped = jnp.clip(luma, r["m1"] - sigma, r["m1"] + sigma)
+    fast_enabled = (dc["max_fast_accumulated_frame_num"]
+                    < dc["max_accumulated_frame_num"]).astype(jnp.float32)
+    luma = nm.lerp(luma_clamped, luma, 1.0 / (1.0 + fast_enabled * frame_num * 2.0))
+    signal_out = C.change_luma(signal_out, luma, occlusion, directional)
+    if sh_out is not None:
+        scale = C.get_luma_scale(nm.length(sh_out[..., :3]), luma)
+        sh_out = jnp.concatenate([sh_out[..., :3] * scale[..., None],
+                                  sh_out[..., 3:]], -1)
+    return signal_out, fast_out, sh_out
+
+
+@jax.named_scope("REBLUR/fused_history_fix")
+def fused_history_fix(sc, dc, geom, view_z_in, config, *, diff=None, spec=None,
+                      occlusion=False, directional=False, perf_mode=False):
+    """One fused Pallas launch running diffuse AND specular history fix.
+
+    diff/spec: dicts {signal, sh, data1, fast_history, anti_firefly}. Returns
+    {diff: (signal, fast, sh), spec: (...)} matching history_fix's outputs."""
+    from ...kernels.reblur_fused import history_fix_fused_pallas
+
+    signals, order = [], []
+    for name, s, is_d in (("diff", diff, True), ("spec", spec, False)):
+        if s is None:
+            continue
+        p = _fused_hfix_params(sc, dc, geom, s["signal"], s["data1"], is_d)
+        p.update(signal=s["signal"], sh=s.get("sh"),
+                 fast_history=s["fast_history"],
+                 anti_firefly=bool(s.get("anti_firefly")))
+        signals.append(p)
+        order.append((name, s, is_d))
+
+    res = history_fix_fused_pallas(
+        sc, dc, config, signals=signals, view_z_in=view_z_in, n=geom["n"],
+        nv=geom["nv"], roughness=geom["roughness"],
+        material_id=geom["material_id"], ga=geom["ga"], gb=geom["gb"],
+        frustum_size=geom["frustum_size"], perf_mode=perf_mode)
+
+    out = {}
+    occ_like = occlusion or directional
+    for (name, s, is_d), p, r in zip(order, signals, res):
+        out[name] = _hfix_post(sc, dc, geom, r, s["signal"], s.get("sh"),
+                               s["fast_history"], p["stride"], p["frame_num"], is_d,
+                               occ_like, occlusion, directional,
+                               bool(s.get("anti_firefly")))
+    return out
 
 
 @jax.named_scope("REBLUR/diffuse_pre_pass")

@@ -200,7 +200,8 @@ def _units_jitter_rotators(sc, uv, x_world, view_z, live, prev_rgb, h4, w4):
     sq = jnp.where((near3 & ~jvalid)[..., None], jnp.asarray([1.0, 0.0, 0.0]), sq)
 
     # rotator taps (additive trail, cleared every 256 frames)
-    scale = 0.5 * nm.reverse_bits4(jnp.asarray(sc["frame_index"], jnp.int32)) / 16.0
+    scale = 0.5 * nm._reverse_bits_4(
+        jnp.asarray(sc["frame_index"], jnp.int32)).astype(jnp.float32) / 16.0
     b2 = jnp.floor(rem2 * dim_px)
     rot = prev_rgb
     add = jnp.zeros_like(prev_rgb)

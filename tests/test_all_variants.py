@@ -96,7 +96,17 @@ def build_pool(d: Denoiser, fd):
     return pool
 
 
-@pytest.mark.parametrize("denoiser", list(Denoiser), ids=lambda d: d.name)
+# fast-core representatives: one per family + the flagship; the remaining 14 variants
+# run under -m slow (pytest.ini keeps the default run compile-light)
+_CORE_VARIANTS = {"REBLUR_DIFFUSE", "REBLUR_DIFFUSE_SPECULAR", "RELAX_DIFFUSE_SPECULAR",
+                  "SIGMA_SHADOW", "REFERENCE"}
+
+
+@pytest.mark.parametrize(
+    "denoiser",
+    [d if d.name in _CORE_VARIANTS else pytest.param(d, marks=pytest.mark.slow)
+     for d in Denoiser],
+    ids=lambda d: d.name)
 def test_two_frames_finite(denoiser):
     eng = Engine({0: denoiser}, resource_size=SIZE)
     outs = None

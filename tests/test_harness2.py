@@ -78,7 +78,12 @@ def test_block_minmax_agrees_with_grid():
 
 
 def test_blur2_matches_v1_identity_rotator(interpret):
-    """v2's static tap lattice == v1's rotated lattice when the rotator is identity."""
+    """v3's lattice == v1's rotated lattice: identity rotator + uniform level radius.
+
+    The v3 redesign (one block-level disk + per-pixel Gaussian rescale, reblur_blur2
+    module docstring) only coincides with v1's per-pixel lattice when the radius is
+    uniform and equal to a RADIUS_LEVELS entry - there the level selection is exact
+    and the Gaussian rescale reduces to v1's per-tap Gaussian."""
     from nrdtpu.engine import DenoiserConfig
     from nrdtpu.kernels.reblur_blur2 import spatial_filter_taps_pallas2 as v2
     from nrdtpu.kernels.reblur_pallas import spatial_filter_taps_pallas as v1
@@ -106,7 +111,7 @@ def test_blur2_matches_v1_identity_rotator(interpret):
               signal=jnp.asarray(rng.random((H, W, 4)), jnp.float32), sh=None,
               view_z_in=jnp.asarray(1.0 + rng.random((H, W)), jnp.float32),
               normal_roughness=jnp.asarray(packed, jnp.float32),
-              blur_radius=jnp.asarray(rng.random((H, W)) * 30, jnp.float32),
+              blur_radius=jnp.full((H, W), 8.0, jnp.float32),  # == RADIUS_LEVELS[2]
               ga=jnp.full((H, W), 5.0), gb=jnp.full((H, W), 0.1),
               normal_weight_param=jnp.full((H, W), 2.0),
               ha=jnp.full((H, W), -1.0), hb=jnp.full((H, W), 0.0),
@@ -116,7 +121,31 @@ def test_blur2_matches_v1_identity_rotator(interpret):
     a = np.asarray(v1(sc, dc, config, **kw)[0])
     b = np.asarray(v2(sc, dc, config, **kw)[0])
     assert np.isfinite(a).all() and np.isfinite(b).all()
-    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # v3 runs bf16 windows (reblur_blur2 docstring) -> quantization-level differences;
+    # the lattice/weight shape must still agree closely
+    assert np.abs(a - b).mean() < 0.01, np.abs(a - b).mean()
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
+def test_nearest_resolve_multi_matches_single(interpret):
+    """One multi-base launch == N separate nearest_resolve launches."""
+    from nrdtpu.kernels.reblur_pallas import nearest_resolve, nearest_resolve_multi
+
+    h, w = 192, 1280
+    rng = np.random.default_rng(4)
+    planes = [jnp.asarray(rng.random((h, w)).astype(np.float32)) for _ in range(3)]
+    sets = []
+    for k in range(3):
+        mvy = jnp.asarray((rng.random((h, w)) * 16 - 8 + 5 * k).astype(np.float32))
+        mvx = jnp.asarray((rng.random((h, w)) * 40 - 20 - 7 * k).astype(np.float32))
+        sets.append((mvy, mvx))
+    multi = nearest_resolve_multi(planes, sets)
+    for (mvy, mvx), (got, gvalid) in zip(sets, multi):
+        exp, evalid = nearest_resolve(planes, mvy, mvx)
+        np.testing.assert_array_equal(np.asarray(gvalid), np.asarray(evalid))
+        for a, b in zip(got, exp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_dma_base_offset_windows(interpret):

@@ -122,6 +122,7 @@ class TestRelaxDiffuseSpecular:
         assert np.median(rel) < 0.5
 
 
+@pytest.mark.slow
 class TestRelaxSH:
     def test_diffuse_sh_runs(self, scene):
         def pool(fd):
@@ -135,6 +136,7 @@ class TestRelaxSH:
         assert np.isfinite(np.asarray(outs[RT.OUT_DIFF_SH1])).all()
 
 
+@pytest.mark.slow
 def test_relax_checkerboard_modes():
     """RELAX CheckerboardMode: half-width inputs resolve at the pipeline front
     (RELAX_PrePass.hlsli:28-110) and accumulate slower on no-data pixels."""
