@@ -30,6 +30,25 @@ HALO = (32, 128)
 BLOCK = (64, 256)
 _G3 = (0.44198, 0.27901)
 
+
+def atrous_halo(step_size: int):
+    """Halo covering the static +-step tap reach (jitter rides the DMA offset)."""
+    return (max(HALO[0], -(-step_size // 8) * 8),
+            max(HALO[1], -(-step_size // 128) * 128))
+
+
+def atrous_block(h: int, w: int, step_size: int):
+    """Block for one a-trous iteration; shared by the kernel launch and the
+    per-block jitter grid so both always agree.
+
+    Large strides inflate the halo (window rows ~ block + 2*stride): shrink the
+    block so windows stay inside VMEM - the extra halo DMA is the cheaper
+    resource, and strides >= 32 run once per frame each."""
+    from .harness import pick_block
+
+    want = (64, 256) if step_size <= 32 else (32, 256)
+    return pick_block(h, w, want, atrous_halo(step_size))
+
 # scalar layout
 _A_FRUSTUM = 0   # 9: frustum_right, frustum_up, frustum_forward (world space)
 _A_MISC = 9      # view_z_scale, ortho, denoising_range, rough_edge_relax,
@@ -383,14 +402,20 @@ def relax_atrous_pallas(sc, dc, config, *, step_size, is_first, view_z_in,
         centers += [spec_sh[..., c] for c in range(4)]
 
     bsm = list(jitter) if jitter is not None else []
-    # halo must cover the static +-step tap reach (jitter rides the DMA offset)
-    halo = (max(HALO[0], -(-step_size // 8) * 8),
-            max(HALO[1], -(-step_size // 128) * 128))
+    halo = atrous_halo(step_size)
+    h2, w2 = view_z_in.shape
+    block = atrous_block(h2, w2, step_size)
+    if step_size >= 64:
+        # large-stride iterations (7-8 of the RELAX_Atrous.hlsli ladder, Relax.cpp:274)
+        # blow the VMEM window budget at f32 (halo rows scale with the stride); signal
+        # and G-buffer windows ride bf16 (Win2 upcasts taps), viewZ stays f32 for the
+        # plane-distance test.
+        windows = [windows[0]] + [w_.astype(jnp.bfloat16) for w_ in windows[1:]]
     n_out = 4 * (int(has_diff) + int(has_spec) + int(d_sh) + int(s_sh))
     outs = stencil_call2(
         functools.partial(_atrous_kernel, step_size, is_first, has_diff, has_spec,
                           d_sh, s_sh, mat_occ, rough_sq),
-        windows, n_out=n_out, halo=halo, block=BLOCK,
+        windows, n_out=n_out, halo=halo, block=block,
         scalars=scalars, block_scalars=bsm, center_inputs=centers,
         base_offset=jitter if jitter is not None else None,
         offset_windows=[True] * len(windows) if jitter is not None else None)

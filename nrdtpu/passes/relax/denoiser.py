@@ -306,9 +306,10 @@ class RelaxDenoiser:
         diff_sh_cur = hc.get("diff_sh")
         spec_sh_cur = hc.get("spec_sh")
         for i in range(iterations):
-            # pallas taps are halo-bounded: strides above 28 px (iterations >= 6) fall
-            # back to the XLA path
-            use_p = pallas_ok and (1 << i) <= 28
+            # all 8 ladder strides (1..128) run on Pallas: the halo scales with the
+            # stride and the block shrinks to keep windows in VMEM (atrous_block);
+            # strides >= 64 ride bf16 windows (relax_pallas.relax_atrous_pallas)
+            use_p = pallas_ok and (1 << i) <= 128
             res = K.atrous(sc, dc, view_z, normal_roughness, history_length,
                            spec_conf_reproj, diff_cur, spec_cur, cfg,
                            step_size=1 << i, is_first=(i == 0),

@@ -1409,9 +1409,9 @@ def atrous(sc, dc, view_z_in, normal_roughness, history_length, spec_reproj_conf
                                            dc["lobe_angle_fraction"])
         jitter = None
         if not is_first and step_size > 4:
-            from ...kernels.harness import pick_block
+            from ...kernels.relax_pallas import atrous_block
 
-            bh_, bw_ = pick_block(h, w, (64, 256), (32, 128))
+            bh_, bw_ = atrous_block(h, w, step_size)
             gh_, gw_ = -(-h // bh_), -(-w // bw_)
             gy = jnp.arange(gh_, dtype=jnp.int32)[:, None] * jnp.ones((1, gw_), jnp.int32)
             gx = jnp.arange(gw_, dtype=jnp.int32)[None, :] * jnp.ones((gh_, 1), jnp.int32)

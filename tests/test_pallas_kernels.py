@@ -145,12 +145,15 @@ def test_reblur_ta_pallas_matches_xla(pallas_interpret):
         assert np.abs(a - b).mean() < 0.05, (name, np.abs(a - b).mean())
 
 
-def _run_relax_ds(n_frames, size=(128, 96)):
+def _run_relax_ds(n_frames, size=(128, 96), iterations=None):
     import jax.numpy as jnp
     from nrdtpu.utils.scene import SceneGenerator, SceneSpec
 
     gen = SceneGenerator(SceneSpec(size=size, noise=0.4), camera_mode="static")
     eng = Engine({0: Denoiser.RELAX_DIFFUSE_SPECULAR}, resource_size=size)
+    if iterations is not None:
+        from nrdtpu.settings import RelaxSettings
+        eng.set_denoiser_settings(0, RelaxSettings(atrousIterationNum=iterations))
     outs = None
     for i in range(n_frames):
         fd = gen.frame(i)
@@ -167,6 +170,25 @@ def _run_relax_ds(n_frames, size=(128, 96)):
         outs = eng.denoise([0], pool)
     return (np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST]),
             np.asarray(outs[RT.OUT_SPEC_RADIANCE_HITDIST]))
+
+
+@pytest.mark.slow
+def test_relax_atrous_large_strides_pallas(pallas_interpret):
+    """The full 8-iteration ladder (strides 1..128) stays on the Pallas path
+    (RELAX_Atrous.hlsli / Relax.cpp:274; VERDICT r1 #6). Strides > 4 jitter
+    per-block on Pallas vs per-pixel on XLA, and strides >= 64 tap bf16 windows,
+    so the comparison is statistical, not exact."""
+    d_p, s_p = _run_relax_ds(3, iterations=8)
+    os.environ["NRDTPU_IMPL"] = "xla"
+    try:
+        d_x, s_x = _run_relax_ds(3, iterations=8)
+    finally:
+        os.environ["NRDTPU_IMPL"] = "pallas"
+    for a, b, name in ((d_p, d_x, "diff"), (s_p, s_x, "spec")):
+        assert np.isfinite(a).all(), name
+        corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
+        assert corr > 0.95, (name, corr)
+        assert np.abs(a[..., :3] - b[..., :3]).mean() < 0.08, name
 
 
 def test_relax_atrous_pallas_matches_xla(pallas_interpret):
@@ -215,6 +237,7 @@ def _run_reblur_ds_sh(n_frames, size=(128, 96)):
             np.asarray(outs[RT.OUT_DIFF_SH1]), np.asarray(outs[RT.OUT_SPEC_SH1]))
 
 
+@pytest.mark.slow
 def test_reblur_sh_pallas_matches_xla(pallas_interpret):
     """REBLUR_DIFFUSE_SPECULAR_SH end-to-end: Pallas path (incl. SH reprojection via
     the smb/vmb bundles) vs pure XLA."""
@@ -260,6 +283,7 @@ def _run_relax_ds_sh(n_frames, size=(128, 96)):
             np.asarray(outs[RT.OUT_DIFF_SH1]), np.asarray(outs[RT.OUT_SPEC_SH1]))
 
 
+@pytest.mark.slow
 def test_relax_sh_pallas_matches_xla(pallas_interpret):
     """RELAX_DIFFUSE_SPECULAR_SH end-to-end: Pallas path (SH through prepass, TA
     smb/vmb, history fix, a-trous) vs pure XLA."""
@@ -277,6 +301,7 @@ def test_relax_sh_pallas_matches_xla(pallas_interpret):
         assert np.abs(a - b).mean() < 0.05, (name, np.abs(a - b).mean())
 
 
+@pytest.mark.slow
 def test_reblur_performance_mode(pallas_interpret):
     """enablePerformanceMode: 6-tap Poisson + bilinear-only history sampling
     (REBLUR_Config.hlsli:196-238). Output must stay finite and close to quality mode."""
@@ -321,6 +346,7 @@ def test_reblur_performance_mode(pallas_interpret):
     assert corr > 0.95, corr
 
 
+@pytest.mark.slow
 def test_reblur_checkerboard_pallas(pallas_interpret):
     """Checkerboard on the Pallas path stays finite and close to the XLA path."""
     import jax.numpy as jnp
