@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import camera
@@ -43,6 +44,28 @@ from .settings import (
 
 # populated lazily to avoid import cycles
 _FAMILY_REGISTRY: Dict[Denoiser, Any] = {}
+
+
+def _migrate_state(state, old_rect, new_rect):
+    """Crop/pad every (old_h, old_w, ...) state plane to the new rect shape.
+
+    Dynamic-resolution rect changes (NRDSettings.h:124-128): grown rows/cols are
+    zero-filled (zero history length -> treated as disoccluded / fresh by the
+    temporal passes via the rect_size_prev in-screen test); shrunk rows/cols are
+    dropped. rects are (w, h); planes are (h, w[, c])."""
+    ow, oh = old_rect
+    nw, nh = new_rect
+
+    def mig(leaf):
+        if getattr(leaf, "ndim", 0) < 2 or leaf.shape[:2] != (oh, ow):
+            return leaf
+        out = leaf[:min(oh, nh), :min(ow, nw)]
+        py, px = nh - out.shape[0], nw - out.shape[1]
+        if py or px:
+            out = jnp.pad(out, [(0, py), (0, px)] + [(0, 0)] * (leaf.ndim - 2))
+        return out
+
+    return jax.tree_util.tree_map(mig, state)
 
 
 def _registry():
@@ -171,6 +194,27 @@ class Engine:
             inst = self._instances[ident]
             settings = self._settings[ident]
 
+            # dynamic resolution (NRDSettings.h:124-128, InstanceImpl.cpp:834-856):
+            # the pipeline runs at the per-frame rect shape - a new rect re-jits (the
+            # persistent compile cache amortizes repeats; XLA's static-shape model
+            # makes this the TPU-native equivalent of the reference's gRectSize
+            # scissoring). History state migrates by crop/pad: grown regions read as
+            # fresh (zero history -> the rect_size_prev in-screen test already marks
+            # them disoccluded); on a shrink the band beyond the new rect is dropped.
+            res_w, res_h = inst.config.resource_size
+            if self._cs is not None and all(self._cs.rectSize):
+                rect = (min(int(self._cs.rectSize[0]), res_w),
+                        min(int(self._cs.rectSize[1]), res_h))
+            else:
+                rect = tuple(inst.config.rect_size)
+            if rect != tuple(inst.config.rect_size):
+                old_rect = tuple(inst.config.rect_size)
+                inst = type(inst)(dataclasses.replace(inst.config, rect_size=rect))
+                self._instances[ident] = inst
+                if self._states[ident] is not None:
+                    self._states[ident] = _migrate_state(
+                        self._states[ident], old_rect, rect)
+
             # static (permutation) key -> re-jit when structure changes
             enable_validation = bool(self._cs.enableValidation) if self._cs else False
             inst.enable_validation = enable_validation
@@ -183,7 +227,7 @@ class Engine:
                 if 0 <= px < w_ and 0 <= py < h_:
                     probe_at = (int(px), int(py))
             static_key = (getattr(inst, "static_key", lambda s: ())(settings),
-                          enable_validation, probe_at)
+                          enable_validation, probe_at, rect)
             if self._states[ident] is None or clear:
                 self._states[ident] = inst.init_state()
                 if self.mesh is not None:
@@ -211,18 +255,31 @@ class Engine:
 
             dc = inst.frame_constants(self._consts, settings)
             sc = self._shared_consts()
+            rw, rh = rect
+            pool_i = user_pool
+            if rect != (res_w, res_h):
+                # resources stay allocated at resourceSize; the rect is the top-left
+                # region (InstanceImpl.cpp:834-856)
+                pool_i = {k: (v[:rh, :rw] if getattr(v, "ndim", 0) >= 2
+                              and v.shape[0] >= rh and v.shape[1] >= rw else v)
+                          for k, v in user_pool.items()}
             if self.mesh is not None:
                 from .parallel.spmd import shard_frame_tree
 
-                h = inst.config.rect_size[1]
-                user_pool = shard_frame_tree(self.mesh, user_pool, h)
-                dc = shard_frame_tree(self.mesh, dc, h)
-                sc = shard_frame_tree(self.mesh, sc, h)
-            outs, new_state = self._jitted[ident](sc, dc, self._states[ident], user_pool)
+                pool_i = shard_frame_tree(self.mesh, pool_i, rh)
+                dc = shard_frame_tree(self.mesh, dc, rh)
+                sc = shard_frame_tree(self.mesh, sc, rh)
+            outs, new_state = self._jitted[ident](sc, dc, self._states[ident], pool_i)
             if probe_at is not None:
                 outs, probe_vals = outs
                 outputs[Engine.PROBE_KEY] = probe_vals
             self._states[ident] = new_state
+            if rect != (res_w, res_h):
+                outs = {k: (jnp.pad(v, [(0, res_h - v.shape[0]), (0, res_w - v.shape[1])]
+                                    + [(0, 0)] * (v.ndim - 2))
+                            if getattr(v, "ndim", 0) >= 2 and v.shape[0] == rh
+                            and v.shape[1] == rw else v)
+                        for k, v in outs.items()}
             outputs.update(outs)
         return outputs
 

@@ -86,6 +86,7 @@ class TestReblurDiffuse:
         assert deltas[-1] < 0.5 * deltas[0], deltas
 
 
+@pytest.mark.slow
 class TestReblurSpecular:
     def test_specular_converges(self, scene):
         outs, eng, fd = run(scene, Denoiser.REBLUR_SPECULAR, 24,
@@ -129,6 +130,7 @@ class TestReblurDiffuseSpecular:
         assert np.median(spec_accum[geom]) > 4.0
 
 
+@pytest.mark.slow
 class TestReblurSH:
     def test_diffuse_sh_runs(self, scene):
         def pool(fd):
@@ -149,6 +151,7 @@ class TestReblurSH:
         assert resolved[geom].mean() > 0.0
 
 
+@pytest.mark.slow
 class TestReblurDirectionalOcclusion:
     def test_runs_and_converges(self, scene):
         def pool(fd):
@@ -166,6 +169,7 @@ class TestReblurDirectionalOcclusion:
         assert err_out < 0.5 * err_in, (err_in, err_out)
 
 
+@pytest.mark.slow
 def test_reblur_checkerboard_modes():
     """CheckerboardMode BLACK/WHITE: half-width noisy inputs reconstruct to a result
     close to the full-resolution run (reference semantics: REBLUR_PrePass.hlsli:44-78,
@@ -224,3 +228,35 @@ def test_reblur_checkerboard_modes():
         assert np.isfinite(half).all()
         corr = np.corrcoef(half[..., :3].ravel(), full[..., :3].ravel())[0, 1]
         assert corr > 0.9, (mode, corr)
+
+
+def test_dynamic_resolution_rect_shrink_keeps_history():
+    """Per-frame rectSize < resourceSize (NRDSettings.h:124-128): shrinking the rect
+    mid-run re-specializes the jit at the new shape, migrates the history state, and
+    keeps accumulated history inside the surviving region."""
+    w, h = SIZE
+    gen = SceneGenerator(SceneSpec(size=SIZE, noise=0.4), camera_mode="static")
+    eng = Engine({0: Denoiser.REBLUR_DIFFUSE}, resource_size=SIZE)
+    rect_small = (96, 88)  # (w, h)
+    outs = None
+    for i in range(8):
+        fd = gen.frame(i)
+        cs = fd.common_settings
+        if i >= 4:
+            cs.rectSize = rect_small
+            cs.rectSizePrev = rect_small if i > 4 else (w, h)
+        eng.set_common_settings(cs)
+        pool = dict(base_inputs(gen, fd))
+        pool[RT.IN_DIFF_RADIANCE_HITDIST] = diff_packed(fd)
+        outs = eng.denoise([0], pool)
+        accum = np.asarray(eng.get_state(0)["diff_accum"])
+        if i == 3:
+            assert accum[64:88, 10:110].min() >= 3.0, "history should accumulate pre-shrink"
+    state = eng.get_state(0)
+    assert np.asarray(state["diff_accum"]).shape == (rect_small[1], rect_small[0])
+    # interior of the surviving region kept its accumulated frame count across the
+    # shrink (4 pre-shrink + 4 post-shrink frames, minus reprojection losses)
+    assert np.asarray(state["diff_accum"])[64:80, 10:90].min() >= 5.0
+    out = np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST])
+    assert out.shape[:2] == (h, w), "outputs stay resource-sized"
+    assert np.isfinite(out).all()
