@@ -140,6 +140,135 @@ typedef struct nrdtpu_resource_slot {
     uint32_t channels;
 } nrdtpu_resource_slot;
 
+/* ---------------------------------------------------------------------------
+ * Typed per-denoiser settings (NRDSettings.h:201-461; field order follows the
+ * python dataclasses in nrdtpu/settings.py, which mirror the reference structs).
+ * Marshalled onto the python settings objects by the typed setters below; the
+ * text API (nrdtpu_set_denoiser_settings) remains for forward compatibility.
+ * Enum-typed fields carry the reference enum values (NRDSettings.h:68-86):
+ * checkerboard_mode 0 OFF / 1 BLACK / 2 WHITE; hit_distance_reconstruction_mode
+ * 0 OFF / 1 AREA_3X3 / 2 AREA_5X5. */
+
+typedef struct nrdtpu_hit_distance_parameters {
+    float a, b, c, d; /* NRDSettings.h:206-219 */
+} nrdtpu_hit_distance_parameters;
+
+typedef struct nrdtpu_reblur_settings {
+    nrdtpu_hit_distance_parameters hit_distance_parameters;
+    float antilag_luminance_sigma_scale;
+    float antilag_luminance_sensitivity;
+    uint32_t max_accumulated_frame_num;
+    uint32_t max_fast_accumulated_frame_num;
+    uint32_t max_stabilized_frame_num;
+    uint32_t max_stabilized_frame_num_for_hit_distance;
+    uint32_t history_fix_frame_num;
+    uint32_t history_fix_base_pixel_stride;
+    float diffuse_prepass_blur_radius;
+    float specular_prepass_blur_radius;
+    float min_hit_distance_weight;
+    float min_blur_radius;
+    float max_blur_radius;
+    float lobe_angle_fraction;
+    float roughness_fraction;
+    float responsive_accumulation_roughness_threshold;
+    float plane_distance_sensitivity;
+    float specular_probability_thresholds_for_mv_modification[2];
+    float firefly_suppressor_min_relative_scale;
+    uint32_t checkerboard_mode;
+    uint32_t hit_distance_reconstruction_mode;
+    uint8_t enable_anti_firefly;
+    uint8_t enable_performance_mode;
+    float min_material_for_diffuse;
+    float min_material_for_specular;
+    uint8_t use_prepass_only_for_specular_motion_estimation;
+} nrdtpu_reblur_settings;
+
+typedef struct nrdtpu_relax_settings {
+    float antilag_acceleration_amount;
+    float antilag_spatial_sigma_scale;
+    float antilag_temporal_sigma_scale;
+    float antilag_reset_amount;
+    uint32_t diffuse_max_accumulated_frame_num;
+    uint32_t specular_max_accumulated_frame_num;
+    uint32_t diffuse_max_fast_accumulated_frame_num;
+    uint32_t specular_max_fast_accumulated_frame_num;
+    uint32_t history_fix_frame_num;
+    uint32_t history_fix_base_pixel_stride;
+    float history_fix_edge_stopping_normal_power;
+    uint32_t spatial_variance_estimation_history_threshold;
+    float diffuse_prepass_blur_radius;
+    float specular_prepass_blur_radius;
+    float min_hit_distance_weight;
+    float diffuse_phi_luminance;
+    float specular_phi_luminance;
+    float lobe_angle_fraction;
+    float roughness_fraction;
+    float specular_variance_boost;
+    float specular_lobe_angle_slack;
+    float history_clamping_color_box_sigma_scale;
+    uint32_t atrous_iteration_num;
+    float diffuse_min_luminance_weight;
+    float specular_min_luminance_weight;
+    float depth_threshold;
+    float confidence_driven_relaxation_multiplier;
+    float confidence_driven_luminance_edge_stopping_relaxation;
+    float confidence_driven_normal_edge_stopping_relaxation;
+    float luminance_edge_stopping_relaxation;
+    float normal_edge_stopping_relaxation;
+    float roughness_edge_stopping_relaxation;
+    uint32_t checkerboard_mode;
+    uint32_t hit_distance_reconstruction_mode;
+    uint8_t enable_anti_firefly;
+    uint8_t enable_roughness_edge_stopping;
+    float min_material_for_diffuse;
+    float min_material_for_specular;
+} nrdtpu_relax_settings;
+
+typedef struct nrdtpu_sigma_settings {
+    float light_direction[3];
+    float plane_distance_sensitivity;
+    uint32_t max_stabilized_frame_num;
+} nrdtpu_sigma_settings;
+
+typedef struct nrdtpu_reference_settings {
+    uint32_t max_accumulated_frame_num;
+} nrdtpu_reference_settings;
+
+/* Fill a settings struct with the reference defaults (NRDSettings.h defaults,
+ * same values as the python dataclasses). */
+void nrdtpu_get_default_reblur_settings(nrdtpu_reblur_settings* out);
+void nrdtpu_get_default_relax_settings(nrdtpu_relax_settings* out);
+void nrdtpu_get_default_sigma_settings(nrdtpu_sigma_settings* out);
+void nrdtpu_get_default_reference_settings(nrdtpu_reference_settings* out);
+
+/* Typed SetDenoiserSettings (Wrapper.cpp:207-233 analogue). The settings type
+ * must match the denoiser family behind `identifier`. */
+nrdtpu_result nrdtpu_set_reblur_settings(nrdtpu_instance* instance, uint32_t identifier,
+                                         const nrdtpu_reblur_settings* settings);
+nrdtpu_result nrdtpu_set_relax_settings(nrdtpu_instance* instance, uint32_t identifier,
+                                        const nrdtpu_relax_settings* settings);
+nrdtpu_result nrdtpu_set_sigma_settings(nrdtpu_instance* instance, uint32_t identifier,
+                                        const nrdtpu_sigma_settings* settings);
+nrdtpu_result nrdtpu_set_reference_settings(nrdtpu_instance* instance, uint32_t identifier,
+                                            const nrdtpu_reference_settings* settings);
+
+/* Library info (Wrapper.cpp:46-57 LibraryDesc analogue; the SPIRV binding
+ * offsets have no TPU meaning and are omitted). */
+typedef struct nrdtpu_library_desc {
+    uint32_t version_major;
+    uint32_t version_minor;
+    const nrdtpu_denoiser* supported_denoisers;
+    uint32_t supported_denoiser_num;
+    uint32_t normal_encoding;    /* default build encoding, NRDDescs.h:340-362 */
+    uint32_t roughness_encoding; /* NRDDescs.h:364-370 */
+} nrdtpu_library_desc;
+
+const nrdtpu_library_desc* nrdtpu_get_library_desc(void);
+
+/* Name tables (Wrapper.cpp:58-123 GetDenoiserString / GetResourceTypeString). */
+const char* nrdtpu_get_denoiser_string(nrdtpu_denoiser denoiser);
+const char* nrdtpu_get_resource_type_string(nrdtpu_resource resource);
+
 /* Library info (GetLibraryDesc analogue). */
 const char* nrdtpu_get_version_string(void);
 

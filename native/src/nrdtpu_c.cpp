@@ -417,4 +417,358 @@ nrdtpu_result nrdtpu_destroy_instance(nrdtpu_instance* inst) {
     return NRDTPU_SUCCESS;
 }
 
+/* -------------------------------------------------------------------------
+ * Library desc + name tables (Wrapper.cpp:46-123 analogue)
+ * ------------------------------------------------------------------------- */
+
+static const nrdtpu_denoiser g_supported_denoisers[] = {
+    NRDTPU_REBLUR_DIFFUSE,
+    NRDTPU_REBLUR_DIFFUSE_OCCLUSION,
+    NRDTPU_REBLUR_DIFFUSE_SH,
+    NRDTPU_REBLUR_SPECULAR,
+    NRDTPU_REBLUR_SPECULAR_OCCLUSION,
+    NRDTPU_REBLUR_SPECULAR_SH,
+    NRDTPU_REBLUR_DIFFUSE_SPECULAR,
+    NRDTPU_REBLUR_DIFFUSE_SPECULAR_OCCLUSION,
+    NRDTPU_REBLUR_DIFFUSE_SPECULAR_SH,
+    NRDTPU_REBLUR_DIFFUSE_DIRECTIONAL_OCCLUSION,
+    NRDTPU_RELAX_DIFFUSE,
+    NRDTPU_RELAX_DIFFUSE_SH,
+    NRDTPU_RELAX_SPECULAR,
+    NRDTPU_RELAX_SPECULAR_SH,
+    NRDTPU_RELAX_DIFFUSE_SPECULAR,
+    NRDTPU_RELAX_DIFFUSE_SPECULAR_SH,
+    NRDTPU_SIGMA_SHADOW,
+    NRDTPU_SIGMA_SHADOW_TRANSLUCENCY,
+    NRDTPU_REFERENCE,
+};
+
+static const nrdtpu_library_desc g_library_desc = {
+    NRDTPU_VERSION_MAJOR,
+    NRDTPU_VERSION_MINOR,
+    g_supported_denoisers,
+    (uint32_t)(sizeof(g_supported_denoisers) / sizeof(g_supported_denoisers[0])),
+    2, /* NormalEncoding::R10_G10_B10_A2_UNORM - the engine's default */
+    0, /* RoughnessEncoding::LINEAR */
+};
+
+static const char* g_denoiser_names[] = {
+    "REBLUR_DIFFUSE",
+    "REBLUR_DIFFUSE_OCCLUSION",
+    "REBLUR_DIFFUSE_SH",
+    "REBLUR_SPECULAR",
+    "REBLUR_SPECULAR_OCCLUSION",
+    "REBLUR_SPECULAR_SH",
+    "REBLUR_DIFFUSE_SPECULAR",
+    "REBLUR_DIFFUSE_SPECULAR_OCCLUSION",
+    "REBLUR_DIFFUSE_SPECULAR_SH",
+    "REBLUR_DIFFUSE_DIRECTIONAL_OCCLUSION",
+    "RELAX_DIFFUSE",
+    "RELAX_DIFFUSE_SH",
+    "RELAX_SPECULAR",
+    "RELAX_SPECULAR_SH",
+    "RELAX_DIFFUSE_SPECULAR",
+    "RELAX_DIFFUSE_SPECULAR_SH",
+    "SIGMA_SHADOW",
+    "SIGMA_SHADOW_TRANSLUCENCY",
+    "REFERENCE",
+};
+
+static const char* g_resource_names[] = {
+    "IN_MV",
+    "IN_NORMAL_ROUGHNESS",
+    "IN_VIEWZ",
+    "IN_DIFF_CONFIDENCE",
+    "IN_SPEC_CONFIDENCE",
+    "IN_DISOCCLUSION_THRESHOLD_MIX",
+    "IN_BASECOLOR_METALNESS",
+    "IN_DIFF_RADIANCE_HITDIST",
+    "IN_SPEC_RADIANCE_HITDIST",
+    "IN_DIFF_HITDIST",
+    "IN_SPEC_HITDIST",
+    "IN_DIFF_DIRECTION_HITDIST",
+    "IN_DIFF_SH0",
+    "IN_DIFF_SH1",
+    "IN_SPEC_SH0",
+    "IN_SPEC_SH1",
+    "IN_PENUMBRA",
+    "IN_TRANSLUCENCY",
+    "IN_SIGNAL",
+    "OUT_DIFF_RADIANCE_HITDIST",
+    "OUT_SPEC_RADIANCE_HITDIST",
+    "OUT_DIFF_SH0",
+    "OUT_DIFF_SH1",
+    "OUT_SPEC_SH0",
+    "OUT_SPEC_SH1",
+    "OUT_DIFF_HITDIST",
+    "OUT_SPEC_HITDIST",
+    "OUT_DIFF_DIRECTION_HITDIST",
+    "OUT_SHADOW_TRANSLUCENCY",
+    "OUT_SIGNAL",
+    "OUT_VALIDATION",
+};
+
+static_assert(sizeof(g_denoiser_names) / sizeof(g_denoiser_names[0]) ==
+                  (size_t)NRDTPU_REFERENCE + 1,
+              "denoiser name table out of sync");
+static_assert(sizeof(g_resource_names) / sizeof(g_resource_names[0]) ==
+                  (size_t)NRDTPU_RESOURCE_MAX_NUM,
+              "resource name table out of sync");
+
+const nrdtpu_library_desc* nrdtpu_get_library_desc(void) { return &g_library_desc; }
+
+const char* nrdtpu_get_denoiser_string(nrdtpu_denoiser d) {
+    if ((uint32_t)d > (uint32_t)NRDTPU_REFERENCE) return "";
+    return g_denoiser_names[(uint32_t)d];
+}
+
+const char* nrdtpu_get_resource_type_string(nrdtpu_resource r) {
+    if ((uint32_t)r >= (uint32_t)NRDTPU_RESOURCE_MAX_NUM) return "";
+    return g_resource_names[(uint32_t)r];
+}
+
+/* -------------------------------------------------------------------------
+ * Typed settings marshalling. Each typed setter serializes to the text kv
+ * protocol so the python dataclass stays the single source of field truth.
+ * kvf = float field, kvu = integer/enum/bool field.
+ * ------------------------------------------------------------------------- */
+
+static void kvf(std::string& out, const char* name, double v) {
+    char buf[96];
+    snprintf(buf, sizeof(buf), "%s=%.9g;", name, v);
+    out += buf;
+}
+
+static void kvu(std::string& out, const char* name, uint32_t v) {
+    char buf[96];
+    snprintf(buf, sizeof(buf), "%s=%u;", name, v);
+    out += buf;
+}
+
+void nrdtpu_get_default_reblur_settings(nrdtpu_reblur_settings* s) {
+    if (!s) return;
+    *s = nrdtpu_reblur_settings{};
+    s->hit_distance_parameters = {3.0f, 0.1f, 20.0f, -25.0f};
+    s->antilag_luminance_sigma_scale = 4.0f;
+    s->antilag_luminance_sensitivity = 3.0f;
+    s->max_accumulated_frame_num = 30;
+    s->max_fast_accumulated_frame_num = 6;
+    s->max_stabilized_frame_num = 63; /* REBLUR_MAX_HISTORY_FRAME_NUM */
+    s->max_stabilized_frame_num_for_hit_distance = 63;
+    s->history_fix_frame_num = 3;
+    s->history_fix_base_pixel_stride = 14;
+    s->diffuse_prepass_blur_radius = 30.0f;
+    s->specular_prepass_blur_radius = 50.0f;
+    s->min_hit_distance_weight = 0.1f;
+    s->min_blur_radius = 1.0f;
+    s->max_blur_radius = 30.0f;
+    s->lobe_angle_fraction = 0.15f;
+    s->roughness_fraction = 0.15f;
+    s->responsive_accumulation_roughness_threshold = 0.0f;
+    s->plane_distance_sensitivity = 0.02f;
+    s->specular_probability_thresholds_for_mv_modification[0] = 0.5f;
+    s->specular_probability_thresholds_for_mv_modification[1] = 0.9f;
+    s->firefly_suppressor_min_relative_scale = 2.0f;
+    s->min_material_for_diffuse = 4.0f;
+    s->min_material_for_specular = 4.0f;
+}
+
+void nrdtpu_get_default_relax_settings(nrdtpu_relax_settings* s) {
+    if (!s) return;
+    *s = nrdtpu_relax_settings{};
+    s->antilag_acceleration_amount = 0.3f;
+    s->antilag_spatial_sigma_scale = 4.5f;
+    s->antilag_temporal_sigma_scale = 0.5f;
+    s->antilag_reset_amount = 0.5f;
+    s->diffuse_max_accumulated_frame_num = 30;
+    s->specular_max_accumulated_frame_num = 30;
+    s->diffuse_max_fast_accumulated_frame_num = 6;
+    s->specular_max_fast_accumulated_frame_num = 6;
+    s->history_fix_frame_num = 3;
+    s->history_fix_base_pixel_stride = 14;
+    s->history_fix_edge_stopping_normal_power = 8.0f;
+    s->spatial_variance_estimation_history_threshold = 3;
+    s->diffuse_prepass_blur_radius = 30.0f;
+    s->specular_prepass_blur_radius = 50.0f;
+    s->min_hit_distance_weight = 0.1f;
+    s->diffuse_phi_luminance = 2.0f;
+    s->specular_phi_luminance = 1.0f;
+    s->lobe_angle_fraction = 0.5f;
+    s->roughness_fraction = 0.15f;
+    s->specular_variance_boost = 0.0f;
+    s->specular_lobe_angle_slack = 0.15f;
+    s->history_clamping_color_box_sigma_scale = 2.0f;
+    s->atrous_iteration_num = 5;
+    s->depth_threshold = 0.003f;
+    s->luminance_edge_stopping_relaxation = 0.5f;
+    s->normal_edge_stopping_relaxation = 0.3f;
+    s->roughness_edge_stopping_relaxation = 1.0f;
+    s->enable_roughness_edge_stopping = 1;
+    s->min_material_for_diffuse = 4.0f;
+    s->min_material_for_specular = 4.0f;
+}
+
+void nrdtpu_get_default_sigma_settings(nrdtpu_sigma_settings* s) {
+    if (!s) return;
+    *s = nrdtpu_sigma_settings{};
+    s->plane_distance_sensitivity = 0.02f;
+    s->max_stabilized_frame_num = 5;
+}
+
+void nrdtpu_get_default_reference_settings(nrdtpu_reference_settings* s) {
+    if (!s) return;
+    s->max_accumulated_frame_num = 1020;
+}
+
+nrdtpu_result nrdtpu_set_reblur_settings(nrdtpu_instance* inst, uint32_t identifier,
+                                         const nrdtpu_reblur_settings* s) {
+    if (!s) {
+        set_error("invalid arguments");
+        return NRDTPU_INVALID_ARGUMENT;
+    }
+    std::string t;
+    kvf(t, "hitDistanceParameters.A", s->hit_distance_parameters.a);
+    kvf(t, "hitDistanceParameters.B", s->hit_distance_parameters.b);
+    kvf(t, "hitDistanceParameters.C", s->hit_distance_parameters.c);
+    kvf(t, "hitDistanceParameters.D", s->hit_distance_parameters.d);
+    kvf(t, "antilagSettings.luminanceSigmaScale", s->antilag_luminance_sigma_scale);
+    kvf(t, "antilagSettings.luminanceSensitivity", s->antilag_luminance_sensitivity);
+    kvu(t, "maxAccumulatedFrameNum", s->max_accumulated_frame_num);
+    kvu(t, "maxFastAccumulatedFrameNum", s->max_fast_accumulated_frame_num);
+    kvu(t, "maxStabilizedFrameNum", s->max_stabilized_frame_num);
+    kvu(t, "maxStabilizedFrameNumForHitDistance",
+        s->max_stabilized_frame_num_for_hit_distance);
+    kvu(t, "historyFixFrameNum", s->history_fix_frame_num);
+    kvu(t, "historyFixBasePixelStride", s->history_fix_base_pixel_stride);
+    kvf(t, "diffusePrepassBlurRadius", s->diffuse_prepass_blur_radius);
+    kvf(t, "specularPrepassBlurRadius", s->specular_prepass_blur_radius);
+    kvf(t, "minHitDistanceWeight", s->min_hit_distance_weight);
+    kvf(t, "minBlurRadius", s->min_blur_radius);
+    kvf(t, "maxBlurRadius", s->max_blur_radius);
+    kvf(t, "lobeAngleFraction", s->lobe_angle_fraction);
+    kvf(t, "roughnessFraction", s->roughness_fraction);
+    kvf(t, "responsiveAccumulationRoughnessThreshold",
+        s->responsive_accumulation_roughness_threshold);
+    kvf(t, "planeDistanceSensitivity", s->plane_distance_sensitivity);
+    kvf(t, "fireflySuppressorMinRelativeScale",
+        s->firefly_suppressor_min_relative_scale);
+    kvu(t, "checkerboardMode", s->checkerboard_mode);
+    kvu(t, "hitDistanceReconstructionMode", s->hit_distance_reconstruction_mode);
+    kvu(t, "enableAntiFirefly", (uint32_t)s->enable_anti_firefly);
+    kvu(t, "enablePerformanceMode", (uint32_t)s->enable_performance_mode);
+    kvf(t, "minMaterialForDiffuse", s->min_material_for_diffuse);
+    kvf(t, "minMaterialForSpecular", s->min_material_for_specular);
+    kvu(t, "usePrepassOnlyForSpecularMotionEstimation",
+        (uint32_t)s->use_prepass_only_for_specular_motion_estimation);
+    nrdtpu_result r = nrdtpu_set_denoiser_settings(inst, identifier, t.c_str());
+    if (r != NRDTPU_SUCCESS) return r;
+    /* tuple field: set as a python tuple (the kv parser handles scalars only) */
+    GilGuard gil;
+    Ref settings(PyObject_GetAttrString(inst->engine, "_settings"));
+    Ref key(PyLong_FromUnsignedLong(identifier));
+    PyObject* cur = PyDict_GetItem(settings.p, key.p); /* borrowed */
+    Ref tup(Py_BuildValue("(ff)",
+                          s->specular_probability_thresholds_for_mv_modification[0],
+                          s->specular_probability_thresholds_for_mv_modification[1]));
+    if (!cur || !tup ||
+        PyObject_SetAttrString(cur, "specularProbabilityThresholdsForMvModification",
+                               tup.p) != 0) {
+        fetch_python_error();
+        return NRDTPU_FAILURE;
+    }
+    return NRDTPU_SUCCESS;
+}
+
+nrdtpu_result nrdtpu_set_relax_settings(nrdtpu_instance* inst, uint32_t identifier,
+                                        const nrdtpu_relax_settings* s) {
+    if (!s) {
+        set_error("invalid arguments");
+        return NRDTPU_INVALID_ARGUMENT;
+    }
+    std::string t;
+    kvf(t, "antilagSettings.accelerationAmount", s->antilag_acceleration_amount);
+    kvf(t, "antilagSettings.spatialSigmaScale", s->antilag_spatial_sigma_scale);
+    kvf(t, "antilagSettings.temporalSigmaScale", s->antilag_temporal_sigma_scale);
+    kvf(t, "antilagSettings.resetAmount", s->antilag_reset_amount);
+    kvu(t, "diffuseMaxAccumulatedFrameNum", s->diffuse_max_accumulated_frame_num);
+    kvu(t, "specularMaxAccumulatedFrameNum", s->specular_max_accumulated_frame_num);
+    kvu(t, "diffuseMaxFastAccumulatedFrameNum",
+        s->diffuse_max_fast_accumulated_frame_num);
+    kvu(t, "specularMaxFastAccumulatedFrameNum",
+        s->specular_max_fast_accumulated_frame_num);
+    kvu(t, "historyFixFrameNum", s->history_fix_frame_num);
+    kvu(t, "historyFixBasePixelStride", s->history_fix_base_pixel_stride);
+    kvf(t, "historyFixEdgeStoppingNormalPower",
+        s->history_fix_edge_stopping_normal_power);
+    kvu(t, "spatialVarianceEstimationHistoryThreshold",
+        s->spatial_variance_estimation_history_threshold);
+    kvf(t, "diffusePrepassBlurRadius", s->diffuse_prepass_blur_radius);
+    kvf(t, "specularPrepassBlurRadius", s->specular_prepass_blur_radius);
+    kvf(t, "minHitDistanceWeight", s->min_hit_distance_weight);
+    kvf(t, "diffusePhiLuminance", s->diffuse_phi_luminance);
+    kvf(t, "specularPhiLuminance", s->specular_phi_luminance);
+    kvf(t, "lobeAngleFraction", s->lobe_angle_fraction);
+    kvf(t, "roughnessFraction", s->roughness_fraction);
+    kvf(t, "specularVarianceBoost", s->specular_variance_boost);
+    kvf(t, "specularLobeAngleSlack", s->specular_lobe_angle_slack);
+    kvf(t, "historyClampingColorBoxSigmaScale",
+        s->history_clamping_color_box_sigma_scale);
+    kvu(t, "atrousIterationNum", s->atrous_iteration_num);
+    kvf(t, "diffuseMinLuminanceWeight", s->diffuse_min_luminance_weight);
+    kvf(t, "specularMinLuminanceWeight", s->specular_min_luminance_weight);
+    kvf(t, "depthThreshold", s->depth_threshold);
+    kvf(t, "confidenceDrivenRelaxationMultiplier",
+        s->confidence_driven_relaxation_multiplier);
+    kvf(t, "confidenceDrivenLuminanceEdgeStoppingRelaxation",
+        s->confidence_driven_luminance_edge_stopping_relaxation);
+    kvf(t, "confidenceDrivenNormalEdgeStoppingRelaxation",
+        s->confidence_driven_normal_edge_stopping_relaxation);
+    kvf(t, "luminanceEdgeStoppingRelaxation", s->luminance_edge_stopping_relaxation);
+    kvf(t, "normalEdgeStoppingRelaxation", s->normal_edge_stopping_relaxation);
+    kvf(t, "roughnessEdgeStoppingRelaxation", s->roughness_edge_stopping_relaxation);
+    kvu(t, "checkerboardMode", s->checkerboard_mode);
+    kvu(t, "hitDistanceReconstructionMode", s->hit_distance_reconstruction_mode);
+    kvu(t, "enableAntiFirefly", (uint32_t)s->enable_anti_firefly);
+    kvu(t, "enableRoughnessEdgeStopping", (uint32_t)s->enable_roughness_edge_stopping);
+    kvf(t, "minMaterialForDiffuse", s->min_material_for_diffuse);
+    kvf(t, "minMaterialForSpecular", s->min_material_for_specular);
+    return nrdtpu_set_denoiser_settings(inst, identifier, t.c_str());
+}
+
+nrdtpu_result nrdtpu_set_sigma_settings(nrdtpu_instance* inst, uint32_t identifier,
+                                        const nrdtpu_sigma_settings* s) {
+    if (!s) {
+        set_error("invalid arguments");
+        return NRDTPU_INVALID_ARGUMENT;
+    }
+    std::string t;
+    kvf(t, "planeDistanceSensitivity", s->plane_distance_sensitivity);
+    kvu(t, "maxStabilizedFrameNum", s->max_stabilized_frame_num);
+    nrdtpu_result r = nrdtpu_set_denoiser_settings(inst, identifier, t.c_str());
+    if (r != NRDTPU_SUCCESS) return r;
+    GilGuard gil;
+    Ref settings(PyObject_GetAttrString(inst->engine, "_settings"));
+    Ref key(PyLong_FromUnsignedLong(identifier));
+    PyObject* cur = PyDict_GetItem(settings.p, key.p); /* borrowed */
+    Ref tup(Py_BuildValue("(fff)", s->light_direction[0], s->light_direction[1],
+                          s->light_direction[2]));
+    if (!cur || !tup ||
+        PyObject_SetAttrString(cur, "lightDirection", tup.p) != 0) {
+        fetch_python_error();
+        return NRDTPU_FAILURE;
+    }
+    return NRDTPU_SUCCESS;
+}
+
+nrdtpu_result nrdtpu_set_reference_settings(nrdtpu_instance* inst, uint32_t identifier,
+                                            const nrdtpu_reference_settings* s) {
+    if (!s) {
+        set_error("invalid arguments");
+        return NRDTPU_INVALID_ARGUMENT;
+    }
+    std::string t;
+    kvu(t, "maxAccumulatedFrameNum", s->max_accumulated_frame_num);
+    return nrdtpu_set_denoiser_settings(inst, identifier, t.c_str());
+}
+
 } /* extern "C" */

@@ -203,6 +203,9 @@ class ReblurDenoiser:
                      and cfg.rect_size == cfg.resource_size)
 
         perf = s.enablePerformanceMode
+        # checkerboard disables reconstruction in the reference too, despite the
+        # permutation table registering both: Reblur.cpp:125 and :231
+        # ("enableHitDistanceReconstruction = ... && checkerboardMode == OFF")
         enable_hdrecon = (s.hitDistanceReconstructionMode
                           != HitDistanceReconstructionMode.OFF
                           and s.checkerboardMode == CheckerboardMode.OFF)

@@ -156,3 +156,92 @@ def test_reference_denoiser_matches_python(lib):
     r = lib.nrdtpu_set_denoiser_settings(inst, 0, b"maxAccumulatedFrameNum=7")
     assert r == 0, lib.nrdtpu_get_last_error()
     assert lib.nrdtpu_destroy_instance(inst) == 0
+
+
+class ReblurSettingsC(ctypes.Structure):
+    _fields_ = [
+        ("hit_distance_parameters", ctypes.c_float * 4),
+        ("antilag_luminance_sigma_scale", ctypes.c_float),
+        ("antilag_luminance_sensitivity", ctypes.c_float),
+        ("max_accumulated_frame_num", ctypes.c_uint32),
+        ("max_fast_accumulated_frame_num", ctypes.c_uint32),
+        ("max_stabilized_frame_num", ctypes.c_uint32),
+        ("max_stabilized_frame_num_for_hit_distance", ctypes.c_uint32),
+        ("history_fix_frame_num", ctypes.c_uint32),
+        ("history_fix_base_pixel_stride", ctypes.c_uint32),
+        ("diffuse_prepass_blur_radius", ctypes.c_float),
+        ("specular_prepass_blur_radius", ctypes.c_float),
+        ("min_hit_distance_weight", ctypes.c_float),
+        ("min_blur_radius", ctypes.c_float),
+        ("max_blur_radius", ctypes.c_float),
+        ("lobe_angle_fraction", ctypes.c_float),
+        ("roughness_fraction", ctypes.c_float),
+        ("responsive_accumulation_roughness_threshold", ctypes.c_float),
+        ("plane_distance_sensitivity", ctypes.c_float),
+        ("specular_probability_thresholds_for_mv_modification", ctypes.c_float * 2),
+        ("firefly_suppressor_min_relative_scale", ctypes.c_float),
+        ("checkerboard_mode", ctypes.c_uint32),
+        ("hit_distance_reconstruction_mode", ctypes.c_uint32),
+        ("enable_anti_firefly", ctypes.c_uint8),
+        ("enable_performance_mode", ctypes.c_uint8),
+        ("min_material_for_diffuse", ctypes.c_float),
+        ("min_material_for_specular", ctypes.c_float),
+        ("use_prepass_only_for_specular_motion_estimation", ctypes.c_uint8),
+    ]
+
+
+class LibraryDescC(ctypes.Structure):
+    _fields_ = [
+        ("version_major", ctypes.c_uint32),
+        ("version_minor", ctypes.c_uint32),
+        ("supported_denoisers", ctypes.POINTER(ctypes.c_int)),
+        ("supported_denoiser_num", ctypes.c_uint32),
+        ("normal_encoding", ctypes.c_uint32),
+        ("roughness_encoding", ctypes.c_uint32),
+    ]
+
+
+def test_library_desc_and_name_tables(lib):
+    """Wrapper.cpp:46-123 parity: LibraryDesc + denoiser/resource name strings."""
+    lib.nrdtpu_get_library_desc.restype = ctypes.POINTER(LibraryDescC)
+    lib.nrdtpu_get_denoiser_string.restype = ctypes.c_char_p
+    lib.nrdtpu_get_resource_type_string.restype = ctypes.c_char_p
+    desc = lib.nrdtpu_get_library_desc().contents
+    assert desc.supported_denoiser_num == 19
+    ids = [desc.supported_denoisers[i] for i in range(desc.supported_denoiser_num)]
+    assert ids == list(range(19))
+
+    from nrdtpu.settings import Denoiser, ResourceType
+
+    for d in Denoiser:
+        assert lib.nrdtpu_get_denoiser_string(int(d)) == d.name.encode()
+    for r in ResourceType:
+        assert lib.nrdtpu_get_resource_type_string(int(r)) == r.name.encode()
+    assert lib.nrdtpu_get_denoiser_string(99) == b""
+
+
+def test_typed_reblur_settings_marshalling(lib):
+    """Typed settings structs marshal every field onto the python dataclass."""
+    descs = (DenoiserDescC * 1)(DenoiserDescC(0, 6))  # REBLUR_DIFFUSE_SPECULAR
+    inst = ctypes.c_void_p()
+    r = lib.nrdtpu_create_instance(descs, 1, 64, 48, 2, 1, ctypes.byref(inst))
+    assert r == 0, lib.nrdtpu_get_last_error()
+
+    s = ReblurSettingsC()
+    lib.nrdtpu_get_default_reblur_settings(ctypes.byref(s))
+    assert s.max_accumulated_frame_num == 30
+    assert abs(s.lobe_angle_fraction - 0.15) < 1e-6
+    s.max_accumulated_frame_num = 17
+    s.lobe_angle_fraction = 0.33
+    s.checkerboard_mode = 2  # WHITE
+    s.enable_anti_firefly = 1
+    s.hit_distance_parameters[:] = [4.0, 0.2, 10.0, -20.0]
+    s.specular_probability_thresholds_for_mv_modification[:] = [0.25, 0.75]
+    r = lib.nrdtpu_set_reblur_settings(inst, 0, ctypes.byref(s))
+    assert r == 0, lib.nrdtpu_get_last_error()
+
+    # the text protocol error path: unknown field must fail cleanly
+    r = lib.nrdtpu_set_denoiser_settings(inst, 0, b"noSuchField=1")
+    assert r != 0
+
+    assert lib.nrdtpu_destroy_instance(inst) == 0
