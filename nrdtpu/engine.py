@@ -132,6 +132,7 @@ class Engine:
     """
 
     PROBE_KEY = "__probe__"  # outputs key holding printfAt pixel values (utils/probe.py)
+    SHOW_KEY = "__show__"    # outputs key holding the SHOW-mode debug plane
 
     def __init__(self, denoisers: Dict[int, Denoiser],
                  resource_size: Tuple[int, int],
@@ -179,8 +180,42 @@ class Engine:
     def set_denoiser_settings(self, identifier: int, settings):
         self._settings[identifier] = settings
 
+    def set_debug_show(self, tag: Optional[str]):
+        """SHOW-mode analogue of the reference's REBLUR_SHOW_* compile switches
+        (REBLUR_Config.hlsli:39-50): capture the full plane of one probe tag
+        (e.g. "reblur/ta/curvature", "reblur/ta/virtual_history_amount",
+        "reblur/hfix/diff_fast_history") and return it under Engine.SHOW_KEY.
+        Re-jits, like flipping the reference's compile-time switch recompiles."""
+        self._debug_show = tag
+
     def get_state(self, identifier: int):
         return self._states[identifier]
+
+    def get_memory_usage(self, identifier: int) -> Dict[str, float]:
+        """GetTotal/Persistent/AliasableMemoryUsageInMb analogue
+        (Integration/NRDIntegration.h:116-123).
+
+        persistent_mb: the history state pytree (the reference's permanent pool).
+        aliasable_mb:  XLA's temp allocation for the compiled frame (the analogue of
+            the transient pool - buffers XLA reuses within the dispatch), from the
+            compiled executable's memory analysis; 0.0 if the frame has not compiled
+            yet or the backend exposes no analysis.
+        total_mb: persistent + aliasable."""
+        state = self._states.get(identifier)
+        persistent = sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(state)) \
+            if state is not None else 0
+        temp = 0
+        absargs = getattr(self, "_abstract_args", {}).get(identifier)
+        jitted = self._jitted.get(identifier)
+        if absargs is not None and jitted is not None:
+            try:
+                mem = jitted.lower(*absargs).compile().memory_analysis()
+                temp = int(getattr(mem, "temp_size_in_bytes", 0) or 0)
+            except Exception:  # backend without memory analysis
+                temp = 0
+        mb = 1.0 / (1024 * 1024)
+        return {"persistent_mb": persistent * mb, "aliasable_mb": temp * mb,
+                "total_mb": (persistent + temp) * mb}
 
     def denoise(self, identifiers, user_pool: Dict[ResourceType, Any],
                 ) -> Dict[ResourceType, Any]:
@@ -226,8 +261,9 @@ class Engine:
                 w_, h_ = inst.config.rect_size
                 if 0 <= px < w_ and 0 <= py < h_:
                     probe_at = (int(px), int(py))
+            show_tag = getattr(self, "_debug_show", None)
             static_key = (getattr(inst, "static_key", lambda s: ())(settings),
-                          enable_validation, probe_at, rect)
+                          enable_validation, probe_at, rect, show_tag)
             if self._states[ident] is None or clear:
                 self._states[ident] = inst.init_state()
                 if self.mesh is not None:
@@ -246,10 +282,17 @@ class Engine:
 
                     # probe values ride as a separate output tree (ResourceType and
                     # str keys cannot share one dict - pytrees sort keys)
-                    def frame_fn(sc, dc, state, inputs, _f=inst.frame, _at=probe_at):
+                    def frame_fn(sc, dc, state, inputs, _f=frame_fn, _at=probe_at):
                         with _probe.collect(_at) as p:
                             outs, new_state = _f(sc, dc, state, inputs)
                         return (outs, dict(p.values)), new_state
+                if show_tag is not None:
+                    from .utils import probe as _probe
+
+                    def frame_fn(sc, dc, state, inputs, _f=frame_fn, _tag=show_tag):
+                        with _probe.collect_show(_tag) as sh:
+                            rest, new_state = _f(sc, dc, state, inputs)
+                        return (rest, sh.plane), new_state
 
                 self._jitted[ident] = jax.jit(frame_fn, donate_argnums=(2,))
 
@@ -269,7 +312,16 @@ class Engine:
                 pool_i = shard_frame_tree(self.mesh, pool_i, rh)
                 dc = shard_frame_tree(self.mesh, dc, rh)
                 sc = shard_frame_tree(self.mesh, sc, rh)
+            if not hasattr(self, "_abstract_args"):
+                self._abstract_args = {}
+            self._abstract_args[ident] = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype
+                                               if not hasattr(x, "dtype") else x.dtype),
+                (sc, dc, self._states[ident], pool_i))
             outs, new_state = self._jitted[ident](sc, dc, self._states[ident], pool_i)
+            if show_tag is not None:
+                outs, show_plane = outs
+                outputs[Engine.SHOW_KEY] = show_plane
             if probe_at is not None:
                 outs, probe_vals = outs
                 outputs[Engine.PROBE_KEY] = probe_vals

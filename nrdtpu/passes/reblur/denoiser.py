@@ -362,7 +362,7 @@ class ReblurDenoiser:
             spec_sh1 = ta_spec["sh"]
 
         from ...utils import probe as _pb
-        if _pb.active():  # printfAt pixel probe (utils/probe.py)
+        if _pb.active() or _pb.show_active():  # printfAt probe / SHOW-mode plane
             _pb.emit("reblur/smb/footprint_quality", sm.get("footprint_quality"))
             _pb.emit("reblur/smb/fbits", fbits)
             _pb.emit("reblur/ta/diff_accum_frames", data1_diff)
@@ -370,6 +370,12 @@ class ReblurDenoiser:
             _pb.emit("reblur/ta/curvature", curvature)
             _pb.emit("reblur/ta/virtual_history_amount", virtual_amount)
             _pb.emit("reblur/ta/hit_dist_for_tracking", hdt_out)
+            if self.has_specular:
+                # REBLUR_SHOW_*_CONFIDENCE equivalents (REBLUR_Config.hlsli:43-48)
+                for k in ("surface_history_confidence", "virtual_history_confidence",
+                          "virtual_normal_confidence", "virtual_roughness_confidence",
+                          "virtual_parallax_confidence"):
+                    _pb.emit(f"reblur/ta/{k}", ta_spec.get(k))
 
         # HISTORY FIX
         if fused_ok:
@@ -401,6 +407,13 @@ class ReblurDenoiser:
                     spec_fast1, cfg, is_diffuse=False, occlusion=self.occlusion,
                     anti_firefly=s.enableAntiFirefly and not self.occlusion,
                     sh=spec_sh1, pallas=pallas_ok, perf_mode=perf)
+
+        if _pb.active() or _pb.show_active():
+            # REBLUR_SHOW_FAST_HISTORY (REBLUR_Config.hlsli:40)
+            if self.has_diffuse:
+                _pb.emit("reblur/hfix/diff_fast_history", diff_fast2)
+            if self.has_specular:
+                _pb.emit("reblur/hfix/spec_fast_history", spec_fast2)
 
         # BLUR + POST BLUR
         if fused_ok:

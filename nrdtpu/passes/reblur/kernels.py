@@ -1519,7 +1519,13 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
     return dict(spec=spec_result, fast=fast_result, accum_speed=spec_accum_speed,
                 fbits_vmb=fbits_vmb, curvature=curvature,
                 virtual_history_amount=virtual_history_amount,
-                hit_dist_for_tracking=hdt_out, sh=sh_result)
+                hit_dist_for_tracking=hdt_out, sh=sh_result,
+                # SHOW / probe taps (REBLUR_Config.hlsli:43-48)
+                surface_history_confidence=surface_history_confidence,
+                virtual_history_confidence=virtual_confidence,
+                virtual_normal_confidence=virtual_normal_confidence,
+                virtual_roughness_confidence=virtual_roughness_confidence,
+                virtual_parallax_confidence=virtual_parallax_confidence)
 
 
 def jax_rsqrt(x):

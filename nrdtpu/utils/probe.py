@@ -41,9 +41,12 @@ class _Collector:
 
 
 def emit(name: str, arr) -> None:
-    """Tag an intermediate plane; records plane[y, x] if a probe is active."""
+    """Tag an intermediate plane; records plane[y, x] if a probe is active and the
+    full plane if a SHOW capture is active."""
     if _active is not None:
         _active.emit(name, arr)
+    if _show is not None:
+        _show.emit(name, arr)
 
 
 def active() -> bool:
@@ -60,3 +63,44 @@ def collect(xy: Tuple[int, int]):
         yield _active
     finally:
         _active = prev
+
+
+# ---------------------------------------------------------------------------
+# SHOW modes - full-plane debug capture (REBLUR_Config.hlsli:39-50 analogue)
+# ---------------------------------------------------------------------------
+
+_show: Optional["_PlaneCollector"] = None
+
+
+class _PlaneCollector:
+    """Captures the FULL plane of one emitted tag (vs the per-pixel probe).
+
+    The reference's REBLUR_SHOW_* compile-time switches replace the denoiser
+    output with an internal quantity (curvature, history confidences, ...);
+    here the same emit() tags feed a whole-plane capture - the TPU-native
+    equivalent is returning the plane alongside the outputs (one jit, the
+    plane is a live value in the traced graph, zero recompute)."""
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.plane = None
+
+    def emit(self, name: str, arr):
+        if name == self.tag and self.plane is None and arr is not None:
+            self.plane = arr
+
+
+def show_active() -> bool:
+    return _show is not None
+
+
+@contextmanager
+def collect_show(tag: str):
+    """Capture the full plane of `tag` for the duration of a frame trace."""
+    global _show
+    prev = _show
+    _show = _PlaneCollector(tag)
+    try:
+        yield _show
+    finally:
+        _show = prev

@@ -260,3 +260,52 @@ def test_dynamic_resolution_rect_shrink_keeps_history():
     out = np.asarray(outs[RT.OUT_DIFF_RADIANCE_HITDIST])
     assert out.shape[:2] == (h, w), "outputs stay resource-sized"
     assert np.isfinite(out).all()
+
+
+def test_show_mode_returns_debug_plane():
+    """REBLUR_SHOW_* analogue (REBLUR_Config.hlsli:39-50): set_debug_show captures a
+    full internal plane (curvature, confidences, fast history) with the outputs."""
+    gen = SceneGenerator(SceneSpec(size=SIZE, noise=0.4), camera_mode="static")
+    eng = Engine({0: Denoiser.REBLUR_DIFFUSE_SPECULAR}, resource_size=SIZE)
+    eng.set_debug_show("reblur/ta/virtual_history_confidence")
+    outs = None
+    for i in range(2):
+        fd = gen.frame(i)
+        eng.set_common_settings(fd.common_settings)
+        pool = dict(base_inputs(gen, fd))
+        pool[RT.IN_DIFF_RADIANCE_HITDIST] = diff_packed(fd)
+        pool[RT.IN_SPEC_RADIANCE_HITDIST] = spec_packed(fd)
+        outs = eng.denoise([0], pool)
+    plane = np.asarray(outs[Engine.SHOW_KEY])
+    assert plane.shape[:2] == (SIZE[1], SIZE[0])
+    assert np.isfinite(plane).all()
+    assert 0.0 <= plane.min() and plane.max() <= 1.0 + 1e-5
+
+    eng.set_debug_show(None)
+    fd = gen.frame(2)
+    eng.set_common_settings(fd.common_settings)
+    pool = dict(base_inputs(gen, fd))
+    pool[RT.IN_DIFF_RADIANCE_HITDIST] = diff_packed(fd)
+    pool[RT.IN_SPEC_RADIANCE_HITDIST] = spec_packed(fd)
+    outs = eng.denoise([0], pool)
+    assert Engine.SHOW_KEY not in outs
+
+
+def test_memory_usage_accounting():
+    """GetTotal/Persistent/AliasableMemoryUsageInMb analogue
+    (Integration/NRDIntegration.h:116-123)."""
+    gen = SceneGenerator(SceneSpec(size=SIZE, noise=0.4), camera_mode="static")
+    eng = Engine({0: Denoiser.REBLUR_DIFFUSE}, resource_size=SIZE)
+    fd = gen.frame(0)
+    eng.set_common_settings(fd.common_settings)
+    pool = dict(base_inputs(gen, fd))
+    pool[RT.IN_DIFF_RADIANCE_HITDIST] = diff_packed(fd)
+    eng.denoise([0], pool)
+    mem = eng.get_memory_usage(0)
+    w, h = SIZE
+    # the permanent pool holds at least the known history planes (f32):
+    # prev_view_z + prev_normal_roughness(4) + accums(2+1) + diff history(c)+fast
+    floor_mb = (h * w * 4 * 9) / (1024 * 1024)
+    assert mem["persistent_mb"] >= floor_mb * 0.9
+    assert mem["total_mb"] >= mem["persistent_mb"]
+    assert mem["aliasable_mb"] >= 0.0
