@@ -106,9 +106,13 @@ def make_inputs(w, h, seed=0):
     penumbra = np.where(blob > 0.8, fp16_max,                     # lit
                         np.where(blob < -0.9, 0.0,                # hard shadow core
                                  (0.2 + 2.5 * (blob + 0.9) / 1.7))).astype(np.float32)
+    # steady camera pan of ~4.5 x 2.5 px/frame plus a small swirl (VERDICT r1: a
+    # static camera benches reprojection at its cheapest - multi-pixel motion gives
+    # the block-motion DMA bases, bilinear weights and partial disocclusion masks
+    # their typical operating values)
     mv = np.zeros((h, w, 3), np.float32)
-    mv[..., 0] = 0.0004 * np.sin(2.0 * yy)  # sub-pixel screen-space motion
-    mv[..., 1] = 0.0003 * np.cos(2.0 * xx)
+    mv[..., 0] = 4.5 / w + 0.0004 * np.sin(2.0 * yy)
+    mv[..., 1] = 2.5 / h + 0.0003 * np.cos(2.0 * xx)
     return {
         "signal": rng.uniform(0, 1, (h, w, 4)).astype(np.float32),
         "view_z": view_z,
@@ -275,7 +279,12 @@ def main():
     def flush_details():
         with open("bench_details.json", "w") as f:
             json.dump({"resolution": f"{w}x{h}", "results_ms": results,
-                       "baselines_ms": BASELINES}, f, indent=2)
+                       "baselines_ms": BASELINES,
+                       "baseline_notes": {
+                           "REBLUR_DIFFUSE_OCCLUSION": "self-estimated (not published)",
+                           "REFERENCE": "self-estimated (not published)"},
+                       "camera": "panning ~4.5x2.5 px/frame (reprojection active)"},
+                      f, indent=2)
 
     for name in HEADLINE_ORDER:
         if name not in available:
