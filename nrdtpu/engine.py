@@ -276,7 +276,16 @@ class Engine:
                 self._static_keys[ident] = static_key
                 if hasattr(inst, "specialize"):
                     inst.specialize(settings)
-                frame_fn = inst.frame
+                # state dtype stability: history planes may be reduced-precision
+                # (bf16, the RGBA16f-history analogue); compute runs f32 and the
+                # carry is re-quantized on store so the jit signature never drifts
+                def frame_fn(sc, dc, state, inputs, _f=inst.frame):
+                    outs, ns = _f(sc, dc, state, inputs)
+                    ns = jax.tree_util.tree_map(
+                        lambda n, o: n.astype(o.dtype) if hasattr(o, "dtype") else n,
+                        ns, state)
+                    return outs, ns
+
                 if probe_at is not None:
                     from .utils import probe as _probe
 

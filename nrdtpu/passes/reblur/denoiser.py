@@ -76,15 +76,18 @@ class ReblurDenoiser:
             "spec_accum": jnp.zeros((h, w), jnp.float32),
             "material_id": jnp.zeros((h, w), jnp.float32),
         }
+        # radiance-class history rides bf16 - the RGBA16f-history analogue
+        # (Reblur.cpp:37-64): halves HBM traffic for the TA/stabilization reads;
+        # compute upcasts to f32 (Win2/gathers), the carry re-quantizes on store
         for name, present in (("diff", self.has_diffuse), ("spec", self.has_specular)):
             if not present:
                 continue
-            state[f"{name}_history"] = jnp.zeros((h, w, c), jnp.float32)
-            state[f"{name}_fast_history"] = jnp.zeros((h, w), jnp.float32)
+            state[f"{name}_history"] = jnp.zeros((h, w, c), jnp.bfloat16)
+            state[f"{name}_fast_history"] = jnp.zeros((h, w), jnp.bfloat16)
             if not self.occlusion:
-                state[f"{name}_luma_stab"] = jnp.zeros((h, w), jnp.float32)
+                state[f"{name}_luma_stab"] = jnp.zeros((h, w), jnp.bfloat16)
             if self.sh:
-                state[f"{name}_sh_history"] = jnp.zeros((h, w, 4), jnp.float32)
+                state[f"{name}_sh_history"] = jnp.zeros((h, w, 4), jnp.bfloat16)
         if self.has_specular:
             state["prev_spec_hitdist_for_tracking"] = jnp.zeros((h, w), jnp.float32)
         return state

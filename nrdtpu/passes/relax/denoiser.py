@@ -61,11 +61,15 @@ class RelaxDenoiser:
         for name, present in (("diff", self.has_diffuse), ("spec", self.has_specular)):
             if not present:
                 continue
+            # rgb history rides bf16 (the RGBA16f analogue, Relax.cpp pool formats);
+            # .w carries the accumulated 2nd moment - kept f32: variance comes from
+            # the m2 - m1^2 cancellation, where 8 mantissa bits visibly noise the
+            # edge-stopping phi (the reference has 10 fp16 bits there)
             state[f"{name}_illum_prev"] = jnp.zeros((h, w, 4), jnp.float32)
             state[f"{name}_responsive_prev"] = jnp.zeros((h, w, 4), jnp.float32)
             if self.sh:
-                state[f"{name}_sh_prev"] = jnp.zeros((h, w, 4), jnp.float32)
-                state[f"{name}_sh_responsive_prev"] = jnp.zeros((h, w, 4), jnp.float32)
+                state[f"{name}_sh_prev"] = jnp.zeros((h, w, 4), jnp.bfloat16)
+                state[f"{name}_sh_responsive_prev"] = jnp.zeros((h, w, 4), jnp.bfloat16)
         if self.has_specular:
             state["reflection_hit_t"] = jnp.zeros((h, w), jnp.float32)
         return state

@@ -41,7 +41,9 @@ class SigmaDenoiser:
     def init_state(self):
         w, h = self.config.rect_size
         return {
-            "shadow_history": jnp.zeros((h, w, self.channels), jnp.float32),
+            # [0,1] shadow/translucency history in bf16 (the reference packs it
+            # into R32_UINT as unorm; 8 mantissa bits cover the 8-bit-class signal)
+            "shadow_history": jnp.zeros((h, w, self.channels), jnp.bfloat16),
             "prev_view_z": jnp.zeros((h, w), jnp.float32),
             "history_len": jnp.zeros((h, w), jnp.float32),
         }
