@@ -91,6 +91,9 @@ def make_inputs(w, h, seed=0):
     # smooth receiver plane: viewZ ramp + gentle waves (keeps plane-distance weights alive)
     view_z = (5.0 + 20.0 * (yy + 1.0) + 0.8 * np.sin(3.0 * xx) * np.cos(2.0 * yy)
               ).astype(np.float32)
+    # ~22% sky band (beyond the denoising range), as in the reference's game scenes -
+    # exercises the tile-map block culling instead of benching an all-geometry frame
+    view_z[: int(0.22 * h)] = 1.0e6
     # smooth normals around +z (view-facing), oct-packed like the frontend does
     nx = 0.35 * np.sin(2.5 * xx + 0.7)
     ny = 0.35 * np.cos(1.9 * yy)

@@ -281,9 +281,11 @@ class Engine:
                 # carry is re-quantized on store so the jit signature never drifts
                 def frame_fn(sc, dc, state, inputs, _f=inst.frame):
                     outs, ns = _f(sc, dc, state, inputs)
-                    ns = jax.tree_util.tree_map(
-                        lambda n, o: n.astype(o.dtype) if hasattr(o, "dtype") else n,
-                        ns, state)
+                    # key-aware (new_state may grow keys, e.g. the validation overlay)
+                    ns = {k: (v.astype(state[k].dtype)
+                              if k in state and hasattr(v, "astype")
+                              and hasattr(state[k], "dtype") else v)
+                          for k, v in ns.items()}
                     return outs, ns
 
                 if probe_at is not None:

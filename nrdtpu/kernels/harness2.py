@@ -99,7 +99,7 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
                   block_scalars: Sequence = (), center_inputs: Sequence = (),
                   shiftable: Sequence = None, scratch_blocks: int = 0,
                   base_offset=None, offset_windows: Sequence = None,
-                  interpret: bool = False):
+                  block_skip=None, interpret: bool = False):
     """Run `body(smem, bsm, wins, centers, outs, (y0, x0), scratch)` over halo'd blocks.
 
     images: (H, W) arrays (f32 or bf16 - dtype taken from the array) delivered as
@@ -119,6 +119,11 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
       surface + virtual + prev-prev taps) over shared HBM planes. Offsets must stay
       within halo bounds (block_motion_base guarantees this); image-edge overreach is
       folded into the pl.when normalization like the static comp.
+    block_skip: optional (gh, gw) f32; blocks with a non-zero entry skip ALL window
+      DMAs (zero-filling the VMEM windows instead) - the CTA-culling analogue
+      (tile-map-driven, Common.hlsli:118-135). The body still runs (on the zeroed
+      windows); callers should also append the mask to `block_scalars` and fold it
+      into the body's per-block predicates to cut the tap loops.
     """
     n_windows = len(images)
     h, w = images[0].shape[:2]
@@ -181,6 +186,10 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
             idx = 1
         off_refs = refs[idx: idx + n_off]
         idx += n_off
+        skip_ref = None
+        if block_skip is not None:
+            skip_ref = refs[idx]
+            idx += 1
         bsm = list(refs[idx: idx + n_bs])
         idx += n_bs
         hbm_refs = refs[idx: idx + n_windows]
@@ -226,25 +235,47 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
                 sxb = pl.multiple_of((sxb // 128) * 128, 128)
                 starts.append((syb, sxb, (oy0 + by) - syb, (ox0 + bx) - sxb))
 
-        copies = []
-        for k, (src, dst) in enumerate(zip(hbm_refs, win_refs)):
-            if offset_windows[k] is not None:
-                syb, sxb, _, _ = starts[offset_windows[k]]
-                copies.append(pltpu.make_async_copy(
-                    src.at[pl.ds(syb, owin_h), pl.ds(sxb, owin_w)], dst, sem.at[k]))
-            else:
-                copies.append(pltpu.make_async_copy(
-                    src.at[pl.ds(sy, win_h), pl.ds(sx, win_w)], dst, sem.at[k]))
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
-        for k, r in enumerate(win_refs):
-            if offset_windows[k] is not None:
-                _, _, cyb, cxb = starts[offset_windows[k]]
-                _normalize(r, cyb, cxb)
-            elif nopad:
-                _normalize(r, cy, cx)
+        def fetch_windows():
+            copies = []
+            for k, (src, dst) in enumerate(zip(hbm_refs, win_refs)):
+                if offset_windows[k] is not None:
+                    syb, sxb, _, _ = starts[offset_windows[k]]
+                    copies.append(pltpu.make_async_copy(
+                        src.at[pl.ds(syb, owin_h), pl.ds(sxb, owin_w)], dst,
+                        sem.at[k]))
+                else:
+                    copies.append(pltpu.make_async_copy(
+                        src.at[pl.ds(sy, win_h), pl.ds(sx, win_w)], dst, sem.at[k]))
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            for k, r in enumerate(win_refs):
+                if offset_windows[k] is not None:
+                    _, _, cyb, cxb = starts[offset_windows[k]]
+                    _normalize(r, cyb, cxb)
+                elif nopad:
+                    _normalize(r, cy, cx)
+
+        if skip_ref is None:
+            fetch_windows()
+        else:
+            # block culling: skipped blocks trade the HBM window DMAs for cheap
+            # VMEM zero-fills; the body runs unconditionally on the zeroed windows
+            # (identical semantics on TPU and in interpret mode - pl.when around
+            # the body itself would put pl.program_id inside a cond, which the
+            # interpreter cannot lower), and its own block-scalar predicates are
+            # expected to fold the skip in to cut the tap loops.
+            skip = skip_ref[i, j]
+
+            @pl.when(skip == 0.0)
+            def _():
+                fetch_windows()
+
+            @pl.when(skip != 0.0)
+            def _():
+                for r, dt in zip(win_refs, win_dtypes):
+                    r[:, :] = jnp.zeros(r.shape, dt)
 
         sh_iter = iter(shadow_refs)
         wins = [Win2(r, bh, bw, hy, hx, upcast=dt == jnp.bfloat16,
@@ -256,7 +287,8 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     in_specs = []
     if num_scalars:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_off + n_bs)
+    n_skip = 1 if block_skip is not None else 0
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_off + n_skip + n_bs)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_windows
     in_specs += [pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)] * n_center
@@ -276,8 +308,9 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
 
     off_args = [jnp.asarray(o, jnp.int32) for pair in base_offset for o in pair] \
         if base_offset is not None else []
-    args = ([scalars] if num_scalars else []) + off_args + list(block_scalars) \
-        + hbm_imgs + centers
+    skip_args = [jnp.asarray(block_skip, jnp.float32)] if block_skip is not None else []
+    args = ([scalars] if num_scalars else []) + off_args + skip_args \
+        + list(block_scalars) + hbm_imgs + centers
     outs = pl.pallas_call(
         kernel, grid=(gh, gw),
         in_specs=in_specs,
@@ -290,6 +323,25 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
     if n_out == 1:
         outs = (outs,)
     return tuple(o[:h, :w] for o in outs)
+
+
+def block_dead_mask(dead, block=(160, 512), halo=(32, 128)):
+    """(grid skip, pixel mask) for tile-map block culling (Common.hlsli:118-135).
+
+    grid skip: (gh, gw) f32, 1.0 where EVERY pixel of the block is dead - feed to
+    stencil_call2(block_skip=...). pixel mask: (h, w) bool, the same decision
+    broadcast back to pixels - the XLA path must zero its result there
+    (`jnp.where(px_mask, 0, out)`) so both paths stay bit-identical."""
+    h, w = dead.shape
+    bh, bw = pick_block(h, w, block, halo)
+    gh, gw = -(-h // bh), -(-w // bw)
+    d = dead.astype(jnp.float32)
+    if gh * bh != h or gw * bw != w:
+        # pad with dead so partial edge blocks only skip if their real pixels are dead
+        d = jnp.pad(d, ((0, gh * bh - h), (0, gw * bw - w)), constant_values=1.0)
+    skip = (d.reshape(gh, bh, gw, bw).min((1, 3)) > 0.0).astype(jnp.float32)
+    px = jnp.repeat(jnp.repeat(skip > 0.0, bh, 0), bw, 1)[:h, :w]
+    return skip, px
 
 
 def block_minmax(plane, block=(160, 512), halo=(32, 128)):

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .harness2 import block_minmax, stencil_call2
+from .harness2 import block_dead_mask, block_minmax, stencil_call2
 from .reblur_blur2 import HALO2, _LEV, _LO, _HI, _static_offsets
 from .reblur_hfix2 import _M_LO, _M_HI, _TAPS20, _box_sums
 from .reblur_pallas import (
@@ -97,8 +97,8 @@ class FSig:
                 + (1 if self.has_cb else 0))
 
 
-def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, smem, bsm, wins, centers,
-                       outs, origin, scratch):
+def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wins,
+                       centers, outs, origin, scratch):
     """Shared-geometry tap loop over all signals (see module docstring)."""
     wi = iter(wins)
     zw = next(wi)
@@ -203,6 +203,8 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, smem, bsm, wins, center
     i_b = pl.program_id(0)
     j_b = pl.program_id(1)
     rmax = jnp.minimum(rmax_b[i_b, j_b], jnp.float32(_LEV[-1]))
+    if has_skip:  # culled block: no tap level fires (windows are zero-filled)
+        rmax = jnp.where(bsm[2][i_b, j_b] != 0.0, jnp.float32(-1.0), rmax)
 
     taps = _static_offsets(n_dirs)
     for li in range(len(_LEV)):
@@ -306,8 +308,8 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, smem, bsm, wins, center
             outs[b + k_][:, :] = scratch[si][:, :]
 
 
-def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, smem, bsm,
-                       wins, centers, outs, origin, scratch):
+def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, has_skip,
+                       smem, bsm, wins, centers, outs, origin, scratch):
     """Fused history fix: shared geometry taps + per-signal stride masks/weights.
 
     Level selection runs over the hull of both signals' stride ranges; each signal
@@ -341,7 +343,7 @@ def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, smem, bsm,
         per.append(p)
 
     n_sig = len(descs)
-    smin_refs, smax_refs = bsm[:n_sig], bsm[n_sig:]
+    smin_refs, smax_refs = bsm[:n_sig], bsm[n_sig:2 * n_sig]
     rect_w = smem[_S_RW]
     rect_h = smem[_S_RH]
     ortho = smem[_S_ORTHO]
@@ -367,6 +369,8 @@ def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, smem, bsm,
     j_b = pl.program_id(1)
     smin = functools.reduce(jnp.minimum, [r[i_b, j_b] for r in smin_refs])
     smax = functools.reduce(jnp.maximum, [r[i_b, j_b] for r in smax_refs])
+    if has_skip:  # culled block: the 20-tap loop never fires (windows zero-filled)
+        smax = jnp.where(bsm[2 * n_sig][i_b, j_b] != 0.0, jnp.float32(0.0), smax)
 
     out_base = []
     k0 = 0
@@ -510,7 +514,7 @@ def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, smem, bsm,
 
 def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
                              roughness, material_id, ga, gb, frustum_size,
-                             perf_mode=False):
+                             perf_mode=False, dead=None):
     """Run N signals through one fused history-fix launch.
 
     signals: list of dicts with keys
@@ -573,12 +577,14 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
         mn, mx = block_minmax(st, block, HALO2)
         smins.append(mn)
         smaxs.append(mx)
+    skip = block_dead_mask(dead, block, HALO2)[0] if dead is not None else None
     outs = stencil_call2(
         functools.partial(_fused_hfix_kernel, descs, mat_occ, any_spec, af_flags,
-                          3 if perf_mode else 4),
+                          3 if perf_mode else 4, skip is not None),
         windows, n_out=n_out, halo=HALO2, block=block,
-        scalars=scalars, block_scalars=smins + smaxs,
-        center_inputs=centers, scratch_blocks=len(descs))
+        scalars=scalars,
+        block_scalars=smins + smaxs + ([skip] if skip is not None else []),
+        center_inputs=centers, scratch_blocks=len(descs), block_skip=skip)
 
     results = []
     k = 0
@@ -602,7 +608,8 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
 
 
 def spatial_filter_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
-                                roughness, material_id, ga, gb, perf_mode=False):
+                                roughness, material_id, ga, gb, perf_mode=False,
+                                dead=None):
     """Run N signals through one fused spatial-filter launch.
 
     signals: list of dicts with keys
@@ -670,12 +677,19 @@ def spatial_filter_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
     n_out = sum(d.n_out for d in descs)
     block = _choose_block(1, len(windows) - 1, len(centers), n_out, len(descs))
     rmin_b, rmax_b = block_minmax(radius_all, block, HALO2)
+    # tile-map block culling (Common.hlsli:118-135): all-sky blocks skip DMAs +
+    # compute and zero their outputs; taps from live pixels into sky carry exactly
+    # zero weight (the plane-distance smoothstep saturates), so live results and
+    # the final dead-pixel passthrough are unaffected.
+    skip = block_dead_mask(dead, block, HALO2)[0] if dead is not None else None
 
     outs = stencil_call2(
-        functools.partial(_fused_blur_kernel, descs, n_dirs, mat_occ, any_spec),
+        functools.partial(_fused_blur_kernel, descs, n_dirs, mat_occ, any_spec,
+                          skip is not None),
         windows, n_out=n_out, halo=HALO2, block=block,
-        scalars=scalars, block_scalars=[rmin_b, rmax_b], center_inputs=centers,
-        scratch_blocks=len(descs))
+        scalars=scalars,
+        block_scalars=[rmin_b, rmax_b] + ([skip] if skip is not None else []),
+        center_inputs=centers, scratch_blocks=len(descs), block_skip=skip)
 
     results = []
     k = 0

@@ -230,6 +230,10 @@ class ReblurDenoiser:
                     and not self.directional)
         geom = (K.make_filter_geometry(sc, dc, view_z, normal_roughness, cfg)
                 if fused_ok else None)
+        if geom is not None:
+            # tile-map block culling: all-sky blocks skip the fused spatial stages
+            # entirely (DMA + compute), like the reference's CTA cull
+            geom["dead"] = dead
 
         # PREPASS
         spec_hdt_prepass = None

@@ -1935,7 +1935,7 @@ def fused_spatial_filter(sc, dc, mode, geom, view_z_in, config, *, diff=None,
         sc, dc, config, signals=signals, view_z_in=view_z_in, n=geom["n"],
         nv=geom["nv"], roughness=geom["roughness"],
         material_id=geom["material_id"], ga=geom["ga"], gb=geom["gb"],
-        perf_mode=perf_mode)
+        perf_mode=perf_mode, dead=geom.get("dead"))
 
     out = {"diff": None, "diff_sh": None, "spec": None, "spec_sh": None,
            "spec_hdt": None}
@@ -2049,7 +2049,8 @@ def fused_history_fix(sc, dc, geom, view_z_in, config, *, diff=None, spec=None,
         sc, dc, config, signals=signals, view_z_in=view_z_in, n=geom["n"],
         nv=geom["nv"], roughness=geom["roughness"],
         material_id=geom["material_id"], ga=geom["ga"], gb=geom["gb"],
-        frustum_size=geom["frustum_size"], perf_mode=perf_mode)
+        frustum_size=geom["frustum_size"], perf_mode=perf_mode,
+        dead=geom.get("dead"))
 
     out = {}
     occ_like = occlusion or directional

@@ -184,3 +184,29 @@ def test_dma_base_offset_windows(interpret):
             xx = np.arange(j * 256, (j + 1) * 256)[None, :] + ox[i, j] - 2
             ok[ys, xs] = ((yy >= 0) & (yy < h)) & ((xx >= 0) & (xx < w))
     assert np.array_equal(out[ok], exp[ok])
+
+
+def test_block_skip_culls_windows(interpret):
+    """block_skip: culled blocks trade window DMAs for zero-filled windows; the
+    body runs on the zeros (Common.hlsli:118-135 CTA-cull analogue)."""
+    from nrdtpu.kernels.harness2 import block_dead_mask
+
+    h, w = 192, 512  # nopad geometry: blocks divide exactly
+    rng = np.random.default_rng(3)
+    img = rng.uniform(1.0, 2.0, (h, w)).astype(np.float32)
+    dead = np.zeros((h, w), bool)
+    dead[:96] = True  # top half of the block rows fully dead
+    skip, px = block_dead_mask(jnp.asarray(dead), block=(96, 512), halo=(32, 128))
+    assert np.asarray(skip).sum() >= 1.0
+
+    def body(smem, bsm, wins, centers, outs, origin, scratch):
+        outs[0][:, :] = wins[0].tap(0, 0) + 1.0
+
+    (out,) = stencil_call2(body, [jnp.asarray(img)], n_out=1,
+                           block=(96, 512), block_skip=skip)
+    out = np.asarray(out)
+    px = np.asarray(px)
+    # culled blocks: body saw zeroed windows -> 0 + 1
+    assert np.allclose(out[px], 1.0)
+    # live blocks: untouched
+    assert np.allclose(out[~px], img[~px] + 1.0)
