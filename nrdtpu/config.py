@@ -11,6 +11,20 @@ from __future__ import annotations
 import os
 
 
+def requantize_state(old_state: dict, new_state: dict) -> dict:
+    """Cast each carried plane back to its declared storage dtype.
+
+    History planes may be reduced-precision (bf16, the RGBA16f-history analogue of
+    Reblur.cpp:37-64); compute runs f32 and the carry is re-quantized on store so
+    `frame` is scan-invariant for EVERY caller (Engine, bench, shard_map, lax.scan)
+    - input and output carry types must match. Key-aware: new_state may grow keys
+    (e.g. the validation overlay)."""
+    return {k: (v.astype(old_state[k].dtype)
+                if k in old_state and hasattr(v, "astype")
+                and hasattr(old_state[k], "dtype") else v)
+            for k, v in new_state.items()}
+
+
 def use_pallas() -> bool:
     mode = os.environ.get("NRDTPU_IMPL", "auto")
     if mode == "pallas":

@@ -388,4 +388,5 @@ class RelaxDenoiser:
             outs[RT.OUT_VALIDATION] = overlay
             new_state["validation"] = overlay
 
-        return outs, new_state
+        from ...config import requantize_state
+        return outs, requantize_state(state, new_state)

@@ -131,4 +131,6 @@ class SigmaDenoiser:
 
         out = K.split_screen(sc, penumbra, view_z, out, translucency,
                              channels=self.channels)
-        return {ResourceType.OUT_SHADOW_TRANSLUCENCY: out}, new_state
+        from ...config import requantize_state
+        return ({ResourceType.OUT_SHADOW_TRANSLUCENCY: out},
+                requantize_state(state, new_state))

@@ -154,3 +154,36 @@ def test_printf_at_probe():
     assert "reblur/ta/curvature" in probe
     for k, v in probe.items():
         assert np.isfinite(np.asarray(v)), k
+
+
+@pytest.mark.parametrize("denoiser", [Denoiser.REBLUR_DIFFUSE_SPECULAR,
+                                      Denoiser.RELAX_DIFFUSE_SPECULAR,
+                                      Denoiser.SIGMA_SHADOW],
+                         ids=lambda d: d.name)
+def test_frame_is_scan_invariant(denoiser):
+    """The raw `inst.frame` must be a valid lax.scan body: carry dtypes stable.
+
+    Guards the bf16-history requantize-on-store contract (config.requantize_state) -
+    bench.py and shard_map callers scan `frame` directly, bypassing the Engine wrapper
+    (round-2 regression: bf16 planes came back f32 and the scan failed to trace)."""
+    import jax
+
+    eng = Engine({0: denoiser}, resource_size=SIZE)
+    fd = _frames[0]
+    eng.set_common_settings(fd.common_settings)
+    inst = eng._instances[0]
+    settings = eng._settings[0]
+    if hasattr(inst, "specialize"):
+        inst.specialize(settings)
+    dc = inst.frame_constants(eng._consts, settings)
+    sc = eng._shared_consts()
+    state = inst.init_state()
+    pool = {k: jnp.asarray(v) for k, v in build_pool(denoiser, fd).items()}
+
+    def step(st, _):
+        _, ns = inst.frame(sc, dc, st, pool)
+        return ns, None
+
+    out, _ = jax.lax.scan(step, state, None, length=2)  # raises if carry types drift
+    for k, v in out.items():
+        assert v.dtype == state[k].dtype, (k, v.dtype, state[k].dtype)
