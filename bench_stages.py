@@ -8,6 +8,7 @@ as an ARGUMENT (closed-over device arrays would be embedded into the program as
 literal constants - hundreds of MB of MLIR at 1440p). Timing perturbs one input
 through the scan carry to serialize iterations.
 """
+import os
 import time
 
 import jax
@@ -22,6 +23,28 @@ from nrdtpu.settings import CommonSettings, Denoiser, ResourceType as RT
 
 W, H = RESOLUTION
 N = 16
+
+
+def converged_state(inst, raw):
+    """Steady-state pool: bench.py's timed samples run AFTER 32+ scanned frames, so
+    the stage table must measure the converged regime (accum at max, no disocclusion,
+    history-fix strides 0, blur radii collapsed) - not the fresh-state worst case."""
+    from nrdtpu.passes.reblur import common as C
+
+    state = inst.init_state()
+    h, w = raw["view_z"].shape
+    rng = np.random.default_rng(7)
+    full = C.quantize_accum_speed(jnp.full((h, w), 63.0, jnp.float32))
+    state["prev_view_z"] = jnp.asarray(raw["view_z"])
+    state["prev_normal_roughness"] = jnp.asarray(raw["normal_roughness"])
+    state["diff_accum"] = full
+    state["spec_accum"] = full
+    for k, v in list(state.items()):
+        if k.endswith(("history", "luma_stab")):
+            state[k] = jnp.asarray(
+                rng.uniform(0.2, 0.6, v.shape).astype(np.float32)).astype(v.dtype)
+    state["prev_spec_hitdist_for_tracking"] = jnp.full((h, w), 0.5, jnp.float32)
+    return state
 
 
 def setup():
@@ -40,9 +63,14 @@ def setup():
     cs.motionVectorScale = (1.0, 1.0, 1.0)
     eng.set_common_settings(cs)
     inst = eng._instances[0]
+    inst.specialize(eng._settings[0])
     dc = inst.frame_constants(eng._consts, eng._settings[0])
     sc = eng._shared_consts()
-    state = jax.tree.map(jax.device_put, inst.init_state())
+    if os.environ.get("NRDTPU_STAGES_STATE", "converged") == "fresh":
+        state = inst.init_state()
+    else:
+        state = converged_state(inst, raw)
+    state = jax.tree.map(jax.device_put, state)
     pool = {RT.IN_MV: raw["mv"], RT.IN_NORMAL_ROUGHNESS: raw["normal_roughness"],
             RT.IN_VIEWZ: raw["view_z"],
             RT.IN_DIFF_RADIANCE_HITDIST: raw["radiance"],
@@ -82,11 +110,17 @@ def main():
     results = {}
 
     import json
-    import os
+    # the set of stage names THIS script produces; resume drops anything else so a
+    # renamed/deleted stage can never carry a stale number forward (VERDICT r2 weak #3)
+    known = {"classify_tiles+sky", "filter geometry", "prepass fused",
+             "smb resolve (TA bundle)", "TA diffuse", "TA specular (vmb)",
+             "history fix fused", "blur fused", "postblur fused",
+             "temporal stabilization", "FULL frame", "glue remainder"}
     skip = set()
     if os.environ.get("NRDTPU_STAGES_RESUME") == "1" and os.path.exists(
             "bench_stages.json"):
-        results.update(json.load(open("bench_stages.json")))
+        prev = json.load(open("bench_stages.json"))
+        results.update({k: v for k, v in prev.items() if k in known})
         skip = set(results)
         print(f"resuming; already measured: {sorted(skip)}", flush=True)
 
@@ -238,8 +272,23 @@ def main():
 
     timeit("temporal stabilization", st_ts)
 
-    total = sum(results.values())
-    print(f"{'SUM':32s}: {total:8.3f} ms", flush=True)
+    # full frame through the real pass graph: the gap between this and the stage sum
+    # is the inter-stage XLA glue (param builders, stacks, state updates, outputs)
+    def st_full(e, env):
+        pool2 = dict(pool)
+        pool2[RT.IN_VIEWZ] = env["view_z"] + e * 0.0
+        pool2[RT.IN_DIFF_RADIANCE_HITDIST] = env["diff_in0"] + e
+        outs, st2 = inst.frame(sc, dc, env["state"], pool2)
+        return st2
+
+    timeit("FULL frame", st_full)
+    stage_sum = sum(v for k, v in results.items()
+                    if k not in ("FULL frame", "glue remainder"))
+    results["glue remainder"] = round(results["FULL frame"] - stage_sum, 3)
+    with open("bench_stages.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"{'stage sum':32s}: {stage_sum:8.3f} ms", flush=True)
+    print(f"{'glue remainder':32s}: {results['glue remainder']:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
