@@ -206,6 +206,9 @@ def bench_config(name, raw, w, h):
     cs.worldToViewMatrix = cs.worldToViewMatrixPrev = ident
     cs.resourceSize = cs.resourceSizePrev = cs.rectSize = cs.rectSizePrev = (w, h)
     cs.motionVectorScale = (1.0, 1.0, 1.0)
+    # frame 0 is first-use (forced CLEAR_AND_RESTART -> max accum 0); call again so
+    # the timed frames run the steady-state constants the reference's numbers use
+    eng.set_common_settings(cs)
     eng.set_common_settings(cs)
 
     pool = {}

@@ -61,7 +61,8 @@ def setup():
     cs.worldToViewMatrix = cs.worldToViewMatrixPrev = ident
     cs.resourceSize = cs.resourceSizePrev = cs.rectSize = cs.rectSizePrev = (W, H)
     cs.motionVectorScale = (1.0, 1.0, 1.0)
-    eng.set_common_settings(cs)
+    eng.set_common_settings(cs)  # first use: forced reset frame
+    eng.set_common_settings(cs)  # steady-state constants (what the scan regime runs)
     inst = eng._instances[0]
     inst.specialize(eng._settings[0])
     dc = inst.frame_constants(eng._consts, eng._settings[0])

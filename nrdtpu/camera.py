@@ -190,6 +190,15 @@ class FrameMath:
         split_screen_prev = self._split_screen_prev
         self._split_screen_prev = cs.splitScreen
 
+        # Work on an internal copy: the reference mutates ITS copy of the settings
+        # (m_CommonSettings, InstanceImpl.cpp:276-297), never the app's struct. The
+        # previous in-place mutation latched first-use CLEAR_AND_RESTART into the
+        # caller's object, so any app reusing one CommonSettings across frames was
+        # stuck in permanent-reset (max_accumulated_frame_num forced to 0 forever) -
+        # this poisoned every bench.py number before round 3.
+        import copy as _copy
+
+        cs = _copy.copy(cs)
         if self._is_first_use:
             cs.accumulationMode = AccumulationMode.CLEAR_AND_RESTART
             self._is_first_use = False

@@ -160,11 +160,16 @@ def decode_oct(px, py):
 
 
 def decode_oct_raw(px, py):
-    """Frontend-convention octahedral decode (do_normalize=False) on planes."""
+    """NRD_FrontEnd_UnpackNormalAndRoughness normal decode on planes.
+
+    Octahedral decode followed by _NRD_SafeNormalize (NRD.hlsli:604,619) - the
+    normalize is load-bearing: without it |n| can drop to ~0.7 near octahedron
+    edges, deflating every dot-product-based weight (caught by tests/oracle)."""
     qx = px * 2.0 - 1.0
     qy = py * 2.0 - 1.0
     z = 1.0 - jnp.abs(qx) - jnp.abs(qy)
     t = jnp.clip(-z, 0.0, 1.0)
     nx = qx - t * jnp.where(qx >= 0.0, 1.0, -1.0)
     ny = qy - t * jnp.where(qy >= 0.0, 1.0, -1.0)
-    return V3(nx, ny, z)
+    inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + z * z, 1e-15))
+    return V3(nx * inv, ny * inv, z * inv)

@@ -1,0 +1,458 @@
+"""Numpy parity oracle for the REBLUR pillars: TA (diffuse), spatial filter, history fix.
+
+Line-by-line transliterations of
+  /root/reference/Shaders/Include/REBLUR_TemporalAccumulation.hlsli (diffuse slice:
+    surface-motion machinery lines 59-305 + diffuse accumulation lines 826-930)
+  /root/reference/Shaders/Include/REBLUR_Common_DiffuseSpatialFilter.hlsli (BLUR /
+    POST_BLUR modes, screen-space sampling - REBLUR_USE_SCREEN_SPACE_SAMPLING_FOR_DIFFUSE=1)
+  /root/reference/Shaders/Include/REBLUR_HistoryFix.hlsli (diffuse half, lines 66-255)
+in plain numpy. Host constants (sc/dc dicts) come from the engine's camera/settings
+port - the oracle transliterates the SHADERS, the host math is pinned separately by
+tests/test_camera.py.
+
+Assumptions encoded (and asserted by the driving test): R10G10B10A2 normal encoding,
+LINEAR roughness, no checkerboard, no confidence inputs, rect == resource,
+viewZScale = 1, all pixels within denoisingRange (no sky early-outs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import hlsl as H
+
+F32 = np.float32
+
+# REBLUR_Config.hlsli constants
+REBLUR_PRE_BLUR_FRACTION_SCALE = 2.0            # :71
+REBLUR_PRE_BLUR_NON_LINEAR_ACCUM_SPEED = 1.0 / 11.0  # :72
+REBLUR_BLUR_FRACTION_SCALE = 1.0                # :75
+REBLUR_POST_BLUR_FRACTION_SCALE = 0.5           # :78
+REBLUR_POST_BLUR_RADIUS_SCALE = 2.0             # :79
+REBLUR_ALMOST_ZERO_ANGLE = float(np.cos(np.deg2rad(89.0)))  # :82
+REBLUR_SAMPLES_PER_FRAME = 1.0                  # :91
+REBLUR_COLOR_CLAMPING_SIGMA_SCALE = 2.0         # :97 (non-perf)
+# REBLUR_Common.hlsli firefly suppressor constants (values via passes/reblur/common.py
+# which cites the same lines; re-stated here numerically)
+FIREFLY_MAX_RELATIVE_INTENSITY = 38.0
+FIREFLY_RADIUS_SCALE = 0.1
+FIREFLY_FAST_RELATIVE_INTENSITY = 4.0
+
+BLUR = "blur"
+POST_BLUR = "post_blur"
+
+
+def _pixel_uv(h, w):
+    x = (np.arange(w, dtype=F32) + 0.5) / w
+    y = (np.arange(h, dtype=F32) + 0.5) / h
+    return np.stack(np.meshgrid(x, y), -1)
+
+
+def _luma(sig):
+    """GetLuma, YCoCg packing (REBLUR_Common.hlsli:212-218): .x."""
+    return sig[..., 0]
+
+
+def _change_luma(sig, new_luma):
+    """ChangeLuma (REBLUR_Common.hlsli:221-226)."""
+    scale = (new_luma + H.NRD_EPS) / (_luma(sig) + H.NRD_EPS)
+    return np.concatenate([sig[..., :3] * scale[..., None], sig[..., 3:]], -1)
+
+
+def _clamp_negative_to_zero(sig):
+    """ClampNegativeToZero, YCoCg variant (REBLUR_Common.hlsli:228-240)."""
+    rgb = H.linear_to_ycocg(H.ycocg_to_linear(sig[..., :3]))
+    return np.concatenate([rgb, H.saturate(sig[..., 3:4])], -1)
+
+
+def _min_hitdist_limit(dc, roughness=1.0):
+    """GetMinAllowedLimitForHitDistNonLinearAccumSpeed (REBLUR_Common.hlsli:94-102)."""
+    frame_num = 0.5 * H.get_spec_magic_curve(roughness) * dc["max_accumulated_frame_num"]
+    return 1.0 / (1.0 + frame_num)
+
+
+def _mix_history_and_current(dc, history, current, f):
+    """MixHistoryAndCurrent, float4 (REBLUR_Common.hlsli:200-207)."""
+    limit = _min_hitdist_limit(dc)
+    xyz = H.lerp(history[..., :3], current[..., :3], f[..., None])
+    w = H.lerp(history[..., 3], current[..., 3], np.maximum(f, limit))
+    return np.concatenate([xyz, w[..., None]], -1)
+
+
+def _fade_on_accum_frames(dc, accum_speed):
+    """GetFadeBasedOnAccumulatedFrames (REBLUR_Common.hlsli:104-110)."""
+    a = dc["history_fix_frame_num"] * 2.0 / 3.0 + 1e-6
+    b = dc["history_fix_frame_num"] * 4.0 / 3.0 + 2e-6
+    return H.linearstep(a, b, accum_speed)
+
+
+# ---------------------------------------------------------------------------
+# Diffuse spatial filter (REBLUR_Common_DiffuseSpatialFilter.hlsli)
+# ---------------------------------------------------------------------------
+
+
+def diffuse_spatial_filter(sc, dc, mode, signal, view_z_in, normal_roughness, data1,
+                           use_exp_approx=False):
+    """BLUR / POST_BLUR over a YCoCg float4 signal. Returns the filtered signal."""
+    h, w = view_z_in.shape
+    uv = _pixel_uv(h, w)
+    view_z = H.unpack_view_z(view_z_in, float(sc["view_z_scale"]))
+    n, roughness, material_id = H.unpack_normal_roughness(normal_roughness)
+
+    frustum = np.asarray(sc["frustum"], F32)
+    xv = H.reconstruct_view_position(uv, frustum, view_z, float(sc["ortho_mode"]))
+    nv = H.rotate_vector(sc["world_to_view"], n)
+    vv = -xv / np.maximum(np.linalg.norm(xv, axis=-1, keepdims=True), 1e-15)
+    nov = np.abs(np.sum(nv * vv, -1))
+    frustum_size = H.get_frustum_size(float(sc["min_rect_dim_mul_unproject"]),
+                                      float(sc["ortho_mode"]), view_z)
+    rotator = np.asarray(sc["rotator"] if mode == BLUR else sc["rotator_post"], F32)
+
+    fraction_scale = REBLUR_BLUR_FRACTION_SCALE if mode == BLUR \
+        else REBLUR_POST_BLUR_FRACTION_SCALE
+    radius_scale = 1.0 if mode == BLUR else REBLUR_POST_BLUR_RADIUS_SCALE
+
+    # Hit distance factor (:44-47)
+    hit_dist_scale = H.hit_dist_normalization(view_z, dc["hit_dist_params"], 1.0)
+    hit_dist = signal[..., 3] * hit_dist_scale
+    hit_dist_factor = H.get_hit_dist_factor(hit_dist, frustum_size)
+
+    # Blur radius (:52-67)
+    boost = 1.0 - _fade_on_accum_frames(dc, data1)
+    boost = boost * (1.0 - H.pow5(nov))
+    nlas = 1.0 / (1.0 + REBLUR_SAMPLES_PER_FRAME * (1.0 - boost) * data1)
+    blur_radius = dc["max_blur_radius"] * np.sqrt(H.saturate(hit_dist_factor * nlas))
+    blur_radius = blur_radius * radius_scale
+    blur_radius = np.maximum(blur_radius, dc["min_blur_radius"])
+
+    # Weights (:70-80)
+    ga, gb = H.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
+                                          xv, nv, nlas)
+    nwp = H.get_normal_weight_param(nlas, dc["lobe_angle_fraction"]) / fraction_scale
+    ha, hb = H.get_hit_distance_weight_params(signal[..., 3], nlas)
+    min_hdw = dc["min_hit_distance_weight"] * fraction_scale
+    min_hdw = min_hdw * np.sqrt(nlas)  # :77-79 (not PRE_BLUR, not occlusion)
+
+    # Screen-space settings (:82-93)
+    skew = H.lerp(1.0 - np.abs(nv[..., :2]), 1.0, nov[..., None])
+    skew = skew / np.max(skew, -1, keepdims=True)
+    rect_inv = np.asarray([1.0 / w, 1.0 / h], F32)
+    skew = skew * rect_inv * blur_radius[..., None]
+    scaled_rotator = H.scale_rotator(np.broadcast_to(rotator, uv.shape[:2] + (4,)), skew)
+
+    rect = np.asarray([w, h], F32)
+    sum_ = np.ones((h, w), F32)
+    acc = signal.copy()
+    min_mat = float(dc["diff_min_material"])
+
+    for tap in H.G_SPECIAL8:
+        offset = tap[:2]
+        uv_s = uv + H.rotate_vector2(scaled_rotator, np.broadcast_to(offset, uv.shape))
+        uv_s = (np.floor(uv_s * rect) + 0.5) / rect  # snap to pixel center (:117)
+
+        zs = H.unpack_view_z(H.sample_nearest(view_z_in, uv_s), float(sc["view_z_scale"]))
+        ns, rs, ms = H.unpack_normal_roughness(H.sample_nearest(normal_roughness, uv_s))
+
+        angle = H.acos_approx(np.sum(n * ns, -1))
+        xvs = H.reconstruct_view_position(uv_s, frustum, zs, float(sc["ortho_mode"]))
+
+        w_ = H.is_in_screen_nearest(uv_s)
+        w_ = w_ * H.compute_weight(np.sum(nv * xvs, -1), ga, gb)
+        w_ = w_ * (np.maximum(material_id, min_mat)
+                   == np.maximum(ms, min_mat)).astype(F32)
+        w_ = w_ * H.compute_weight(angle, nwp, 0.0)
+
+        s = H.sample_nearest(signal, uv_s)
+        s = np.where((w_ == 0.0)[..., None], 0.0, s)  # Denanify
+        w_ = w_ * H.lerp(min_hdw, 1.0,
+                         H.compute_exponential_weight(s[..., 3], ha, hb, use_exp_approx))
+        w_ = w_ * H.get_gaussian_weight(float(tap[2]))
+
+        sum_ = sum_ + w_
+        acc = acc + s * w_[..., None]
+
+    return acc / np.maximum(sum_, H.NRD_EPS)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# History fix, diffuse half (REBLUR_HistoryFix.hlsli:66-255)
+# ---------------------------------------------------------------------------
+
+
+def history_fix_diffuse(sc, dc, view_z_in, normal_roughness, data1_diff, signal,
+                        fast_history, use_exp_approx=False):
+    """Returns (signal_out, fast_history_out)."""
+    h, w = view_z_in.shape
+    uv = _pixel_uv(h, w)
+    view_z = H.unpack_view_z(view_z_in, float(sc["view_z_scale"]))
+    n, roughness, material_id = H.unpack_normal_roughness(normal_roughness)
+    frustum = np.asarray(sc["frustum"], F32)
+    xv = H.reconstruct_view_position(uv, frustum, view_z, float(sc["ortho_mode"]))
+    nv = H.rotate_vector(sc["world_to_view"], n)
+    frustum_size = H.get_frustum_size(float(sc["min_rect_dim_mul_unproject"]),
+                                      float(sc["ortho_mode"]), view_z)
+    frame_num = data1_diff
+
+    # Stride between taps (:63, :74-76)
+    stride = dc["history_fix_base_pixel_stride"] / (2.0 + frame_num)
+    stride = stride * (frame_num < dc["history_fix_frame_num"]).astype(F32)
+    stride = np.floor(stride)
+
+    # History reconstruction (:78-168)
+    nlas = 1.0 / (1.0 + frame_num)
+    nwp = H.get_normal_weight_param(nlas, dc["lobe_angle_fraction"])
+    ga, gb = H.get_geometry_weight_params(dc["plane_dist_sensitivity"], frustum_size,
+                                          xv, nv, nlas)
+    sumd = 1.0 + frame_num
+    hit_dist_scale = H.hit_dist_normalization(view_z, dc["hit_dist_params"], 1.0)
+    hit_dist = signal[..., 3] * hit_dist_scale
+    hit_dist_factor = H.get_hit_dist_factor(hit_dist, frustum_size)
+    ha, hb = H.get_hit_distance_weight_params(hit_dist_factor, nlas, 1.0)
+
+    acc = signal * sumd[..., None]
+    min_mat = float(dc["diff_min_material"])
+    rect = np.asarray([w, h], F32)
+    rect_inv = 1.0 / rect
+    px = np.floor(uv[..., 0] * w).astype(np.int64)
+    py = np.floor(uv[..., 1] * h).astype(np.int64)
+    stride_i = (stride + 0.5).astype(np.int64)
+
+    for j in range(-2, 3):
+        for i in range(-2, 3):
+            if i == 0 and j == 0:
+                continue
+            if abs(i) + abs(j) == 4:
+                continue
+            uv_s = uv + np.stack([i * stride, j * stride], -1) * rect_inv
+            pos_x = np.clip(px + i * stride_i, 0, w - 1)
+            pos_y = np.clip(py + j * stride_i, 0, h - 1)
+
+            zs = H.unpack_view_z(view_z_in[pos_y, pos_x], float(sc["view_z_scale"]))
+            ns, _, ms = H.unpack_normal_roughness(normal_roughness[pos_y, pos_x])
+
+            angle = H.acos_approx(np.sum(ns * n, -1))
+            xvs = H.reconstruct_view_position(uv_s, frustum, zs, float(sc["ortho_mode"]))
+
+            w_ = H.is_in_screen_nearest(uv_s)
+            w_ = w_ * H.compute_weight(np.sum(nv * xvs, -1), ga, gb)
+            w_ = w_ * (np.maximum(material_id, min_mat)
+                       == np.maximum(ms, min_mat)).astype(F32)
+            w_ = w_ * H.compute_exponential_weight(angle, nwp, 0.0, use_exp_approx)
+            w_ = w_ * (1.0 + data1_diff[pos_y, pos_x])  # :140-142 (non-perf)
+
+            s = signal[pos_y, pos_x]
+            s = np.where((w_ == 0.0)[..., None], 0.0, s)
+            hs = s[..., 3] * hit_dist_scale
+            hs_factor = H.get_hit_dist_factor(hs, frustum_size)
+            w_ = w_ * H.compute_exponential_weight(hs_factor, ha, hb, use_exp_approx)
+
+            sumd = sumd + w_
+            acc = acc + s * w_[..., None]
+
+    recon = acc * H.positive_rcp(sumd)[..., None]
+    diff = np.where((stride != 0.0)[..., None], recon, signal)
+
+    # Local variance over the OLD fast history (:170-196)
+    diff_center_old = fast_history
+    m1 = diff_center_old.copy()
+    m2 = diff_center_old * diff_center_old
+    f = H.saturate(frame_num / (dc["history_fix_frame_num"] + H.NRD_EPS))
+    diff_center = H.lerp(_luma(diff), diff_center_old, f)
+    fast_out = diff_center
+
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    for j in range(-1, 2):
+        for i in range(-1, 2):
+            if i == 0 and j == 0:
+                continue
+            d = fast_history[np.clip(ys + j, 0, h - 1), np.clip(xs + i, 0, w - 1)]
+            m1 = m1 + d
+            m2 = m2 + d * d
+
+    diff_luma = _luma(diff)
+
+    # (anti-firefly off: default ReblurSettings.enableAntiFirefly == false)
+
+    # Fast history clamping (:230-241)
+    m1 = m1 / 9.0
+    m2 = m2 / 9.0
+    sigma = H.get_std_dev(m1, m2) * REBLUR_COLOR_CLAMPING_SIGMA_SCALE
+    clamped = np.clip(diff_luma, m1 - sigma, m1 + sigma)
+    fast_is_shorter = float(dc["max_fast_accumulated_frame_num"]
+                            < dc["max_accumulated_frame_num"])
+    diff_luma = H.lerp(clamped, diff_luma,
+                       1.0 / (1.0 + fast_is_shorter * frame_num * 2.0))
+
+    return _change_luma(diff, diff_luma), fast_out
+
+
+# ---------------------------------------------------------------------------
+# Temporal accumulation, diffuse slice (REBLUR_TemporalAccumulation.hlsli)
+# ---------------------------------------------------------------------------
+
+
+def ta_diffuse(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
+               prev_normal_roughness, prev_diff_accum, prev_spec_accum, prev_material,
+               diff_input, diff_history, diff_fast_history):
+    """Returns dict(diff, fast, accum_speed, fbits, footprint_quality)."""
+    h, w = view_z_in.shape
+    uv = _pixel_uv(h, w)
+    view_z = H.unpack_view_z(view_z_in, float(sc["view_z_scale"]))
+    n, roughness, material_id = H.unpack_normal_roughness(normal_roughness)
+    frustum = np.asarray(sc["frustum"], F32)
+    xv = H.reconstruct_view_position(uv, frustum, view_z, float(sc["ortho_mode"]))
+    x = H.rotate_vector(sc["view_to_world"], xv)  # camera-relative: no translation
+
+    # Navg over the 2x2 upper-left quad (:72-99)
+    n_avg = np.zeros_like(n)
+    for dy, dx in ((-1, -1), (-1, 0), (0, -1), (0, 0)):
+        ys = np.clip(np.arange(h)[:, None] + dy, 0, h - 1)
+        xs = np.clip(np.arange(w)[None, :] + dx, 0, w - 1)
+        ns, _, _ = H.unpack_normal_roughness(normal_roughness[ys, xs])
+        n_avg = n_avg + ns
+    n_avg = n_avg / 4.0
+
+    # Previous position and surface motion uv (:136-155)
+    mv = mv_in * np.asarray(sc["mv_scale"], F32)[None, None, :3]
+    w2v_prev = np.asarray(sc["world_to_view_prev"], F32)
+    is_world_mv = float(sc["mv_scale"][3]) != 0.0
+    if is_world_mv:
+        x_prev = x + mv
+        smb_uv = H.get_screen_uv(sc["world_to_clip_prev"], x_prev)
+    else:
+        smb_uv = uv + mv[..., :2]
+        if float(sc["mv_scale"][2]) == 0.0:
+            mv_z = H.affine_transform(w2v_prev, x)[..., 2] - view_z
+        else:
+            mv_z = mv[..., 2]
+        view_z_prev = view_z + mv_z
+        xv_prev_local = H.reconstruct_view_position(
+            smb_uv, np.asarray(sc["frustum_prev"], F32), view_z_prev,
+            float(sc["ortho_mode"]))
+        x_prev = xv_prev_local @ w2v_prev[:3, :3] \
+            + np.asarray(sc["camera_delta"], F32)[None, None, :]
+
+    # Previous viewZ 4x4 rooted at bilinear origin - 1 (:157-176)
+    rect_prev = np.asarray(sc["rect_size_prev"], F32)
+    bil_origin, bil_f = H.get_bilinear_filter(smb_uv, rect_prev)
+    x0 = bil_origin[..., 0].astype(np.int64) - 1
+    y0 = bil_origin[..., 1].astype(np.int64) - 1
+    z_taps = [[H.unpack_view_z(H.texel_fetch(prev_view_z, x0 + i, y0 + j),
+                               float(sc["view_z_scale"]))
+               for i in range(4)] for j in range(4)]
+
+    # Previous normal avg over the center 2x2, in-range weighted (:178-204)
+    center_taps = ((1, 1), (2, 1), (1, 2), (2, 2))
+    smb_navg = np.zeros_like(n)
+    wsum = np.zeros((h, w), F32)
+    for (tx, ty) in center_taps:
+        w_ = (z_taps[ty][tx] < sc["denoising_range"]).astype(F32)
+        npv, _, _ = H.unpack_normal_roughness(
+            H.texel_fetch(prev_normal_roughness, x0 + tx, y0 + ty))
+        smb_navg = smb_navg + npv * w_[..., None]
+        wsum = wsum + w_
+    smb_navg = smb_navg / np.where(wsum == 0.0, 1.0, wsum)[..., None]
+    smb_navg = H.rotate_vector(sc["world_prev_to_world"], smb_navg)
+
+    # Parallax (:206-211)
+    cam_delta = np.asarray(sc["camera_delta"], F32)[None, None, :]
+    ortho = float(sc["ortho_mode"])
+    uv1 = smb_uv if ortho == 0.0 else uv
+    uv2 = uv if ortho == 0.0 else smb_uv
+    p1 = H.get_screen_uv(sc["world_to_clip_prev"], x_prev + cam_delta)
+    p2 = H.get_screen_uv(sc["world_to_clip"], x_prev - cam_delta)
+    rect = np.asarray([w, h], F32)
+    par1 = np.linalg.norm((p1 - uv1) * rect, axis=-1)
+    par2 = np.linalg.norm((p2 - uv2) * rect, axis=-1)
+    parallax_max = np.maximum(par1, par2)
+
+    # Disocclusion threshold (:216-236)
+    frustum_size = H.get_frustum_size(float(sc["min_rect_dim_mul_unproject"]), ortho,
+                                      view_z)
+    dis_thr = H.lerp(sc["disocclusion_threshold"] + sc["disocclusion_threshold_bonus"],
+                     sc["disocclusion_threshold_alternate"]
+                     + sc["disocclusion_threshold_bonus"], 0.0)
+    small_par = H.linearstep(0.25, 0.0, parallax_max)
+    dis_thr = dis_thr + 0.05 * small_par
+    v = -x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-15)
+    nov = np.abs(np.sum(n * v, -1))
+    nov_strict = H.lerp(nov, 1.0, H.saturate(parallax_max / 30.0))
+    base_thr = H.get_disocclusion_threshold(dis_thr, frustum_size, nov_strict)
+    navg_ok = (np.sum(smb_navg * n_avg, -1)
+               > REBLUR_ALMOST_ZERO_ANGLE - 0.25 * small_par).astype(F32)
+    in4 = H.is_in_screen_bilinear(bil_origin, rect_prev)
+    quad_thr = [base_thr * navg_ok * in4[..., q] - H.NRD_EPS for q in range(4)]
+
+    # Plane-distance occlusion, 16 taps (:238-247)
+    xv_prev = H.affine_transform(w2v_prev, x_prev)
+    occ = [[None] * 4 for _ in range(4)]
+    for j in range(4):
+        for i in range(4):
+            q = (1 if i >= 2 else 0) + (2 if j >= 2 else 0)
+            occ[j][i] = (np.abs(z_taps[j][i] - xv_prev[..., 2])
+                        <= quad_thr[q]).astype(F32)
+
+    # materialID occlusion (:249-266)
+    min_mat = min(float(dc["spec_min_material"]), float(dc["diff_min_material"]))
+    for j in range(4):
+        for i in range(4):
+            mats = H.texel_fetch(prev_material, x0 + i, y0 + j)
+            same = (np.maximum(material_id, min_mat)
+                    == np.maximum(mats, min_mat)).astype(F32)
+            occ[j][i] = occ[j][i] * same
+
+    # 2x2 occlusion weights, CatRom allowance, fbits (:271-283)
+    occ_c = np.stack([occ[ty][tx] for (tx, ty) in center_taps], -1)
+    occ_weights = H.get_bilinear_custom_weights(bil_f, occ_c)
+    corner = {(0, 0), (3, 0), (0, 3), (3, 3)}
+    occ12 = sum(occ[j][i] for j in range(4) for i in range(4) if (i, j) not in corner)
+    allow_catrom = occ12 > 11.5
+    fbits = occ_c[..., 0] + occ_c[..., 1] * 2.0 + occ_c[..., 2] * 4.0 + occ_c[..., 3] * 8.0
+
+    # Accumulation speed from prev internal data (:285-294)
+    d_taps = H.gather_2x2(prev_diff_accum, bil_origin)
+    diff_accum = H.apply_bilinear_custom_weights(*d_taps, occ_weights)
+
+    # Footprint quality (:296-305)
+    vprev = cam_delta - x_prev
+    vprev = vprev / np.maximum(np.linalg.norm(vprev, axis=-1, keepdims=True), 1e-15)
+    nov_prev = np.abs(np.sum(n * vprev, -1))
+    size_q = (nov_prev + 1e-3) / (nov + 1e-3)
+    size_q = H.lerp(0.1, 1.0, H.saturate(size_q * size_q))
+    fq = np.sum(occ_c * H.bilinear_weights(bil_f), -1)
+    fq = np.sqrt(H.saturate(fq)) * size_q
+
+    # ---- diffuse accumulation (:826-930) ----
+    diff_accum = diff_accum * H.lerp(fq, 1.0, 1.0 / (1.0 + diff_accum))
+    diff_accum = np.minimum(diff_accum, dc["max_accumulated_frame_num"])
+
+    sample_pos = H.saturate(smb_uv) * rect_prev
+    smb_hist = H.catrom_with_bilinear_fallback(diff_history, sample_pos, allow_catrom,
+                                               occ_weights)
+    smb_fast = H.bilinear_custom(diff_fast_history, np.floor(sample_pos - 0.5),
+                                 occ_weights)
+    smb_hist = _clamp_negative_to_zero(smb_hist)
+
+    nlas = 1.0 / (1.0 + diff_accum)
+    diff_result = _mix_history_and_current(dc, smb_hist, diff_input, nlas)
+
+    # Firefly suppressor (:890-905)
+    max_rel = dc["firefly_suppressor_min_relative_scale"] \
+        + FIREFLY_MAX_RELATIVE_INTENSITY / (diff_accum + 1.0)
+    anti = diff_accum * dc["max_blur_radius"] * FIREFLY_RADIUS_SCALE
+    anti = anti / (1.0 + anti)
+    luma = _luma(diff_result)
+    luma_cl = np.minimum(luma, _luma(smb_hist) * max_rel)
+    luma_cl = H.lerp(luma, luma_cl, anti)
+    diff_result = _change_luma(diff_result, luma_cl)
+
+    # Fast history (:913-926)
+    fast_accum = np.minimum(diff_accum, dc["max_fast_accumulated_frame_num"])
+    fast_nlas = 1.0 / (1.0 + fast_accum)
+    fast = H.lerp(smb_fast, _luma(diff_input), fast_nlas)
+    fast_cl = np.minimum(fast, _luma(smb_hist) * max_rel * FIREFLY_FAST_RELATIVE_INTENSITY)
+    fast = H.lerp(fast, fast_cl, anti)
+
+    return dict(diff=diff_result, fast=fast, accum_speed=diff_accum, fbits=fbits,
+                footprint_quality=fq)

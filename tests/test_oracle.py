@@ -1,0 +1,169 @@
+"""Parity oracle tests: the engine's XLA reference path vs a numpy transliteration
+of the reference HLSL (tests/oracle/), at >= 40 dB PSNR (BASELINE.md's quality metric).
+
+The oracle transliterates the shaders from /root/reference; the engine's host constants
+(camera matrices, rotators - pinned by test_camera.py) feed both sides. A formula change
+in TA / spatial filter / history fix diverges the two implementations and fails here at
+40 dB instead of slipping under the scene-level convergence floors.
+
+Scene: slanted wall with a depth step and lumpy normals, noisy YCoCg signal, camera
+translating sideways (fractional reprojection + disocclusion at the step edge).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nrdtpu import frontend as fe
+from nrdtpu.engine import Engine
+from nrdtpu.settings import CommonSettings, Denoiser
+from nrdtpu.passes.reblur import kernels as K
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle import hlsl as H  # noqa: E402
+from oracle import reblur as O  # noqa: E402
+
+W, H_ = 96, 64
+RNG = np.random.default_rng(42)
+
+
+def psnr(ref, x):
+    ref = np.asarray(ref, np.float64)
+    x = np.asarray(x, np.float64)
+    mse = np.mean((ref - x) ** 2)
+    peak = max(np.max(np.abs(ref)), 1e-6)
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-30))
+
+
+def _camera(translate_x=0.0):
+    eng = Engine({0: Denoiser.REBLUR_DIFFUSE}, resource_size=(W, H_))
+    cs = CommonSettings()
+    proj = np.zeros((4, 4), np.float32)
+    proj[0, 0] = proj[1, 1] = 1.0
+    proj[2, 2] = 1.0
+    proj[2, 3] = -0.1
+    proj[3, 2] = 1.0
+    ident = np.eye(4, dtype=np.float32)
+    view_prev = ident.copy()
+    view = ident.copy()
+    view[0, 3] = -translate_x  # world-to-view: camera moved +x
+    cs.viewToClipMatrix = cs.viewToClipMatrixPrev = proj.flatten(order="F")
+    cs.worldToViewMatrix = view.flatten(order="F")
+    cs.worldToViewMatrixPrev = view_prev.flatten(order="F")
+    cs.resourceSize = cs.resourceSizePrev = cs.rectSize = cs.rectSizePrev = (W, H_)
+    cs.motionVectorScale = (1.0, 1.0, 0.0)
+    eng.set_common_settings(cs)
+    eng.set_common_settings(cs)  # 2nd frame: prev state valid, no reset
+    inst = eng._instances[0]
+    sc = eng._shared_consts()
+    dc = inst.frame_constants(eng._consts, eng._settings[0])
+    return sc, dc, inst.config
+
+
+def _scene(sc):
+    """Depth/normal/signal planes + true reprojection MV for the sc camera pair."""
+    uv = O._pixel_uv(H_, W)
+    # slanted wall: z = 8 + 3u + 1.5v, with a closer box in the middle
+    view_z = 8.0 + 3.0 * uv[..., 0] + 1.5 * uv[..., 1]
+    box = (np.abs(uv[..., 0] - 0.55) < 0.15) & (np.abs(uv[..., 1] - 0.5) < 0.2)
+    view_z = np.where(box, view_z - 2.0, view_z).astype(np.float32)
+    # lumpy normals around +z
+    n = np.stack([0.25 * np.sin(uv[..., 0] * 21.0), 0.2 * np.cos(uv[..., 1] * 17.0),
+                  np.ones((H_, W), np.float32)], -1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    roughness = (0.3 + 0.4 * uv[..., 0]).astype(np.float32)
+    nr = np.asarray(fe.pack_normal_roughness(
+        jnp.asarray(n), jnp.asarray(roughness), jnp.zeros((H_, W), jnp.float32)))
+
+    # screen-space MV from true geometry: uv_prev(X) - uv
+    frustum = np.asarray(sc["frustum"], np.float32)
+    xv = H.reconstruct_view_position(uv, frustum, view_z, 0.0)
+    x = H.rotate_vector(sc["view_to_world"], xv)  # camera-relative world
+    uv_prev = H.get_screen_uv(sc["world_to_clip_prev"],
+                              x + np.asarray(sc["camera_delta"])[None, None, :])
+    mv = np.concatenate([(uv_prev - uv), np.zeros((H_, W, 1), np.float32)],
+                        -1).astype(np.float32)
+
+    signal = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+    signal[..., 1:3] -= 0.5  # YCoCg chroma is signed
+    return dict(view_z=view_z.astype(np.float32), nr=nr, mv=mv, signal=signal,
+                n=n, roughness=roughness)
+
+
+class TestSpatialFilterOracle:
+    @pytest.mark.parametrize("mode", ["blur", "post_blur"])
+    def test_blur_matches_oracle(self, mode):
+        sc, dc, config = _camera()
+        s = _scene(sc)
+        data1 = RNG.uniform(0.0, 30.0, (H_, W)).astype(np.float32)
+
+        ref = O.diffuse_spatial_filter(sc, dc, mode, s["signal"], s["view_z"],
+                                       s["nr"], data1)
+        got, _ = K.diffuse_spatial_filter(
+            sc, dc, K.BLUR if mode == "blur" else K.POST_BLUR, jnp.asarray(s["signal"]),
+            jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]), jnp.asarray(data1), config,
+            occlusion=False, pallas=False)
+        p = psnr(ref, got)
+        assert p >= 40.0, f"{mode}: PSNR vs HLSL oracle = {p:.1f} dB"
+
+
+class TestHistoryFixOracle:
+    def test_history_fix_matches_oracle(self):
+        sc, dc, config = _camera()
+        s = _scene(sc)
+        # mixed regime: converged in some areas, fresh (stride > 0) in others
+        data1 = np.where(np.arange(W)[None, :] < W // 2, 1.0, 20.0).astype(np.float32)
+        data1 = np.broadcast_to(data1, (H_, W)).copy()
+        fast = RNG.uniform(0.0, 1.0, (H_, W)).astype(np.float32)
+
+        ref_sig, ref_fast = O.history_fix_diffuse(sc, dc, s["view_z"], s["nr"], data1,
+                                                  s["signal"], fast)
+        got_sig, got_fast, _ = K.history_fix(
+            sc, dc, jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]), jnp.asarray(data1),
+            jnp.asarray(data1), jnp.asarray(s["signal"]), jnp.asarray(fast), config,
+            is_diffuse=True, occlusion=False, anti_firefly=False, pallas=False)
+        p_sig = psnr(ref_sig, got_sig)
+        p_fast = psnr(ref_fast, got_fast)
+        assert p_sig >= 40.0, f"history fix signal: {p_sig:.1f} dB"
+        assert p_fast >= 40.0, f"history fix fast: {p_fast:.1f} dB"
+
+
+class TestTemporalAccumulationOracle:
+    @pytest.mark.parametrize("translate_x", [0.0, 0.013])
+    def test_ta_diffuse_matches_oracle(self, translate_x):
+        sc, dc, config = _camera(translate_x)
+        s = _scene(sc)
+        prev_view_z = s["view_z"]  # same surface; reprojection decides validity
+        prev_nr = s["nr"]
+        accum = RNG.uniform(0.0, 40.0, (H_, W)).astype(np.float32)
+        prev_internal = {
+            "diff_accum": jnp.asarray(accum),
+            "spec_accum": jnp.asarray(accum),
+            "material_id": jnp.zeros((H_, W), jnp.float32),
+        }
+        history = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        fast_hist = RNG.uniform(0.0, 1.0, (H_, W)).astype(np.float32)
+
+        ref = O.ta_diffuse(sc, dc, s["view_z"], s["nr"], s["mv"], prev_view_z, prev_nr,
+                           accum, accum, np.zeros((H_, W), np.float32), s["signal"],
+                           history, fast_hist)
+
+        sm = K.surface_motion_reprojection(
+            sc, dc, jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]), jnp.asarray(s["mv"]),
+            jnp.asarray(prev_view_z), jnp.asarray(prev_nr), prev_internal, config)
+        got_diff, got_fast, got_accum, _ = K.temporal_accumulation_diffuse(
+            sc, dc, sm, jnp.asarray(s["signal"]), jnp.asarray(history),
+            jnp.asarray(fast_hist), config, occlusion=False)
+
+        p_fb = psnr(ref["fbits"], sm["fbits"])
+        p_acc = psnr(ref["accum_speed"], got_accum)
+        p_diff = psnr(ref["diff"], got_diff)
+        p_fast = psnr(ref["fast"], got_fast)
+        assert p_fb >= 40.0, f"fbits: {p_fb:.1f} dB"
+        assert p_acc >= 40.0, f"accum speed: {p_acc:.1f} dB"
+        assert p_diff >= 40.0, f"TA diffuse: {p_diff:.1f} dB"
+        assert p_fast >= 40.0, f"TA fast history: {p_fast:.1f} dB"
