@@ -129,7 +129,7 @@ def make_inputs(w, h, seed=0):
 
 
 def time_frame_fn(fn, sc, dc, state, inputs, warmup=1, iters=6, frames_per_call=32,
-                  budget_s=120.0):
+                  budget_s=120.0, details=None):
     """Median device ms/frame of `fn(sc, dc, state, inputs) -> (outs, state)`.
 
     The axon tunnel dispatches ASYNCHRONOUSLY: `block_until_ready` returns before remote
@@ -179,11 +179,17 @@ def time_frame_fn(fn, sc, dc, state, inputs, warmup=1, iters=6, frames_per_call=
     latency = float(np.median(lats))
 
     t_first = sample()  # compile + first run
+    if details is not None:
+        # first-call wall seconds = compile + one scan; warm cache makes this small.
+        # Recorded per config in bench_details.json (VERDICT r2 #3).
+        details["first_call_s"] = round(t_first, 1)
     for _ in range(warmup - 1):
         t_first = sample()
     iters = max(2, min(iters, int(budget_s / max(t_first, 1e-3))))
     ts = [sample() for _ in range(iters)]
     t = float(np.median(ts))
+    if details is not None:
+        details["iters"] = iters
     return max(t - latency, 1e-9) * 1e3 / n
 
 
@@ -251,7 +257,9 @@ def bench_config(name, raw, w, h):
     dc = inst.frame_constants(eng._consts, settings)
     sc = eng._shared_consts()
     state = jax.tree.map(jax.device_put, inst.init_state())
-    return time_frame_fn(fn, sc, dc, state, pool)
+    details = {}
+    ms = time_frame_fn(fn, sc, dc, state, pool, details=details)
+    return ms, details
 
 
 def run_one(name):
@@ -260,8 +268,8 @@ def run_one(name):
     w, h = RESOLUTION
     raw = make_inputs(w, h)
     try:
-        ms = bench_config(name, raw, w, h)
-        print(json.dumps({"config": name, "ms": ms}), flush=True)
+        ms, details = bench_config(name, raw, w, h)
+        print(json.dumps({"config": name, "ms": ms, **details}), flush=True)
         return 0
     except Exception as e:  # pragma: no cover
         print(json.dumps({"config": name,
@@ -278,6 +286,7 @@ def main():
 
     available = {d.name for d in Denoiser}
     results = {}
+    timings = {}
     headline_printed = False
     t_start = time.time()
     budget_s = float(os.environ.get("NRDTPU_BENCH_BUDGET_S", "3000"))
@@ -285,6 +294,7 @@ def main():
     def flush_details():
         with open("bench_details.json", "w") as f:
             json.dump({"resolution": f"{w}x{h}", "results_ms": results,
+                       "compile_first_call_s": timings,
                        "baselines_ms": BASELINES,
                        "baseline_notes": {
                            "REBLUR_DIFFUSE_OCCLUSION": "self-estimated (not published)",
@@ -319,6 +329,8 @@ def main():
                         pass
             if parsed and "ms" in parsed:
                 results[name] = parsed["ms"]
+                if "first_call_s" in parsed:
+                    timings[name] = parsed["first_call_s"]
             elif parsed and "error" in parsed:
                 results[name] = f"ERROR: {parsed['error']}"
             else:

@@ -25,26 +25,20 @@ W, H = RESOLUTION
 N = 16
 
 
-def converged_state(inst, raw):
+def converged_state(inst, sc, dc, pool):
     """Steady-state pool: bench.py's timed samples run AFTER 32+ scanned frames, so
-    the stage table must measure the converged regime (accum at max, no disocclusion,
-    history-fix strides 0, blur radii collapsed) - not the fresh-state worst case."""
-    from nrdtpu.passes.reblur import common as C
+    the stage table must measure the converged regime. Round-2's hand-built state
+    (accum pinned to 63, random histories, arbitrary prev hitDistForTracking)
+    overstated the specular TA/history-fix work - the GENUINE steady state is
+    whatever the real frame recurrence converges to, so run it."""
+    def run(state):
+        def step(c, _):
+            _, ns = inst.frame(sc, dc, c, pool)
+            return ns, None
+        c, _ = jax.lax.scan(step, state, None, length=24)
+        return c
 
-    state = inst.init_state()
-    h, w = raw["view_z"].shape
-    rng = np.random.default_rng(7)
-    full = C.quantize_accum_speed(jnp.full((h, w), 63.0, jnp.float32))
-    state["prev_view_z"] = jnp.asarray(raw["view_z"])
-    state["prev_normal_roughness"] = jnp.asarray(raw["normal_roughness"])
-    state["diff_accum"] = full
-    state["spec_accum"] = full
-    for k, v in list(state.items()):
-        if k.endswith(("history", "luma_stab")):
-            state[k] = jnp.asarray(
-                rng.uniform(0.2, 0.6, v.shape).astype(np.float32)).astype(v.dtype)
-    state["prev_spec_hitdist_for_tracking"] = jnp.full((h, w), 0.5, jnp.float32)
-    return state
+    return jax.jit(run, donate_argnums=(0,))(inst.init_state())
 
 
 def setup():
@@ -67,16 +61,15 @@ def setup():
     inst.specialize(eng._settings[0])
     dc = inst.frame_constants(eng._consts, eng._settings[0])
     sc = eng._shared_consts()
-    if os.environ.get("NRDTPU_STAGES_STATE", "converged") == "fresh":
-        state = inst.init_state()
-    else:
-        state = converged_state(inst, raw)
-    state = jax.tree.map(jax.device_put, state)
     pool = {RT.IN_MV: raw["mv"], RT.IN_NORMAL_ROUGHNESS: raw["normal_roughness"],
             RT.IN_VIEWZ: raw["view_z"],
             RT.IN_DIFF_RADIANCE_HITDIST: raw["radiance"],
             RT.IN_SPEC_RADIANCE_HITDIST: raw["radiance"]}
     pool = {k: jax.device_put(v) for k, v in pool.items()}
+    if os.environ.get("NRDTPU_STAGES_STATE", "converged") == "fresh":
+        state = jax.tree.map(jax.device_put, inst.init_state())
+    else:
+        state = converged_state(inst, sc, dc, pool)
     return eng, inst, sc, dc, state, pool
 
 

@@ -167,6 +167,10 @@ class Engine:
             self._base_config[ident] = cfg
             self._settings[ident] = default_settings(d)
             self._instances[ident] = cls(cfg)
+            # multi-chip: the instance wraps its Pallas stencil stages in
+            # shard_map + halo exchange (parallel/sharding.shard_stencil) and falls
+            # back to the XLA path for reprojection gathers (GSPMD partitions those)
+            self._instances[ident].mesh = mesh
             self._states[ident] = None
 
     # ------------------------------------------------------------------ API
@@ -244,7 +248,9 @@ class Engine:
                 rect = tuple(inst.config.rect_size)
             if rect != tuple(inst.config.rect_size):
                 old_rect = tuple(inst.config.rect_size)
+                old_mesh = getattr(inst, "mesh", None)
                 inst = type(inst)(dataclasses.replace(inst.config, rect_size=rect))
+                inst.mesh = old_mesh
                 self._instances[ident] = inst
                 if self._states[ident] is not None:
                     self._states[ident] = _migrate_state(

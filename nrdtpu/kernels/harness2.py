@@ -99,7 +99,7 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
                   block_scalars: Sequence = (), center_inputs: Sequence = (),
                   shiftable: Sequence = None, scratch_blocks: int = 0,
                   base_offset=None, offset_windows: Sequence = None,
-                  block_skip=None, interpret: bool = False):
+                  block_skip=None, origin_offset=None, interpret: bool = False):
     """Run `body(smem, bsm, wins, centers, outs, (y0, x0), scratch)` over halo'd blocks.
 
     images: (H, W) arrays (f32 or bf16 - dtype taken from the array) delivered as
@@ -124,6 +124,10 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
       (tile-map-driven, Common.hlsli:118-135). The body still runs (on the zeroed
       windows); callers should also append the mask to `block_scalars` and fold it
       into the body's per-block predicates to cut the tap loops.
+    origin_offset: optional (2,) i32 (traced ok) added to the (y0, x0) the body
+      sees - the row-sharded multi-chip path (parallel/sharding.shard_stencil) runs
+      the kernel on a halo-padded LOCAL shard and passes (shard_row0 - halo, 0) so
+      in-kernel pixel coordinates (uv reconstruction, in-screen tests) stay GLOBAL.
     """
     n_windows = len(images)
     h, w = images[0].shape[:2]
@@ -184,6 +188,10 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
         if num_scalars:
             smem = refs[0]
             idx = 1
+        oo_ref = None
+        if origin_offset is not None:
+            oo_ref = refs[idx]
+            idx += 1
         off_refs = refs[idx: idx + n_off]
         idx += n_off
         skip_ref = None
@@ -281,14 +289,16 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
         wins = [Win2(r, bh, bw, hy, hx, upcast=dt == jnp.bfloat16,
                      shadow=next(sh_iter) if sf else None)
                 for r, dt, sf in zip(win_refs, win_dtypes, shiftable)]
-        body(smem, bsm, wins, list(center_refs), list(out_refs), (y0, x0),
+        oy_, ox_ = (y0, x0) if oo_ref is None else (y0 + oo_ref[0], x0 + oo_ref[1])
+        body(smem, bsm, wins, list(center_refs), list(out_refs), (oy_, ox_),
              blk_scratch)
 
     in_specs = []
     if num_scalars:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    n_oo = 1 if origin_offset is not None else 0
     n_skip = 1 if block_skip is not None else 0
-    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_off + n_skip + n_bs)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * (n_oo + n_off + n_skip + n_bs)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_windows
     in_specs += [pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)] * n_center
@@ -308,8 +318,10 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
 
     off_args = [jnp.asarray(o, jnp.int32) for pair in base_offset for o in pair] \
         if base_offset is not None else []
+    oo_args = [jnp.asarray(origin_offset, jnp.int32).reshape(2)] \
+        if origin_offset is not None else []
     skip_args = [jnp.asarray(block_skip, jnp.float32)] if block_skip is not None else []
-    args = ([scalars] if num_scalars else []) + off_args + skip_args \
+    args = ([scalars] if num_scalars else []) + oo_args + off_args + skip_args \
         + list(block_scalars) + hbm_imgs + centers
     outs = pl.pallas_call(
         kernel, grid=(gh, gw),

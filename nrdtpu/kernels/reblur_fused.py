@@ -514,7 +514,7 @@ def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, has_skip,
 
 def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
                              roughness, material_id, ga, gb, frustum_size,
-                             perf_mode=False, dead=None):
+                             perf_mode=False, dead=None, mesh=None):
     """Run N signals through one fused history-fix launch.
 
     signals: list of dicts with keys
@@ -572,19 +572,31 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
     n_out = sum(d.c + (3 if d.has_sh else 0) + 2 + (2 if af else 0)
                 for d, af in zip(descs, af_flags))
     block = _choose_block(1, len(windows) - 1, len(centers), n_out, len(descs))
-    smins, smaxs = [], []
-    for st in strides:
-        mn, mx = block_minmax(st, block, HALO2)
-        smins.append(mn)
-        smaxs.append(mx)
-    skip = block_dead_mask(dead, block, HALO2)[0] if dead is not None else None
-    outs = stencil_call2(
-        functools.partial(_fused_hfix_kernel, descs, mat_occ, any_spec, af_flags,
-                          3 if perf_mode else 4, skip is not None),
-        windows, n_out=n_out, halo=HALO2, block=block,
-        scalars=scalars,
-        block_scalars=smins + smaxs + ([skip] if skip is not None else []),
-        center_inputs=centers, scratch_blocks=len(descs), block_skip=skip)
+
+    def launch(tree, origin_offset=None):
+        windows_l, centers_l, strides_l, dead_l, scalars_l = tree
+        smins, smaxs = [], []
+        for st in strides_l:
+            mn, mx = block_minmax(st, block, HALO2)
+            smins.append(mn)
+            smaxs.append(mx)
+        skip = block_dead_mask(dead_l, block, HALO2)[0] if dead_l is not None else None
+        return stencil_call2(
+            functools.partial(_fused_hfix_kernel, descs, mat_occ, any_spec, af_flags,
+                              3 if perf_mode else 4, skip is not None),
+            windows_l, n_out=n_out, halo=HALO2, block=block,
+            scalars=scalars_l,
+            block_scalars=smins + smaxs + ([skip] if skip is not None else []),
+            center_inputs=centers_l, scratch_blocks=len(descs), block_skip=skip,
+            origin_offset=origin_offset)
+
+    tree = (windows, centers, strides, dead, scalars)
+    if mesh is None:
+        outs = launch(tree)
+    else:
+        from ..parallel.sharding import shard_stencil
+
+        outs = shard_stencil(mesh, launch, HALO2[0], tree, view_z_in.shape[0])
 
     results = []
     k = 0
@@ -609,7 +621,7 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
 
 def spatial_filter_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
                                 roughness, material_id, ga, gb, perf_mode=False,
-                                dead=None):
+                                dead=None, mesh=None):
     """Run N signals through one fused spatial-filter launch.
 
     signals: list of dicts with keys
@@ -676,20 +688,31 @@ def spatial_filter_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
 
     n_out = sum(d.n_out for d in descs)
     block = _choose_block(1, len(windows) - 1, len(centers), n_out, len(descs))
-    rmin_b, rmax_b = block_minmax(radius_all, block, HALO2)
-    # tile-map block culling (Common.hlsli:118-135): all-sky blocks skip DMAs +
-    # compute and zero their outputs; taps from live pixels into sky carry exactly
-    # zero weight (the plane-distance smoothstep saturates), so live results and
-    # the final dead-pixel passthrough are unaffected.
-    skip = block_dead_mask(dead, block, HALO2)[0] if dead is not None else None
 
-    outs = stencil_call2(
-        functools.partial(_fused_blur_kernel, descs, n_dirs, mat_occ, any_spec,
-                          skip is not None),
-        windows, n_out=n_out, halo=HALO2, block=block,
-        scalars=scalars,
-        block_scalars=[rmin_b, rmax_b] + ([skip] if skip is not None else []),
-        center_inputs=centers, scratch_blocks=len(descs), block_skip=skip)
+    def launch(tree, origin_offset=None):
+        windows_l, centers_l, radius_l, dead_l, scalars_l = tree
+        rmin_b, rmax_b = block_minmax(radius_l, block, HALO2)
+        # tile-map block culling (Common.hlsli:118-135): all-sky blocks skip DMAs +
+        # compute and zero their outputs; taps from live pixels into sky carry exactly
+        # zero weight (the plane-distance smoothstep saturates), so live results and
+        # the final dead-pixel passthrough are unaffected.
+        skip = block_dead_mask(dead_l, block, HALO2)[0] if dead_l is not None else None
+        return stencil_call2(
+            functools.partial(_fused_blur_kernel, descs, n_dirs, mat_occ, any_spec,
+                              skip is not None),
+            windows_l, n_out=n_out, halo=HALO2, block=block,
+            scalars=scalars_l,
+            block_scalars=[rmin_b, rmax_b] + ([skip] if skip is not None else []),
+            center_inputs=centers_l, scratch_blocks=len(descs), block_skip=skip,
+            origin_offset=origin_offset)
+
+    tree = (windows, centers, radius_all, dead, scalars)
+    if mesh is None:
+        outs = launch(tree)
+    else:
+        from ..parallel.sharding import shard_stencil
+
+        outs = shard_stencil(mesh, launch, HALO2[0], tree, view_z_in.shape[0])
 
     results = []
     k = 0

@@ -85,3 +85,44 @@ def row_sharded_stencil(fn, mesh: Mesh, halo: int, axis: str = "sp"):
 def replicated(mesh: Mesh, tree):
     """Replicate small constants over the mesh."""
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_stencil(mesh: Mesh, fn, halo_rows: int, arrays, h: int, axis: str = "sp"):
+    """Run a Pallas stencil stage row-sharded over the mesh: THE production multi-chip
+    path for the halo-window kernels (kernels/harness2.stencil_call2).
+
+    arrays: a pytree whose (h, w[, c]) leaves are the stage's image planes (anything
+      else - scalars, (N,) constants - is replicated). Each image leaf is halo-padded
+      with `halo_rows` real rows from ring neighbors (lax.ppermute over ICI;
+      edge-replicated at the global image top/bottom, matching clamp addressing).
+    fn(local_arrays, origin_offset) -> list/tuple of (h_local + 2*halo, w) outputs:
+      the stage body, called per shard on the padded planes. It must pass
+      `origin_offset` through to stencil_call2 so in-kernel pixel coordinates
+      (uv reconstruction, in-screen tests) stay GLOBAL - taps beyond the true image
+      edge then die on the same in-screen weights as the unsharded kernel, and taps
+      crossing shard boundaries read exchanged rows.
+
+    Returns the outputs re-assembled as (h, w) row-sharded arrays. Requires
+    h % n_devices == 0 and h // n_devices >= halo_rows.
+    """
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    h_local = h // n
+    assert h % n == 0, (h, n)
+    assert h_local >= halo_rows, (h_local, halo_rows)
+
+    leaves, treedef = jax.tree_util.tree_flatten(arrays)
+    is_img = [getattr(x, "ndim", 0) >= 2 and x.shape[0] == h for x in leaves]
+    in_specs = tuple(P(axis, *([None] * (x.ndim - 1))) if img else P()
+                     for x, img in zip(leaves, is_img))
+
+    def local(*local_leaves):
+        row0 = jax.lax.axis_index(axis) * h_local
+        padded = [halo_exchange_rows(x, halo_rows, axis) if img else x
+                  for x, img in zip(local_leaves, is_img)]
+        tree = jax.tree_util.tree_unflatten(treedef, padded)
+        outs = fn(tree, jnp.stack([row0 - halo_rows, jnp.int32(0)]))
+        return tuple(o[halo_rows:halo_rows + h_local] for o in outs)
+
+    shd = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                        out_specs=P(axis, None), check_vma=False)
+    return shd(*leaves)

@@ -200,10 +200,16 @@ class ReblurDenoiser:
         dead = K.sky_pixel_mask(sc, tile_map, view_z)
 
         from ...config import use_pallas
-        pallas_ok = (use_pallas()
-                     and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
-                     and not self.directional
-                     and cfg.rect_size == cfg.resource_size)
+        mesh = getattr(self, "mesh", None)
+        kernels_ok = (use_pallas()
+                      and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
+                      and not self.directional
+                      and cfg.rect_size == cfg.resource_size)
+        # Under a device mesh the reprojection kernels (multi-base DMA windows with
+        # unbounded motion reach) stay on the XLA path - GSPMD partitions their
+        # gathers; the bounded-reach fused spatial stages run sharded Pallas via
+        # shard_map + halo exchange (kernels get mesh=, parallel/sharding.py).
+        pallas_ok = kernels_ok and mesh is None
 
         perf = s.enablePerformanceMode
         # checkerboard disables reconstruction in the reference too, despite the
@@ -226,7 +232,10 @@ class ReblurDenoiser:
         # Fused diff+spec spatial stages: one Pallas launch per stage with shared
         # geometry windows/math (kernels/reblur_fused.py); single-signal variants and
         # the XLA path keep the per-signal calls below.
-        fused_ok = (pallas_ok and self.has_diffuse and self.has_specular
+        rows_ok = mesh is None or (
+            cfg.rect_size[1] % mesh.devices.size == 0
+            and cfg.rect_size[1] // mesh.devices.size >= 32)
+        fused_ok = (kernels_ok and rows_ok and self.has_diffuse and self.has_specular
                     and not self.directional)
         geom = (K.make_filter_geometry(sc, dc, view_z, normal_roughness, cfg)
                 if fused_ok else None)
@@ -243,7 +252,7 @@ class ReblurDenoiser:
                     sc, dc, K.PRE_BLUR, geom, view_z, cfg,
                     diff=dict(signal=diff_in, sh=diff_sh_in, cb_mask=cb_mask),
                     spec=dict(signal=spec_in, sh=spec_sh_in, cb_mask=cb_mask),
-                    occlusion=False, perf_mode=perf)
+                    occlusion=False, perf_mode=perf, mesh=mesh)
                 diff_in, diff_sh_in = fr["diff"], fr["diff_sh"]
                 spec_in, spec_sh_in = fr["spec"], fr["spec_sh"]
                 spec_hdt_prepass = fr["spec_hdt"]
@@ -387,7 +396,7 @@ class ReblurDenoiser:
         # HISTORY FIX
         if fused_ok:
             hf = K.fused_history_fix(
-                sc, dc, geom, view_z, cfg,
+                sc, dc, geom, view_z, cfg, mesh=mesh,
                 diff=dict(signal=diff1, sh=diff_sh1, data1=data1_diff,
                           fast_history=diff_fast1,
                           anti_firefly=s.enableAntiFirefly and not self.occlusion
@@ -428,14 +437,14 @@ class ReblurDenoiser:
                 sc, dc, K.BLUR, geom, view_z, cfg,
                 diff=dict(signal=diff2, sh=diff_sh2, data1=data1_diff),
                 spec=dict(signal=spec2, sh=spec_sh2, data1=data1_spec),
-                occlusion=self.occlusion, perf_mode=perf)
+                occlusion=self.occlusion, perf_mode=perf, mesh=mesh)
             diff3, diff_sh3 = fb["diff"], fb["diff_sh"]
             spec3, spec_sh3 = fb["spec"], fb["spec_sh"]
             fpb = K.fused_spatial_filter(
                 sc, dc, K.POST_BLUR, geom, view_z, cfg,
                 diff=dict(signal=diff3, sh=diff_sh3, data1=data1_diff),
                 spec=dict(signal=spec3, sh=spec_sh3, data1=data1_spec),
-                occlusion=self.occlusion, perf_mode=perf)
+                occlusion=self.occlusion, perf_mode=perf, mesh=mesh)
             diff4, diff_sh4 = fpb["diff"], fpb["diff_sh"]
             spec4, spec_sh4 = fpb["spec"], fpb["spec_sh"]
         else:

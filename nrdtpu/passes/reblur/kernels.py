@@ -1894,7 +1894,7 @@ def _fused_spec_params(sc, dc, mode, geom, signal, data1, cb_mask, occlusion):
 
 @jax.named_scope("REBLUR/fused_spatial_filter")
 def fused_spatial_filter(sc, dc, mode, geom, view_z_in, config, *, diff=None,
-                         spec=None, occlusion=False, perf_mode=False):
+                         spec=None, occlusion=False, perf_mode=False, mesh=None):
     """One fused Pallas launch running the diffuse AND specular spatial filter.
 
     mode: PRE_BLUR / BLUR / POST_BLUR. diff/spec: dicts {signal, sh, data1, cb_mask}
@@ -1903,18 +1903,32 @@ def fused_spatial_filter(sc, dc, mode, geom, view_z_in, config, *, diff=None,
     diffuse_pre_pass / diffuse_spatial_filter / specular_spatial_filter."""
     from ...kernels.reblur_fused import spatial_filter_fused_pallas
 
+    # Sky pixels never accumulate (data1 stays 0) so their blur radius pins at max,
+    # dragging whole blocks to the top tap level in the Pallas kernels even though
+    # sky output is passthrough and sky taps carry zero weight. Zero the radius on
+    # dead pixels so block rmax reflects live pixels only (the reference's tile cull
+    # achieves this by never launching sky CTAs, Common.hlsli:118-135).
+    dead = geom.get("dead")
+
+    def _live_radius(p):
+        if dead is not None:
+            p["blur_radius"] = jnp.where(dead, 0.0, p["blur_radius"])
+        return p
+
     signals = []
     order = []
     if diff is not None:
-        p = _fused_diff_params(sc, dc, mode, geom, diff["signal"],
-                               diff.get("data1"), diff.get("cb_mask"), occlusion)
+        p = _live_radius(_fused_diff_params(sc, dc, mode, geom, diff["signal"],
+                                            diff.get("data1"), diff.get("cb_mask"),
+                                            occlusion))
         p.update(signal=diff["signal"], sh=diff.get("sh"),
                  cb_mask=diff.get("cb_mask"))
         signals.append(p)
         order.append("diff")
     if spec is not None:
-        p = _fused_spec_params(sc, dc, mode, geom, spec["signal"],
-                               spec.get("data1"), spec.get("cb_mask"), occlusion)
+        p = _live_radius(_fused_spec_params(sc, dc, mode, geom, spec["signal"],
+                                            spec.get("data1"), spec.get("cb_mask"),
+                                            occlusion))
         p.update(signal=spec["signal"], sh=spec.get("sh"),
                  cb_mask=spec.get("cb_mask"))
         if mode == PRE_BLUR:
@@ -1935,7 +1949,7 @@ def fused_spatial_filter(sc, dc, mode, geom, view_z_in, config, *, diff=None,
         sc, dc, config, signals=signals, view_z_in=view_z_in, n=geom["n"],
         nv=geom["nv"], roughness=geom["roughness"],
         material_id=geom["material_id"], ga=geom["ga"], gb=geom["gb"],
-        perf_mode=perf_mode, dead=geom.get("dead"))
+        perf_mode=perf_mode, dead=geom.get("dead"), mesh=mesh)
 
     out = {"diff": None, "diff_sh": None, "spec": None, "spec_sh": None,
            "spec_hdt": None}
@@ -2027,7 +2041,7 @@ def _hfix_post(sc, dc, geom, r, signal, sh, fast_history, stride, frame_num,
 
 @jax.named_scope("REBLUR/fused_history_fix")
 def fused_history_fix(sc, dc, geom, view_z_in, config, *, diff=None, spec=None,
-                      occlusion=False, directional=False, perf_mode=False):
+                      occlusion=False, directional=False, perf_mode=False, mesh=None):
     """One fused Pallas launch running diffuse AND specular history fix.
 
     diff/spec: dicts {signal, sh, data1, fast_history, anti_firefly}. Returns
@@ -2039,6 +2053,10 @@ def fused_history_fix(sc, dc, geom, view_z_in, config, *, diff=None, spec=None,
         if s is None:
             continue
         p = _fused_hfix_params(sc, dc, geom, s["signal"], s["data1"], is_d)
+        if geom.get("dead") is not None:
+            # sky never accumulates -> stride pins at max; see fused_spatial_filter.
+            # Sky output is passthrough and the stride==0 select keeps it unfixed.
+            p["stride"] = jnp.where(geom["dead"], 0.0, p["stride"])
         p.update(signal=s["signal"], sh=s.get("sh"),
                  fast_history=s["fast_history"],
                  anti_firefly=bool(s.get("anti_firefly")))
@@ -2050,7 +2068,7 @@ def fused_history_fix(sc, dc, geom, view_z_in, config, *, diff=None, spec=None,
         nv=geom["nv"], roughness=geom["roughness"],
         material_id=geom["material_id"], ga=geom["ga"], gb=geom["gb"],
         frustum_size=geom["frustum_size"], perf_mode=perf_mode,
-        dead=geom.get("dead"))
+        dead=geom.get("dead"), mesh=mesh)
 
     out = {}
     occ_like = occlusion or directional
