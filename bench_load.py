@@ -28,13 +28,13 @@ H, W = 1440, 2560
 BH, BW = 96, 512
 HY, HX = 32, 128
 WIN_H, WIN_W = BH + 2 * HY, BW + 2 * HX
-N = 16
+N = 64
 
 # the real blur lattice at level 5 (radius ~12): mixed-sign 2D offsets
 OFFS = [(-4, 11), (10, 5), (7, -9), (-11, -2), (2, -12), (-8, 8), (12, 1), (-1, -6)]
 
 
-def make_kernel(n_win, dtypes, n_acc, pack2):
+def make_kernel(n_win, dtypes, n_acc, pack2, raw=False):
     def kernel(*refs):
         hbm = refs[:n_win]
         outs = refs[n_win:n_win + n_acc]
@@ -52,7 +52,6 @@ def make_kernel(n_win, dtypes, n_acc, pack2):
             c.start()
         for c in cps:
             c.wait()
-        raw = dtypes[0] == jnp.bfloat16 and n_acc == 0  # bf16x1_raw marker
         accs = [jnp.zeros((BH, BW),
                           jnp.bfloat16 if raw else jnp.float32)
                 for _ in range(max(n_acc, 1))]
@@ -79,12 +78,12 @@ def make_kernel(n_win, dtypes, n_acc, pack2):
     return kernel
 
 
-def run(name, n_win, dtypes, n_acc, env, lat, pack2=False):
+def run(name, n_win, dtypes, n_acc, env, lat, pack2=False, raw=False):
     imgs = [e.astype(dt) for e, dt in zip(env[:n_win], dtypes)]
     grid = (H // BH, W // BW)
     n_out = max(n_acc, 1)
     f = pl.pallas_call(
-        make_kernel(n_win, dtypes, n_acc, pack2), grid=grid,
+        make_kernel(n_win, dtypes, n_acc, pack2, raw), grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_win,
         out_specs=tuple(pl.BlockSpec((BH, BW), lambda i, j: (i, j),
                                      memory_space=pltpu.VMEM)
@@ -146,7 +145,7 @@ def main():
     variants = {
         "f32x1": (1, [f32], 1, False),
         "bf16x1": (1, [bf16], 1, False),
-        "bf16x1_raw": (1, [bf16], 0, False),
+        "bf16x1_raw": (1, [bf16], 1, False, True),
         "f32x13": (13, [f32] * 13, 1, False),
         "bf16x13": (13, [f32] + [bf16] * 12, 1, False),
         "bf16x13_acc8": (13, [f32] + [bf16] * 12, 8, False),
@@ -154,8 +153,10 @@ def main():
     }
     pick = sys.argv[1:] or list(variants)
     for name in pick:
-        n_win, dtypes, n_acc, pack2 = variants[name]
-        run(name, n_win, dtypes, n_acc, env, lat, pack2)
+        n_win, dtypes, n_acc, *fl = variants[name]
+        pack2 = fl[0] if fl else False
+        raw = fl[1] if len(fl) > 1 else False
+        run(name, n_win, dtypes, n_acc, env, lat, pack2, raw)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ from nrdtpu.kernels.reblur_blur2 import HALO2, _LEV, _LO, _HI, _static_offsets
 from nrdtpu.kernels.reblur_pallas import _acos_approx, _exp_w, _sstep10
 
 W, H = 2560, 1440
-N = 16  # frames per timed call
+N = 64  # frames per timed call
 
 
 def _replica_kernel(n_dirs, mode, levels, smem, bsm, wins, centers, outs, origin,
@@ -92,8 +92,65 @@ def _replica_kernel(n_dirs, mode, levels, smem, bsm, wins, centers, outs, origin
     rmax = jnp.minimum(rmax_b[i_b, j_b], jnp.float32(_LEV[-1]))
 
     taps = _static_offsets(8)[:n_dirs] if n_dirs else []
+
+    if mode == "switch":
+        # n-way real branch on the block's level index instead of n pl.when buckets
+        import functools as _ft
+        idx = jnp.int32(-1)
+        for li in levels:
+            idx = idx + (rmax > jnp.float32(_LO[li])).astype(jnp.int32)
+
+        def level_body(li):
+            sums = [scratch[0][:, :], scratch[1][:, :]]
+            accs = [[outs[si * 4 + k_][:, :] for k_ in range(4)]
+                    for si in range(2)]
+            for k in range(n_dirs):
+                off_y, off_x, k_t = taps[k][li]
+                zs = zw.tap(off_y, off_x)
+                nsx = wnx.tap(off_y, off_x)
+                nsy = wny.tap(off_y, off_x)
+                nsz = wnz.tap(off_y, off_x)
+                rs = wrs.tap(off_y, off_x)
+                angle = _acos_approx(ncx * nsx + ncy * nsy + ncz * nsz)
+                s_f = zs * s_lin + abs_ortho
+                kx = jnp.float32(off_x) * inv_w * 0.9
+                ky = jnp.float32(off_y) * inv_h * 0.5
+                w_geo = ((fx >= jnp.float32(-off_x))
+                         & (fx <= rect_w - jnp.float32(1 + off_x))
+                         & (fy >= jnp.float32(-off_y))
+                         & (fy <= rect_h - jnp.float32(1 + off_y))
+                         ).astype(jnp.float32)
+                plane_d = (plane_a + kx * nvx + ky * nvy) * s_f + nvz * zs
+                w_geo = w_geo * _sstep10(jnp.abs(plane_d * ga + gb))
+                for si, p in enumerate(per):
+                    w_ = w_geo * _sstep10(jnp.abs(angle * p["nwp_c"]))
+                    if si == 1:
+                        w_ = w_ * _sstep10(jnp.abs(rs * p["wra_c"] + p["wrb_c"]))
+                    s_taps = [sg.tap(off_y, off_x) for sg in sig_wins[si]]
+                    s_hd = s_taps[-1]
+                    w_ = w_ * (p["mhdw_c"] + (1.0 - p["mhdw_c"])
+                               * _exp_w(s_hd * p["ha_c"] + p["hb_c"]))
+                    w_ = w_ * jnp.exp(jnp.float32(k_t) * p["inv_r2"])
+                    sums[si] = sums[si] + w_
+                    accs[si] = [a + st * w_ for a, st in zip(accs[si], s_taps)]
+            for si in range(2):
+                scratch[si][:, :] = sums[si]
+                for k_ in range(4):
+                    outs[si * 4 + k_][:, :] = accs[si][k_]
+
+        jax.lax.switch(idx, [_ft.partial(level_body, li) for li in levels])
+        for si in range(2):
+            inv = 1.0 / jnp.maximum(scratch[si][:, :], 1e-15)
+            for k_ in range(4):
+                outs[si * 4 + k_][:, :] = outs[si * 4 + k_][:, :] * inv
+        return
+
+    same = mode == "when5same"
     for li in levels:
         active = (rmax > jnp.float32(_LO[li])) & (rmax <= jnp.float32(_HI[li]))
+        if same:
+            mode = "full"
+            li = levels[len(levels) // 2 + 1] if len(levels) > 1 else li
 
         @pl.when(active)
         def _(li=li):
@@ -265,6 +322,8 @@ def main():
         "full, refs accumulate": (8, "refsacc", all_levels),
         "full, single level": (8, "full", [li_sel]),
         "loads only, single level": (8, "loads", [li_sel]),
+        "full, 5x same body": (8, "when5same", all_levels),
+        "full, lax.switch": (8, "switch", all_levels),
     }
     pick = sys.argv[1:] or list(variants)
     for name in pick:

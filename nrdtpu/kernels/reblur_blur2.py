@@ -47,10 +47,14 @@ from .reblur_pallas import (
 BLOCK2 = (160, 512)
 HALO2 = (32, 128)
 
-# level buckets: level i runs for a block iff its max radius is in (lo_i, hi_i]
+# level buckets: level i runs for a block iff its max radius is in (lo_i, hi_i].
+# This is a PARTITION (exactly one bucket fires, boundaries at the level radii):
+# the v2-era table (_HI = _LEV[1:-1] + [1e9, 1e9]) overlapped buckets so most radii
+# fired TWO bodies - double the live-lattice cost per launch for an undocumented
+# extra blend, against this module's own "exactly one pl.when fires" contract.
 _LEV = RADIUS_LEVELS
 _LO = [-1e9] + list(_LEV[:-1])
-_HI = list(_LEV[1:-1]) + [1e9, 1e9]
+_HI = list(_LEV[:-1]) + [1e9]
 
 
 def _static_offsets(n_dirs=8):

@@ -987,7 +987,16 @@ def spatial_filter_taps_pallas(sc, dc, config, *, rotator, signal, sh, view_z_in
 # HistoryFix taps + fast-history stencils (REBLUR_HistoryFix.hlsli)
 # ---------------------------------------------------------------------------
 
-STRIDE_LEVELS = (1.0, 2.0, 4.0, 8.0, 14.0)
+# Reachable strides are floor(historyFixBasePixelStride / (2 + frame_num)), i.e. at
+# most base/2 = 7 px at the default base of 14 (REBLUR_HistoryFix.hlsli stride math,
+# passes/reblur/kernels.py:544) - the old (1, 2, 4, 8, 14) table spent two lattice
+# instantiations on levels that never fire at defaults (14) or overshoot (8 for
+# stride 7), and every instantiated level is issued PREDICATED on all blocks (Mosaic
+# lowers pl.when over vector code to masked issue, ~half a live body's cost - see
+# bench_tap.py "5x same body"). Three levels match the actual stride set better and
+# cut the ladder's issued code by 40%. Bases > 14 quantize to the 7-px lattice
+# (documented divergence; the XLA path keeps continuous strides).
+STRIDE_LEVELS = (1.0, 3.0, 7.0)
 
 
 def _stride_weights(stride):

@@ -37,7 +37,12 @@ from .harness2 import stencil_call2
 
 HALO_Y = 32
 HALO_X = 128
-RADIUS_LEVELS = (2.0, 4.0, 7.0, 12.0, 20.0, 32.0)
+# 4 levels, not 6: every instantiated level's tap body is ISSUED predicated on all
+# blocks (Mosaic lowers pl.when over vector code to masked issue at ~half a live
+# body's cost - bench_tap.py "5x same body"), so the hat ladder's granularity is paid
+# in issue bandwidth frame-wide. The hat blend between adjacent levels keeps the
+# radius response continuous at the coarser spacing.
+RADIUS_LEVELS = (2.0, 6.0, 14.0, 32.0)
 BLOCK = (64, 256)
 
 
