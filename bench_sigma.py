@@ -49,10 +49,16 @@ def setup(translucent):
     dc = inst.frame_constants(eng._consts, eng._settings[0])
     sc = eng._shared_consts()
     rng = np.random.default_rng(7)
-    pen = np.where(rng.uniform(size=(H, W)) < 0.3,
-                   rng.uniform(0.01, 4.0, (H, W)), 0.0).astype(np.float32)
+    # NRDTPU_SIGMA_PEN=random reproduces the old 30%-random field; the default now
+    # matches bench.py's penumbra exactly so stage numbers explain the config number
+    if os.environ.get("NRDTPU_SIGMA_PEN") == "random":
+        pen = jnp.asarray(np.where(rng.uniform(size=(H, W)) < 0.3,
+                                   rng.uniform(0.01, 4.0, (H, W)), 0.0)
+                          .astype(np.float32))
+    else:
+        pen = jnp.asarray(raw["penumbra"])
     pool = {RT.IN_MV: raw["mv"], RT.IN_NORMAL_ROUGHNESS: raw["normal_roughness"],
-            RT.IN_VIEWZ: raw["view_z"], RT.IN_PENUMBRA: jnp.asarray(pen)}
+            RT.IN_VIEWZ: raw["view_z"], RT.IN_PENUMBRA: pen}
     if translucent:
         pool[RT.IN_TRANSLUCENCY] = jnp.asarray(
             rng.uniform(0.0, 1.0, (H, W, 4)).astype(np.float32))

@@ -55,6 +55,16 @@ class Win2:
                         self.hx + dx: self.hx + dx + self.bw]
         return val.astype(jnp.float32) if self._upcast else val
 
+    def ext(self, ry: int, rx: int):
+        """(bh + 2*ry, bw + 2*rx) static slice centered on the block.
+
+        Building block for separable stencils over computed planes: slice once,
+        derive the plane, then row/column-shift the VALUE instead of re-tapping."""
+        assert ry <= self.hy and rx <= self.hx, (ry, rx, self.hy, self.hx)
+        val = self._ref[self.hy - ry: self.hy + ry + self.bh,
+                        self.hx - rx: self.hx + rx + self.bw]
+        return val.astype(jnp.float32) if self._upcast else val
+
     def band(self, dy0: int, dy1: int, dx: int = 0):
         """(bh + dy1 - dy0, bw) static slice: rows [dy0, bh + dy1) around the center.
 

@@ -30,34 +30,35 @@ from ..ops import tiles
 from .harness2 import block_minmax, stencil_call2
 from .sigma_pallas import (
     BLOCK, HALO_X, HALO_Y, RADIUS_LEVELS, _S_DIRS, _S_FRUSTUM, _S_MISC, _S_W2V,
-    _blur_scalars, _both_lit_or_unlit, _compute_weight, _decode_oct_normal2,
-    _gauss_weights, _is_lit, _smoothstep,
+    _blur_scalars, _compute_weight, _decode_oct_normal2, _is_lit, _smoothstep,
 )
 
+# level buckets: PARTITION by block max radius (exactly one bucket fires), the
+# reblur_blur2 v3 scheme. v2 used hat-blend semantics whose exact liveness test
+# ((rmax > LEV[li-1]) & (rmin < LEV[li+1])) fired ALL levels on any block mixing
+# lit pixels (radius 0) with wide penumbra (radius 32) - measured 2.58 ms/launch on
+# the blob-shadow bench scene vs 0.74 on an unmixed field. Per-pixel radius rides
+# the Gaussian instead: tap at lattice level L and pixel radius r weighs
+# exp(-0.66 (L*tapz)^2 / r^2) = GetGaussianWeight of the tap's fraction of r
+# (SIGMA_Blur.hlsli:244 samples at the per-pixel radius with a constant Gaussian;
+# the rescale is the lattice-form equivalent, documented divergence like reblur's).
 _LEV = RADIUS_LEVELS
 _LO = [-1e9] + list(_LEV[:-1])
-_HI = list(_LEV[1:]) + [1e9]
+_HI = list(_LEV[:-1]) + [1e9]
 
 
 def _static_offsets():
+    """8 x len(_LEV) integer lattice offsets + the Gaussian constant k_t per tap."""
     out = []
     for tap in np.asarray(nm.SPECIAL_8):
         per_level = []
         for lv in _LEV:
             ox = int(np.clip(round(float(tap[0]) * lv), -32, 32))
             oy = int(np.clip(round(float(tap[1]) * lv), -32, 32))
-            per_level.append((oy, ox))
+            k_t = -0.66 * (float(tap[2]) * lv) ** 2
+            per_level.append((oy, ox, k_t))
         out.append(per_level)
     return out
-
-
-def _level_hat(radius, li):
-    lv = _LEV[li]
-    up = jnp.ones_like(radius) if li == 0 else \
-        jnp.clip((radius - _LEV[li - 1]) / max(lv - _LEV[li - 1], 1e-6), 0.0, 1.0)
-    dn = jnp.ones_like(radius) if li + 1 == len(_LEV) else \
-        jnp.clip((_LEV[li + 1] - radius) / max(_LEV[li + 1] - lv, 1e-6), 0.0, 1.0)
-    return up * dn
 
 
 def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, centers,
@@ -71,11 +72,11 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
     rmin_b, rmax_b, tmax_b = bsm
     bh, bw = pen_w.bh, pen_w.bw
 
-    def shadow_taps(dy, dx, pen_t):
+    def shadow_taps(dy, dx, lit_t):
         # SIGMA_TYPE taps: first pass w/o input -> IsLit(penumbra); first pass w/ input
         # (translucency) -> raw; later passes -> sqrt-unpack (SIGMA_Blur.hlsli:24-35)
         if not has_shadow_in:
-            return [_is_lit(pen_t)]
+            return [lit_t]
         ts = [sw.tap(dy, dx) for sw in s_ws]
         if not first_pass:
             ts = [t * t for t in ts]
@@ -91,7 +92,7 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
 
     center_pen = pen_w.tap()
     view_z = z_w.tap()  # pre-decoded |viewZ| * scale (caller-side)
-    center_s = shadow_taps(0, 0, center_pen)
+    center_s = shadow_taps(0, 0, _is_lit(center_pen))
 
     # copy-through init (tile==0 / lit / sky blocks end here)
     center_packed = [jnp.sqrt(jnp.clip(cs, 0.0, 1.0)) for cs in center_s]
@@ -105,8 +106,10 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
     def _():
         row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-        u = (x0 + col + 0.5) * inv_w
-        v = (y0 + row + 0.5) * inv_h
+        fxp = x0 + col  # integer pixel coords as f32, for per-tap in-screen tests
+        fyp = y0 + row
+        u = (fxp + 0.5) * inv_w
+        v = (fyp + 0.5) * inv_h
         tile_value = tile_ref[:, :]
 
         fx0, fy0, fdx, fdy = smem[_S_FRUSTUM], smem[_S_FRUSTUM + 1], \
@@ -129,7 +132,25 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
         ga = 1.0 / (plane_sens * frustum_size)
         gb = -(nvx * xvx + nvy * xvy + nvz * xvz) * ga
 
+        # per-tap algebra hoists (same folding as reblur_fused):
+        #   d(tap) = dot(Nv, Xv_tap) = z_t * (A + off_x * P + off_y * Q) with
+        #   A, P, Q per-pixel planes - 3 vector ops per tap instead of 7;
+        #   both_lit(center, tap) = (2 lit_c - 1) * lit_t + (1 - lit_c) - one fma.
+        d_a = nvx * dirx + nvy * diry + nvz
+        d_p = nvx * (inv_w * fdx)
+        d_q = nvy * (inv_h * fdy)
+        lit_c = _is_lit(center_pen)
+        bl_m = 2.0 * lit_c - 1.0
+        bl_b = 1.0 - lit_c
+
         # ---- dense 5x5 (SIGMA_Blur.hlsli:92-148) ----
+        # in-screen masks per axis offset, reused across the 25 taps
+        mx = {dx: ((fxp >= jnp.float32(-dx))
+                   & (fxp <= rect_w - jnp.float32(1 + dx))).astype(jnp.float32)
+              for dx in range(-2, 3)}
+        my = {dy: ((fyp >= jnp.float32(-dy))
+                   & (fyp <= rect_h - jnp.float32(1 + dy))).astype(jnp.float32)
+              for dy in range(-2, 3)}
         n_s = len(center_s)
         sum_x = jnp.zeros((bh, bw), jnp.float32)
         sum_y = jnp.zeros((bh, bw), jnp.float32)
@@ -138,27 +159,22 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
         for dy in range(-2, 3):
             for dx in range(-2, 3):
                 pen_t = pen_w.tap(dy, dx)
+                lit_t = _is_lit(pen_t)
                 if dy == 0 and dx == 0:
                     w_ = jnp.ones((bh, bw), jnp.float32)
                     s_t = center_s
                 else:
                     z_t = z_w.tap(dy, dx)
-                    s_t = shadow_taps(dy, dx, pen_t)
-                    us = u + dx * inv_w
-                    vs = v + dy * inv_h
-                    sx = (dirx + (dx * inv_w) * fdx) * z_t
-                    sy = (diry + (dy * inv_h) * fdy) * z_t
-                    in_scr = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
-                              & (vs < 1.0)).astype(jnp.float32)
-                    d = nvx * sx + nvy * sy + nvz * z_t
-                    w_ = in_scr * _compute_weight(d, ga, gb)
-                    w_ = w_ * _both_lit_or_unlit(center_pen, pen_t)
+                    s_t = shadow_taps(dy, dx, lit_t)
+                    d = z_t * (d_a + jnp.float32(dx) * d_p + jnp.float32(dy) * d_q)
+                    w_ = (mx[dx] * my[dy]) * _compute_weight(d, ga, gb)
+                    w_ = w_ * (bl_m * lit_t + bl_b)
                     r2 = (dx * dx + dy * dy) / 4.0
                     w_ = w_ * float(np.exp(-0.66 * r2))
                 result = [r + st * w_ for r, st in zip(result, s_t)]
                 sum_x = sum_x + w_
                 w2 = w_ * pixel_size / (pixel_size + pen_t)
-                w2 = w2 * (1.0 - _is_lit(pen_t))
+                w2 = w2 * (1.0 - lit_t)
                 pen_acc = pen_acc + pen_t * w2
                 sum_y = sum_y + w2
 
@@ -180,52 +196,49 @@ def _sigma_blur2_kernel(first_pass, channels, has_shadow_in, smem, bsm, wins, ce
         unclamped = penumbra / pixel_size * tile_value
         min_radius = jnp.minimum(unclamped, 2.0)
         blur_radius = jnp.clip(unclamped, min_radius, 32.0)
-        blur_radius = jnp.clip(blur_radius, _LEV[0], _LEV[-1])
+        inv_r2 = 1.0 / jnp.square(jnp.clip(blur_radius, 1.0, _LEV[-1]))
 
         inv_est_pen = 1.0 / jnp.maximum(penumbra, NRD_EPS)
-        gauss = _gauss_weights()
         taps = _static_offsets()
 
-        # sparse static lattice with per-block level predication; accumulators live
-        # in the out refs + scratch across the predicated level bodies
+        # sparse static lattice, one live level per block (see module constants);
+        # accumulators live in the out refs + scratch across the predicated bodies
         for c in range(n_s):
             s_outs[c][:, :] = result[c]
         pen_out[:, :] = penumbra
         scratch[0][:, :] = sum_x
         scratch[1][:, :] = sum_y
-        rmin = jnp.maximum(rmin_b[i_b, j_b], jnp.float32(_LEV[0]))
         rmax = jnp.minimum(rmax_b[i_b, j_b], jnp.float32(_LEV[-1]))
         for li in range(len(_LEV)):
-            active = (rmax > jnp.float32(_LO[li])) & (rmin < jnp.float32(_HI[li]))
+            active = (rmax > jnp.float32(_LO[li])) & (rmax <= jnp.float32(_HI[li]))
 
             @pl.when(active)
             def _(li=li):
-                lw = _level_hat(blur_radius, li)
                 res_acc = [s_outs[c][:, :] for c in range(n_s)]
                 pen_a = pen_out[:, :]
                 sx_acc = scratch[0][:, :]
                 sy_acc = scratch[1][:, :]
                 for k in range(8):
-                    off_y, off_x = taps[k][li]
+                    off_y, off_x, k_t = taps[k][li]
                     pen_t = pen_w.tap(off_y, off_x)
+                    lit_t = _is_lit(pen_t)
                     z_t = z_w.tap(off_y, off_x)
-                    s_t = shadow_taps(off_y, off_x, pen_t)
-                    us = u + off_x * inv_w
-                    vs = v + off_y * inv_h
-                    sx = (dirx + (off_x * inv_w) * fdx) * z_t
-                    sy = (diry + (off_y * inv_h) * fdy) * z_t
-                    in_screen = ((us > 0.0) & (us < 1.0) & (vs > 0.0)
-                                 & (vs < 1.0)).astype(jnp.float32)
-                    d = nvx * sx + nvy * sy + nvz * z_t
+                    s_t = shadow_taps(off_y, off_x, lit_t)
+                    in_screen = ((fxp >= jnp.float32(-off_x))
+                                 & (fxp <= rect_w - jnp.float32(1 + off_x))
+                                 & (fyp >= jnp.float32(-off_y))
+                                 & (fyp <= rect_h - jnp.float32(1 + off_y))
+                                 ).astype(jnp.float32)
+                    d = z_t * (d_a + jnp.float32(off_x) * d_p
+                               + jnp.float32(off_y) * d_q)
                     w_ = in_screen * _compute_weight(d, ga, gb)
-                    w_ = w_ * _both_lit_or_unlit(center_pen, pen_t)
-                    w_ = w_ * gauss[k]
+                    w_ = w_ * (bl_m * lit_t + bl_b)
+                    w_ = w_ * jnp.exp(jnp.float32(k_t) * inv_r2)
                     w_ = w_ * jnp.clip(pen_t * inv_est_pen, 0.0, 1.0)
-                    w_ = w_ * lw
                     res_acc = [r + st * w_ for r, st in zip(res_acc, s_t)]
                     sx_acc = sx_acc + w_
                     w2 = w_ * pixel_size / (pixel_size + pen_t)
-                    w2 = w2 * (1.0 - _is_lit(pen_t))
+                    w2 = w2 * (1.0 - lit_t)
                     pen_a = pen_a + pen_t * w2
                     sy_acc = sy_acc + w2
                 for c in range(n_s):
