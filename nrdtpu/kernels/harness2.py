@@ -55,6 +55,17 @@ class Win2:
                         self.hx + dx: self.hx + dx + self.bw]
         return val.astype(jnp.float32) if self._upcast else val
 
+    def tapb(self, dy: int = 0, dx: int = 0):
+        """tap() without the f32 upcast: the window's own dtype (bf16 tap loops).
+
+        A bf16 vreg holds 2x the elements of an f32 one, so an all-bf16 tap chain
+        issues ~half the vector ops (measured: fma 1.9 vs 3.1 us/full-res plane,
+        unaligned load 5.6 vs 13.6 - bench_vpu/bench_micro)."""
+        assert isinstance(dy, int) and isinstance(dx, int), "static taps only"
+        assert abs(dy) <= self.hy and abs(dx) <= self.hx, (dy, dx, self.hy, self.hx)
+        return self._ref[self.hy + dy: self.hy + dy + self.bh,
+                         self.hx + dx: self.hx + dx + self.bw]
+
     def ext(self, ry: int, rx: int):
         """(bh + 2*ry, bw + 2*rx) static slice centered on the block.
 

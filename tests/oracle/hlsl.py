@@ -420,3 +420,162 @@ G_SPECIAL8 = np.array([
     [-1.0, 0.0, 1.0], [0.0, 1.0, 1.0], [1.0, 0.0, 1.0], [0.0, -1.0, 1.0],
     [-SQ2_4, SQ2_4, 0.5], [SQ2_4, SQ2_4, 0.5],
     [SQ2_4, -SQ2_4, 0.5], [-SQ2_4, -SQ2_4, 0.5]], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# specular TA helpers (round-4 oracle extension)
+# ---------------------------------------------------------------------------
+
+
+def normalize(v):
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-15)
+
+
+def length(v):
+    return np.linalg.norm(v, axis=-1)
+
+
+def reflect(i, n):
+    return i - 2.0 * np.sum(i * n, -1, keepdims=True) * n
+
+
+def rotate_vector_inverse(m, v):
+    """Geometry::RotateVectorInverse: row-vector times M (M^T @ v)."""
+    return v @ np.asarray(m, F32)[:3, :3]
+
+
+def get_specular_dominant_factor(nov, roughness):
+    """_NRD_GetSpecularDominantFactor (NRD.hlsli:386-392), G2-preintegrated fit."""
+    a = 0.298475 * np.log(39.4115 - 39.0029 * roughness)
+    return saturate(np.power(saturate(1.0 - nov), 10.8649) * (1.0 - a) + a)
+
+
+def get_specular_dominant_direction(n, v, roughness):
+    """ImportanceSampling::GetSpecularDominantDirection (G2). (..., 4): xyz dir, w factor."""
+    nov = np.abs(np.sum(n * v, -1))
+    f = get_specular_dominant_factor(nov, roughness)
+    r = reflect(-v, n)
+    d = normalize(lerp(n, r, f[..., None]))
+    return np.concatenate([d, f[..., None]], -1)
+
+
+def get_basis(n):
+    """Geometry::GetBasis - branchless ONB (Duff et al. 2017). Returns (T, B)."""
+    z = n[..., 2]
+    sign = np.where(z >= 0.0, F32(1.0), F32(-1.0))
+    a = -1.0 / (sign + z)
+    b = n[..., 0] * n[..., 1] * a
+    t = np.stack([1.0 + sign * n[..., 0] * n[..., 0] * a, sign * b,
+                  -sign * n[..., 0]], -1)
+    bt = np.stack([b, sign + n[..., 1] * n[..., 1] * a, -n[..., 1]], -1)
+    return t.astype(F32), bt.astype(F32)
+
+
+def get_xvirtual(hit_dist, curvature, x, x_prev, n, v, roughness):
+    """GetXvirtual, NRD_USE_SPECULAR_MOTION_V2 == 1 (Common.hlsli:411-461)."""
+    d4 = get_specular_dominant_direction(n, v, roughness)
+    d, dw = d4[..., :3], d4[..., 3]
+    reflection_ray = d * hit_dist[..., None]
+    t, b = get_basis(n)
+    o = np.stack([np.sum(t * reflection_ray, -1), np.sum(b * reflection_ray, -1),
+                  np.sum(n * reflection_ray, -1)], -1)
+    oz = -o[..., 2]
+    mag = 1.0 / (2.0 * curvature * oz - 1.0)
+    f = length(x)
+    f = f * (1.0 - np.abs(np.sum(n * v, -1)))
+    f = f * np.maximum(curvature, 0.0)
+    mag = mag / (1.0 + f)
+    iw_len = length(o * mag[..., None])
+    closeness = saturate(iw_len / (hit_dist + NRD_EPS))
+    origin = lerp(x_prev, x, (closeness * dw)[..., None])
+    return origin - v * (iw_len * dw)[..., None]
+
+
+def get_relaxed_roughness_weight_params(m, fraction=1.0, sensitivity=NRD_ROUGHNESS_SENSITIVITY):
+    """GetRelaxedRoughnessWeightParams (Common.hlsli:531-540); m = roughness^2."""
+    a = 1.0 / lerp(sensitivity, 1.0, lerp(m * m, m, fraction))
+    return a, -m * a
+
+
+def compute_non_exponential_weight_with_sigma(x, px, py, sigma):
+    """ComputeNonExponentialWeightWithSigma (Common.hlsli:562-563)."""
+    return smoothstep(1.0, 0.0, np.abs(x * px + py) - sigma * px)
+
+
+def get_modified_roughness_from_normal_variance(roughness, n_avg_unnormalized):
+    """Filtering::GetModifiedRoughnessFromNormalVariance (MathLib vMF fit)."""
+    l = length(n_avg_unnormalized)
+    kappa = saturate(1.0 - l * l) / np.maximum(l * (3.0 - l * l), 1e-15)
+    return np.sqrt(saturate(roughness * roughness + kappa))
+
+
+def remap_roughness_to_responsive_factor(roughness, threshold):
+    """RemapRoughnessToResponsiveFactor (REBLUR_Common.hlsli:126-131)."""
+    return smoothstep01((roughness + NRD_EPS) / (threshold + NRD_EPS))
+
+
+def get_non_linear_accum_speed(accum_speed, max_accum_speed, confidence, has_data,
+                               checkerboard_resolve_accum_speed=0.0):
+    """GetNonLinearAccumSpeed (REBLUR_Common.hlsli:112-124), confidence-non-linear."""
+    nlas = np.maximum(1.0 - confidence,
+                      1.0 / (1.0 + np.minimum(accum_speed, max_accum_speed)))
+    no_data = nlas * lerp(1.0 - checkerboard_resolve_accum_speed, 1.0, nlas)
+    return np.where(has_data, nlas, no_data)
+
+
+def pow01(x, p):
+    return np.power(saturate(x), p)
+
+
+def bayer4x4(px, py, frame_index):
+    """Sequence::Bayer4x4 closed form; temporal term matches nrdtpu math.py:152-183
+    (documented divergence there: NVIDIA's private temporal interleave not reproduced)."""
+    px = np.asarray(px, np.int64) & 3
+    py = np.asarray(py, np.int64) & 3
+    pxy = px ^ py
+    m = ((pxy & 1) << 3) | ((py & 1) << 2) | (((pxy >> 1) & 1) << 1) | ((py >> 1) & 1)
+    f = int(frame_index) & 15
+    rev = ((f & 1) << 3) | ((f & 2) << 1) | ((f & 4) >> 1) | ((f & 8) >> 3)
+    return (((m + rev) & 15).astype(F32)) / 16.0
+
+
+def hash_init(px, py, frame_index):
+    """Rng::Hash::Initialize (PCG, matches math.py:196-206 port)."""
+    x = np.asarray(px, np.uint32)
+    y = np.asarray(py, np.uint32)
+    f = np.uint32(frame_index)
+    with np.errstate(over="ignore"):
+        state = (x * np.uint32(1597334677)) ^ (y * np.uint32(3812015801)) \
+            ^ (f * np.uint32(2798796415))
+        return state * np.uint32(747796405) + np.uint32(2891336453)
+
+
+def hash_next(state):
+    with np.errstate(over="ignore"):
+        state = state * np.uint32(747796405) + np.uint32(2891336453)
+        word = ((state >> ((state >> np.uint32(28)) + np.uint32(4))) ^ state) \
+            * np.uint32(277803737)
+    return state, (word >> np.uint32(22)) ^ word
+
+
+def hash_float2(state):
+    state, a = hash_next(state)
+    state, b = hash_next(state)
+    fa = (a >> np.uint32(8)).astype(F32) * F32(1.0 / 16777216.0)
+    fb = (b >> np.uint32(8)).astype(F32) * F32(1.0 / 16777216.0)
+    return state, np.stack(np.broadcast_arrays(fa, fb), -1)
+
+
+def stochastic_bilinear_uv(uv, tex_size, px, py, frame_index):
+    """StochasticBilinear (Common.hlsli:359-372), R10G10B10A2 path."""
+    state = hash_init(px, py, frame_index)
+    _, rnd = hash_float2(state)
+    origin, f = get_bilinear_filter(uv, tex_size)
+    origin = origin + (rnd < f).astype(F32)
+    return (origin + 0.5) / np.asarray(tex_size, F32)
+
+
+def sample_bilinear(img, uv):
+    """Linear-clamp sampler at arbitrary uv."""
+    h, w = img.shape[:2]
+    return _sample_bilinear_clamp(img, uv, np.asarray([w, h], F32))

@@ -292,10 +292,12 @@ def history_fix_diffuse(sc, dc, view_z_in, normal_roughness, data1_diff, signal,
 # ---------------------------------------------------------------------------
 
 
-def ta_diffuse(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
-               prev_normal_roughness, prev_diff_accum, prev_spec_accum, prev_material,
-               diff_input, diff_history, diff_fast_history):
-    """Returns dict(diff, fast, accum_speed, fbits, footprint_quality)."""
+def surface_motion(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
+                   prev_normal_roughness, prev_diff_accum, prev_spec_accum,
+                   prev_material):
+    """Shared surface-motion machinery (TA lines 59-305): geometry, reprojection,
+    16-tap occlusion footprint, accumulation-speed resolve, footprint quality.
+    Returns the dict consumed by ta_diffuse and ta_specular."""
     h, w = view_z_in.shape
     uv = _pixel_uv(h, w)
     view_z = H.unpack_view_z(view_z_in, float(sc["view_z_scale"]))
@@ -366,6 +368,7 @@ def ta_diffuse(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
     par1 = np.linalg.norm((p1 - uv1) * rect, axis=-1)
     par2 = np.linalg.norm((p2 - uv2) * rect, axis=-1)
     parallax_max = np.maximum(par1, par2)
+    parallax_min = np.minimum(par1, par2)
 
     # Disocclusion threshold (:216-236)
     frustum_size = H.get_frustum_size(float(sc["min_rect_dim_mul_unproject"]), ortho,
@@ -413,6 +416,8 @@ def ta_diffuse(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
     # Accumulation speed from prev internal data (:285-294)
     d_taps = H.gather_2x2(prev_diff_accum, bil_origin)
     diff_accum = H.apply_bilinear_custom_weights(*d_taps, occ_weights)
+    s_taps = H.gather_2x2(prev_spec_accum, bil_origin)
+    spec_accum = H.apply_bilinear_custom_weights(*s_taps, occ_weights)
 
     # Footprint quality (:296-305)
     vprev = cam_delta - x_prev
@@ -422,6 +427,34 @@ def ta_diffuse(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
     size_q = H.lerp(0.1, 1.0, H.saturate(size_q * size_q))
     fq = np.sum(occ_c * H.bilinear_weights(bil_f), -1)
     fq = np.sqrt(H.saturate(fq)) * size_q
+
+    pixel_size = H.pixel_radius_to_world(float(sc["unproject"]), ortho, 1.0, view_z)
+
+    return dict(uv=uv, view_z=view_z, n=n, roughness=roughness,
+                material_id=material_id, n_avg=n_avg, xv=xv, x=x, x_prev=x_prev,
+                smb_uv=smb_uv, bil_origin=bil_origin, bil_f=bil_f, occ_c=occ_c,
+                occ_weights=occ_weights, allow_catrom=allow_catrom, fbits=fbits,
+                diff_accum=diff_accum, spec_accum=spec_accum, fq=fq,
+                smb_navg=smb_navg, parallax1=par1, parallax_max=parallax_max,
+                parallax_min=parallax_min, frustum_size=frustum_size, nov=nov, v=v,
+                dis_thr=dis_thr, pixel_size=pixel_size)
+
+
+def ta_diffuse(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
+               prev_normal_roughness, prev_diff_accum, prev_spec_accum, prev_material,
+               diff_input, diff_history, diff_fast_history):
+    """Returns dict(diff, fast, accum_speed, fbits, footprint_quality)."""
+    h, w = view_z_in.shape
+    sm = surface_motion(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
+                        prev_normal_roughness, prev_diff_accum, prev_spec_accum,
+                        prev_material)
+    rect_prev = np.asarray(sc["rect_size_prev"], F32)
+    diff_accum = sm["diff_accum"]
+    fq = sm["fq"]
+    fbits = sm["fbits"]
+    smb_uv = sm["smb_uv"]
+    occ_weights = sm["occ_weights"]
+    allow_catrom = sm["allow_catrom"]
 
     # ---- diffuse accumulation (:826-930) ----
     diff_accum = diff_accum * H.lerp(fq, 1.0, 1.0 / (1.0 + diff_accum))
