@@ -258,7 +258,7 @@ def surface_motion_reprojection(sc, dc, view_z_in, normal_roughness, mv_in, prev
         occlusion_weights=occlusion_weights, allow_catrom=allow_catrom, fbits=fbits,
         diff_accum_speed=diff_accum_speed, spec_accum_speed=spec_accum_speed,
         footprint_quality=footprint_quality, bilinear_origin=bilinear_origin,
-        smb_vprev=smb_vprev,
+        smb_vprev=smb_vprev, dis_thr=disocclusion_threshold,
     )
 
 
@@ -407,6 +407,7 @@ def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_i
         diff_accum_speed=res["diff_accum_speed"], spec_accum_speed=res["spec_accum_speed"],
         footprint_quality=footprint_quality, bilinear_origin=None,
         smb_vprev=smb_vprev3.arr(), hist=res["hist"], bil=res["bil"],
+        dis_thr=disocclusion_threshold,
     )
 
 
@@ -897,26 +898,37 @@ def split_screen(sc, noisy_input, view_z_in, out_signal):
 # ---------------------------------------------------------------------------
 
 
-def _stochastic_bilinear_uv(sc, uv, tex_size, pixel_pos, config):
-    """StochasticBilinear (Common.hlsli:359-372): stochastically-rounded nearest uv."""
+def _stochastic_bilinear_uv(sc, uv, tex_size, pixel_pos, config, state=None):
+    """StochasticBilinear (Common.hlsli:359-372): stochastically-rounded nearest uv.
+
+    The reference initializes Rng ONCE per shader (Rng::Hash::Initialize at the TA
+    prelude, :117) and every StochasticBilinear call consumes the NEXT two draws of
+    that stream - so callers with several stochastic fetches must thread `state`
+    through them (pass the result of nm.hash_init and use the returned state for
+    the next call). state=None keeps the legacy one-shot behavior for single-fetch
+    callers. Returns (uv_s, new_state)."""
     if config.normal_encoding.name != "R10_G10_B10_A2_UNORM":
-        return uv  # linear filter path uses plain bilinear of the packed data
-    state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]), sc["frame_index"])
-    _, rnd = nm.hash_float2(state)
+        return uv, state  # linear filter path uses plain bilinear of the packed data
+    if state is None:
+        state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]),
+                             sc["frame_index"])
+    state, rnd = nm.hash_float2(state)
     origin, f = nm.bilinear_filter(uv, tex_size)
     origin = origin + (rnd < f).astype(jnp.float32)
-    return (origin + 0.5) / tex_size
+    return (origin + 0.5) / tex_size, state
 
 
-def _sample_normal_roughness_stochastic(sc, prev_normal_roughness, uv, pixel_pos, config):
+def _sample_normal_roughness_stochastic(sc, prev_normal_roughness, uv, pixel_pos,
+                                        config, state=None):
+    """Returns (n, roughness, material, new_state) - see _stochastic_bilinear_uv."""
     h, w = prev_normal_roughness.shape[:2]
     size = jnp.asarray([w, h], jnp.float32)
     if config.normal_encoding.name == "R10_G10_B10_A2_UNORM":
-        uv_s = _stochastic_bilinear_uv(sc, uv, size, pixel_pos, config)
+        uv_s, state = _stochastic_bilinear_uv(sc, uv, size, pixel_pos, config, state)
         packed = resample.sample_nearest(prev_normal_roughness, uv_s)
     else:
         packed = resample.sample_bilinear(prev_normal_roughness, uv)
-    return unpack_nr(sc, packed, config)
+    return unpack_nr(sc, packed, config) + (state,)
 
 
 def get_xvirtual(sc, hit_dist, curvature, x, x_prev, n, v, roughness):
@@ -1180,11 +1192,18 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         pp_inscreen.append(((ppu > 0.0) & (ppu < 1.0) & (ppv > 0.0)
                             & (ppv < 1.0)).astype(jnp.float32))
     pp_samples = None
+    # one Rng stream per pixel, drawn in the reference's order: vmbN fetch first,
+    # then the prev-prev taps (Rng::Hash::Initialize at :117; draws at :473, :598)
+    rng_state = nm.hash_init((pixel_pos[..., 0], pixel_pos[..., 1]),
+                             sc["frame_index"])
     if sampler is not None:
-        uv_s = _stochastic_bilinear_uv(sc, vmb_pixel_uv, sc["rect_size_prev"], pixel_pos,
-                                       config)
-        pp_uv_s = [_stochastic_bilinear_uv(sc, u_, sc["rect_size_prev"], pixel_pos,
-                                           config) for u_ in pp_uvs]
+        uv_s, rng_state = _stochastic_bilinear_uv(
+            sc, vmb_pixel_uv, sc["rect_size_prev"], pixel_pos, config, rng_state)
+        pp_uv_s = []
+        for u_ in pp_uvs:
+            u_s, rng_state = _stochastic_bilinear_uv(
+                sc, u_, sc["rect_size_prev"], pixel_pos, config, rng_state)
+            pp_uv_s.append(u_s)
         multi = sampler.nearest_multi(
             [prev_normal_roughness[..., 0], prev_normal_roughness[..., 1],
              prev_normal_roughness[..., 2]], [uv_s] + pp_uv_s)
@@ -1198,8 +1217,8 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
         else:
             vmb_roughness = vr_raw
     else:
-        vmb_n_, vmb_roughness, _ = _sample_normal_roughness_stochastic(
-            sc, prev_normal_roughness, vmb_pixel_uv, pixel_pos, config)
+        vmb_n_, vmb_roughness, _, rng_state = _sample_normal_roughness_stochastic(
+            sc, prev_normal_roughness, vmb_pixel_uv, pixel_pos, config, rng_state)
         vmb_n3 = v3.V3.of(vmb_n_)
     vmb_n3 = v3.rotate(jnp.asarray(sc["world_prev_to_world"]), vmb_n3)
     dfactor = nm.get_specular_dominant_factor(nov, roughness)
@@ -1211,9 +1230,10 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
                          v3.V3.of(sm["smb_navg"]))
 
     # ---- virtual motion disocclusion (lines 481-519) ----
-    disocclusion_threshold = sc["disocclusion_threshold"] + sc[
-        "disocclusion_threshold_bonus"]
-    vmb_thr = disocclusion_threshold * sm["frustum_size"]
+    # the reference reuses the TA's local `disocclusionThreshold` (:224-226), which
+    # includes the threshold-mix lerp AND the +0.05 * smallParallax bump - NOT the
+    # raw setting (round-4 parity fix; the oracle pinned this)
+    vmb_thr = sm["dis_thr"] * sm["frustum_size"]
     vmb_thr = vmb_thr * nm.lerp(0.25, 1.0, nov)
     vmb_thr = vmb_thr * (v3.dot(vmb_n3, n3)
                          > C.REBLUR_ALMOST_ZERO_ANGLE).astype(jnp.float32)
@@ -1351,8 +1371,8 @@ def temporal_accumulation_specular(sc, dc, sm, spec_input, spec_history, spec_fa
                 r_pp = pr_raw
             in_screen = in_screen * pp_valid
         else:
-            n_pp_, r_pp, _ = _sample_normal_roughness_stochastic(
-                sc, prev_normal_roughness, uv_pp, pixel_pos, config)
+            n_pp_, r_pp, _, rng_state = _sample_normal_roughness_stochastic(
+                sc, prev_normal_roughness, uv_pp, pixel_pos, config, rng_state)
             n_pp3 = v3.V3.of(n_pp_)
         angle_pp = nm.acos_approx(v3.dot(vmb_n3, n_pp3))
         wx = nm.smoothstep01(

@@ -566,13 +566,23 @@ def hash_float2(state):
     return state, np.stack(np.broadcast_arrays(fa, fb), -1)
 
 
-def stochastic_bilinear_uv(uv, tex_size, px, py, frame_index):
-    """StochasticBilinear (Common.hlsli:359-372), R10G10B10A2 path."""
-    state = hash_init(px, py, frame_index)
-    _, rnd = hash_float2(state)
+def stochastic_bilinear_uv(uv, tex_size, state):
+    """StochasticBilinear (Common.hlsli:359-372), R10G10B10A2 path.
+
+    The shader inits Rng ONCE (TA :117) and each call consumes the next two draws,
+    so the per-pixel `state` threads through sequential calls. Returns (uv, state)."""
+    state, rnd = hash_float2(state)
     origin, f = get_bilinear_filter(uv, tex_size)
     origin = origin + (rnd < f).astype(F32)
-    return (origin + 0.5) / np.asarray(tex_size, F32)
+    return (origin + 0.5) / np.asarray(tex_size, F32), state
+
+
+def get_encoding_aware_normal_weight(n_curr, n_prev, max_angle, curvature_angle,
+                                     threshold_angle):
+    """GetEncodingAwareNormalWeight (Common.hlsli:578-589), remap=false."""
+    cosa = np.sum(n_curr * n_prev, -1)
+    angle = acos_approx(cosa)
+    return smoothstep01(1.0 - (angle - curvature_angle - threshold_angle) / max_angle)
 
 
 def sample_bilinear(img, uv):

@@ -71,9 +71,9 @@ def _min_hitdist_limit(dc, roughness=1.0):
     return 1.0 / (1.0 + frame_num)
 
 
-def _mix_history_and_current(dc, history, current, f):
+def _mix_history_and_current(dc, history, current, f, roughness=1.0):
     """MixHistoryAndCurrent, float4 (REBLUR_Common.hlsli:200-207)."""
-    limit = _min_hitdist_limit(dc)
+    limit = _min_hitdist_limit(dc, roughness)
     xyz = H.lerp(history[..., :3], current[..., :3], f[..., None])
     w = H.lerp(history[..., 3], current[..., 3], np.maximum(f, limit))
     return np.concatenate([xyz, w[..., None]], -1)
@@ -489,3 +489,380 @@ def ta_diffuse(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
 
     return dict(diff=diff_result, fast=fast, accum_speed=diff_accum, fbits=fbits,
                 footprint_quality=fq)
+
+
+# ---------------------------------------------------------------------------
+# Temporal accumulation, specular slice (REBLUR_TemporalAccumulation.hlsli:306-830)
+# ---------------------------------------------------------------------------
+
+NRD_CURVATURE_Z_THRESHOLD = 0.1           # Common.hlsli:72
+REBLUR_NORMAL_ULP = 0.75 / 255.0          # Config:81 = NRD_NORMAL_ENCODING_ERROR (10-bit)
+REBLUR_ROUGHNESS_SENSITIVITY_IN_TA = H.NRD_ROUGHNESS_SENSITIVITY * 0.3  # Config:89
+PREV_PREV_ITERS = 1                       # Config:83
+
+
+def ta_specular(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
+                prev_normal_roughness, prev_diff_accum, prev_spec_accum,
+                prev_material, spec_input, spec_history, spec_fast_history,
+                hit_dist_for_tracking_in, prev_spec_hitdist_for_tracking,
+                has_prepass_hitdist=False):
+    """Specular TA: curvature along motion, GetXvirtual, virtual-motion confidence
+    cascade, smb/vmb blend, firefly. Assumes: no checkerboard (specHasData), no
+    confidence input, no SH, R10G10B10A2 normals, REBLUR_USE_STF = 1.
+
+    Returns dict(spec, fast, accum_speed, fbits, curvature, virtual_history_amount,
+    hdt, surface_confidence, virtual_confidence)."""
+    h, w = view_z_in.shape
+    sm = surface_motion(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
+                        prev_normal_roughness, prev_diff_accum, prev_spec_accum,
+                        prev_material)
+    uv = sm["uv"]
+    view_z = sm["view_z"]
+    n = sm["n"]
+    roughness = sm["roughness"]
+    x, x_prev, v = sm["x"], sm["x_prev"], sm["v"]
+    nov = sm["nov"]
+    smb_uv = sm["smb_uv"]
+    frustum_size = sm["frustum_size"]
+    pixel_size = sm["pixel_size"]
+    rect = np.asarray([w, h], F32)
+    rect_inv = 1.0 / rect
+    rect_prev = np.asarray(sc["rect_size_prev"], F32)
+    cam_delta = np.asarray(sc["camera_delta"], F32)[None, None, :]
+    ortho = float(sc["ortho_mode"])
+    frustum = np.asarray(sc["frustum"], F32)
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    px_i = np.broadcast_to(xs, (h, w))
+    py_i = np.broadcast_to(ys, (h, w))
+
+    # ---- prelude (:63-131): 3x3 min hitDistForTracking + roughness moments ----
+    hdt_src = np.where(hit_dist_for_tracking_in == 0.0, F32(H.NRD_INF),
+                       hit_dist_for_tracking_in)
+    hdt = hdt_src.copy()
+    rough_m1 = np.zeros((h, w), F32)
+    rough_m2 = np.zeros((h, w), F32)
+    for j in range(-1, 2):
+        for i in range(-1, 2):
+            yc = np.clip(ys + j, 0, h - 1)
+            xc = np.clip(xs + i, 0, w - 1)
+            hdt = np.minimum(hdt, hdt_src[yc, xc])
+            _, rs, _ = H.unpack_normal_roughness(normal_roughness[yc, xc])
+            rsq = rs * rs
+            rough_m1 = rough_m1 + rsq
+            rough_m2 = rough_m2 + rsq * rsq
+    rough_m1 /= 9.0
+    rough_m2 /= 9.0
+    roughness_sigma = H.get_std_dev(rough_m1, rough_m2)
+    roughness_modified = H.get_modified_roughness_from_normal_variance(
+        roughness, sm["n_avg"])
+
+    hit_dist_normalization = H.hit_dist_normalization(view_z, dc["hit_dist_params"],
+                                                      roughness)
+    hdt = np.where(hdt == H.NRD_INF, 0.0, hdt)
+    if not has_prepass_hitdist:
+        hdt = hdt * hit_dist_normalization
+    hdt_out = hdt
+
+    rng_state = H.hash_init(px_i, py_i, int(sc["frame_index"]))  # :117
+
+    # ---- accumulation speed (:325-331) ----
+    fq = sm["fq"]
+    smb_accum = sm["spec_accum"]
+    smb_accum = smb_accum * H.lerp(fq, 1.0, 1.0 / (1.0 + smb_accum))
+    smb_accum = np.minimum(smb_accum, dc["max_accumulated_frame_num"])
+
+    spec = spec_input
+
+    # ---- curvature estimation along predicted motion (:356-447) ----
+    uv_zero_par = smb_uv if ortho == 0.0 else uv
+    delta_uv = (uv_zero_par - H.get_screen_uv(sc["world_to_clip_prev"],
+                                              x_prev + cam_delta)) * rect
+    delta_uv = delta_uv / np.maximum(sm["parallax1"], 1.0 / 256.0)[..., None]
+
+    def edge_point(du, dv):
+        uv_e = uv + np.stack([np.full((h, w), du, F32) * rect_inv[0],
+                              np.full((h, w), dv, F32) * rect_inv[1]], -1)
+        xv_e = H.reconstruct_view_position(uv_e, frustum, np.ones((h, w), F32), ortho)
+        x_e = H.rotate_vector(sc["view_to_world"], xv_e)
+        if ortho == 0.0:
+            v_e = -H.normalize(x_e)
+            o = np.zeros_like(x_e)
+        else:
+            vvw = np.asarray(sc["view_vector_world"], F32)
+            v_e = np.broadcast_to(vvw, x_e.shape)
+            o = x_e
+        ndv = np.sum(n * v_e, -1)
+        t = np.sum((x - o) * n, -1) / np.where(np.abs(ndv) < 1e-9, F32(1e-9), ndv)
+        return o + v_e * t[..., None]
+
+    x10 = edge_point(1.0, 0.0)
+    x01 = edge_point(0.0, 1.0)
+    n10, _, _ = H.unpack_normal_roughness(
+        normal_roughness[ys, np.clip(xs + 1, 0, w - 1)])
+    n01, _, _ = H.unpack_normal_roughness(
+        normal_roughness[np.clip(ys + 1, 0, h - 1), xs])
+
+    wmix = np.abs(delta_uv) + 1.0 / 256.0
+    wmix = wmix / np.sum(wmix, -1, keepdims=True)
+    x_c = x10 * wmix[..., 0:1] + x01 * wmix[..., 1:2]
+    n_c = H.normalize(n10 * wmix[..., 0:1] + n01 * wmix[..., 1:2])
+
+    # High parallax - flattens surface on high motion (:404-431); silhouette fix off
+    bayer = H.bayer4x4(px_i, py_i, int(sc["frame_index"]))
+    delta_uv_len_fixed = sm["parallax_min"] * (
+        1.0 + float(sc["framerate_scale"]) * bayer)
+    motion_uv_high = uv + (delta_uv_len_fixed[..., None] * delta_uv) * rect_inv
+    motion_uv_high = (np.floor(motion_uv_high * rect) + 0.5) * rect_inv
+
+    use_high = (delta_uv_len_fixed > 1.0) \
+        & (H.is_in_screen_nearest(motion_uv_high) > 0.0)
+    z_high = H.unpack_view_z(H.sample_nearest(view_z_in, motion_uv_high),
+                             float(sc["view_z_scale"]))
+    xv_high = H.reconstruct_view_position(motion_uv_high, frustum, z_high, ortho)
+    x_high = H.rotate_vector(sc["view_to_world"], xv_high)
+    n_high, _, _ = H.unpack_normal_roughness(
+        H.sample_nearest(normal_roughness, motion_uv_high))
+    z_err = np.abs(z_high - view_z) / np.maximum(np.maximum(z_high, view_z), H.NRD_EPS)
+    repl = use_high & (z_err < NRD_CURVATURE_Z_THRESHOLD)
+    n_c = np.where(repl[..., None], n_high, n_c)
+    x_c = np.where(repl[..., None], x_high, x_c)
+
+    edge = x_c - x
+    edge_len_sq = np.sum(edge * edge, -1)
+    curvature = np.sum((n_c - n) * edge, -1) * H.positive_rcp(edge_len_sq)
+
+    # ---- virtual motion coordinates (:449-457) ----
+    x_virtual = H.get_xvirtual(hdt, curvature, x, x_prev, n, v, roughness)
+    x_virtual_len = H.length(x_virtual)
+    vmb_uv = H.get_screen_uv(sc["world_to_clip_prev"], x_virtual)
+    cam_attached = (sm["material_id"]
+                    == float(sc["camera_attached_reflection_material_id"]))
+    vmb_uv = np.where(cam_attached[..., None], smb_uv, vmb_uv)
+    vmb_delta = vmb_uv - smb_uv
+    vmb_traveled = H.length(vmb_delta * rect)
+
+    # ---- virtual motion: roughness (:459-470) ----
+    vmb_origin, vmb_f = H.get_bilinear_filter(vmb_uv, rect_prev)
+    ra, rb = H.get_relaxed_roughness_weight_params(
+        roughness * roughness, dc["roughness_fraction"],
+        REBLUR_ROUGHNESS_SENSITIVITY_IN_TA)
+    par_sm = H.smoothstep(1.0, 0.0, sm["parallax_max"])
+    rough_w = []
+    for tap in H.gather_2x2(prev_normal_roughness, vmb_origin):
+        _, r_t, _ = H.unpack_normal_roughness(tap)
+        w_ = H.compute_non_exponential_weight_with_sigma(r_t * r_t, ra, rb,
+                                                         roughness_sigma)
+        rough_w.append(H.lerp(par_sm, 1.0, w_))
+    rough_w4 = np.stack(rough_w, -1)
+    conf_rough = np.sum(rough_w4 * H.bilinear_weights(vmb_f), -1)
+
+    # ---- virtual motion: normal, parallax (:472-479) ----
+    vmb_uv_s, rng_state = H.stochastic_bilinear_uv(vmb_uv, rect_prev, rng_state)
+    vmb_nr_raw = H.sample_nearest(prev_normal_roughness, vmb_uv_s)
+    vmb_n_raw, vmb_rough, _ = H.unpack_normal_roughness(vmb_nr_raw)
+    vmb_n = H.rotate_vector(sc["world_prev_to_world"], vmb_n_raw)
+    dfactor = H.get_specular_dominant_factor(nov, roughness)
+    conf_normal = 1.0 / (1.0 + 0.5 * dfactor
+                         * H.saturate(H.length(n - vmb_n) - REBLUR_NORMAL_ULP)
+                         * vmb_traveled)
+    smb_navg = np.where((fq == 0.0)[..., None], vmb_n, sm["smb_navg"])
+
+    # ---- virtual motion: disocclusion (:481-501) ----
+    vmb_thr = sm["dis_thr"] * frustum_size
+    vmb_thr = vmb_thr * H.lerp(0.25, 1.0, nov)
+    vmb_thr = vmb_thr * (np.sum(vmb_n * n, -1) > REBLUR_ALMOST_ZERO_ANGLE)
+    vmb_thr = vmb_thr * (np.sum(vmb_n * smb_navg, -1) > REBLUR_ALMOST_ZERO_ANGLE)
+    thr4 = vmb_thr[..., None] * H.is_in_screen_bilinear(vmb_origin, rect_prev) \
+        - H.NRD_EPS
+
+    vmb_z4 = np.stack([H.unpack_view_z(t, float(sc["view_z_scale"]))
+                       for t in H.gather_2x2(prev_view_z, vmb_origin)], -1)
+    vmb_vv = H.reconstruct_view_position(vmb_uv, np.asarray(sc["frustum_prev"], F32),
+                                         np.ones((h, w), F32), 0.0)
+    vmb_v = H.rotate_vector_inverse(sc["world_to_view_prev"], vmb_vv)
+    nox_curr = np.sum(n * (x_prev - cam_delta), -1)
+    zterm = vmb_z4 if ortho == 0.0 else ortho
+    nox_prev = (n[..., 0:1] * vmb_v[..., 0:1] + n[..., 1:2] * vmb_v[..., 1:2]) \
+        * zterm + n[..., 2:3] * vmb_v[..., 2:3] * vmb_z4
+    vmb_plane_dist = np.abs(nox_prev - nox_curr[..., None])
+    vmb_occ = (vmb_plane_dist <= thr4).astype(F32)
+    vmb_occ = vmb_occ * (rough_w4 >= 0.5).astype(F32)
+
+    # materialID (:503-519)
+    mat4 = np.stack(H.gather_2x2(prev_material, vmb_origin), -1)
+    min_mat = float(dc["spec_min_material"])
+    vmb_occ = vmb_occ * (np.maximum(sm["material_id"], min_mat)[..., None]
+                         == np.maximum(mat4, min_mat)).astype(F32)
+
+    fbits = sm["fbits"] + vmb_occ[..., 0] * 16.0 + vmb_occ[..., 1] * 32.0 \
+        + vmb_occ[..., 2] * 64.0 + vmb_occ[..., 3] * 128.0
+
+    # ---- virtual motion: accumulation speed (:521-535) ----
+    vmb_weights = H.get_bilinear_custom_weights(vmb_f, vmb_occ)
+    a_taps = H.gather_2x2(prev_spec_accum, vmb_origin)
+    vmb_accum = H.apply_bilinear_custom_weights(*a_taps, vmb_weights)
+    vmb_fq = np.sum(vmb_occ * H.bilinear_weights(vmb_f), -1)
+    vmb_fq = np.sqrt(H.saturate(vmb_fq))
+    vmb_accum = vmb_accum * H.lerp(vmb_fq, 1.0, 1.0 / (1.0 + vmb_accum))
+    vmb_allow_catrom = (np.sum(vmb_occ, -1) > 3.5) & sm["allow_catrom"]
+
+    # ---- curvature/lobe angles (:537-560) ----
+    curv_tan = pixel_size * np.abs(curvature)
+    curv_tan = curv_tan * np.maximum(vmb_traveled / np.maximum(nov, 0.01), 1.0)
+    curv_tan = curv_tan * 2.0
+    curvature_angle = np.arctan(curv_tan)
+    percent = H.NRD_MAX_PERCENT_OF_LOBE_VOLUME / (1.0 + vmb_accum)
+    lobe_tan = H.get_specular_lobe_tan_half_angle(roughness_modified, percent)
+    lobe_half_angle = np.maximum(np.arctan(lobe_tan), REBLUR_NORMAL_ULP)
+
+    # normal confidence: lobe overlap (:562-565)
+    w_n = H.get_encoding_aware_normal_weight(n, vmb_n, lobe_half_angle,
+                                             curvature_angle, REBLUR_NORMAL_ULP)
+    w_n = H.lerp(H.smoothstep(1.0, 0.0, vmb_traveled), 1.0, w_n)
+    conf_normal = np.minimum(conf_normal, w_n)
+
+    # virtual history amount (:567-570)
+    amount = H.smoothstep(0.05, 0.95, dfactor) * conf_normal
+
+    # ---- parallax-based confidence (:572-594) ----
+    hdt_prev = H.sample_bilinear(prev_spec_hitdist_for_tracking, vmb_uv)
+    x_virtual_prev = H.get_xvirtual(hdt_prev, curvature, x, x_prev, n, v, roughness)
+    vmb_uv_prev = H.get_screen_uv(sc["world_to_clip_prev"], x_virtual_prev)
+    vmb_uv_prev = np.where(cam_attached[..., None], smb_uv, vmb_uv_prev)
+    pixel_size_at_xv = H.pixel_radius_to_world(float(sc["unproject"]), ortho, 1.0,
+                                               x_virtual_len)
+    r_par = (lobe_tan + curvature_angle) * np.minimum(hdt, hdt_prev) \
+        / np.maximum(pixel_size_at_xv, 1e-15)
+    d_par = H.length((vmb_uv_prev - vmb_uv) * rect)
+    r_par = np.maximum(r_par, 0.1)
+    conf_par = H.linearstep(r_par, 0.0, d_par)
+
+    # ---- prev-prev normal & roughness tests (:596-625) ----
+    step_taps = np.minimum(vmb_traveled * float(sc["framerate_scale"]), 2.0) \
+        + vmb_traveled / PREV_PREV_ITERS
+    inv_len = 1.0 / np.sqrt(np.maximum(np.sum(vmb_delta * vmb_delta, -1), 1e-30))
+    vmb_dir = vmb_delta * inv_len[..., None] / rect_prev
+    ra2, rb2 = H.get_relaxed_roughness_weight_params(
+        vmb_rough * vmb_rough, dc["roughness_fraction"],
+        REBLUR_ROUGHNESS_SENSITIVITY_IN_TA)
+    for it in range(1, PREV_PREV_ITERS + 1):
+        uv_pp = vmb_uv + vmb_dir * (it * step_taps)[..., None]
+        uv_pp_s, rng_state = H.stochastic_bilinear_uv(uv_pp, rect_prev, rng_state)
+        nr_pp = H.sample_nearest(prev_normal_roughness, uv_pp_s)
+        n_pp, r_pp, _ = H.unpack_normal_roughness(nr_pp)
+        wx = H.get_encoding_aware_normal_weight(
+            vmb_n_raw, n_pp, lobe_half_angle,
+            curvature_angle * (1.0 + it * step_taps), REBLUR_NORMAL_ULP)
+        wy = H.compute_non_exponential_weight_with_sigma(r_pp * r_pp, ra2, rb2,
+                                                         roughness_sigma)
+        wx = H.lerp(1.0, wx, H.saturate(step_taps))  # REBLUR_USE_STF == 1
+        wy = H.lerp(1.0, wy, H.saturate(step_taps))
+        in_s = H.is_in_screen_nearest(uv_pp) > 0.0
+        wx = np.where(in_s, wx, 1.0)
+        wy = np.where(in_s, wy, 1.0)
+        conf_normal = np.minimum(conf_normal, wx)
+        conf_rough = np.minimum(conf_rough, wy)
+
+    # ---- confidences (:627-633) ----
+    conf_for_smb_relax = conf_normal * conf_rough
+    virtual_confidence = conf_normal * conf_rough * conf_par
+    amount = amount * conf_rough
+
+    # ---- sample surface history (:635-631+) ----
+    sample_pos = H.saturate(smb_uv) * rect_prev
+    smb_hist = H.catrom_with_bilinear_fallback(spec_history, sample_pos,
+                                               sm["allow_catrom"], sm["occ_weights"])
+    smb_fast = H.bilinear_custom(spec_fast_history, np.floor(sample_pos - 0.5),
+                                 sm["occ_weights"])
+
+    # ---- surface history confidence (:637-655) ----
+    a_ang = np.arctan(sm["parallax_max"] * pixel_size / np.maximum(H.length(x), 1e-15))
+    nlas_smb = 1.0 / (1.0 + smb_accum)
+    h_mix = H.lerp(smb_hist[..., 3], spec[..., 3], nlas_smb) * hit_dist_normalization
+    tana0 = H.get_specular_lobe_tan_half_angle(roughness_modified,
+                                               H.NRD_MAX_PERCENT_OF_LOBE_VOLUME)
+    tana0 = tana0 * H.lerp(nov, 1.0, roughness_modified)
+    tana0 = tana0 * nlas_smb
+    tana0 = tana0 / (H.get_hit_dist_factor(h_mix, frustum_size) + H.NRD_EPS)
+    a0 = np.maximum(np.arctan(tana0), REBLUR_NORMAL_ULP)
+    surface_confidence = np.power(H.saturate(H.linearstep(a0, 0.0, a_ang)), 4.0)
+
+    # ---- responsive accumulation (:657-671) ----
+    resp = H.remap_roughness_to_responsive_factor(
+        roughness, float(dc["responsive_accumulation_roughness_threshold"]))
+    smc = H.get_spec_magic_curve(roughness_modified)
+    fx = np.sum(n * H.normalize(smb_navg), -1)
+    fy = np.sum(n * vmb_n, -1)
+    power = H.lerp(32.0, 1.0, smc) * (1.0 - resp)
+    fx = H.lerp(smc, 1.0, resp) * np.power(H.saturate(fx), power)
+    fy = H.lerp(smc, 1.0, resp) * np.power(H.saturate(fy), power)
+    max_resp_x = np.maximum(dc["max_accumulated_frame_num"] * fx,
+                            dc["history_fix_frame_num"])
+    max_resp_y = np.maximum(dc["max_accumulated_frame_num"] * fy,
+                            dc["history_fix_frame_num"])
+
+    # ---- max allowed frames + clamping (:673-689) ----
+    smb_max = dc["max_accumulated_frame_num"] * surface_confidence
+    smb_max = np.minimum(smb_max, max_resp_x)
+    smb_boosted_max = np.maximum(
+        smb_max, dc["history_fix_frame_num"] * (1.0 - conf_for_smb_relax))
+    smb_accum_boosted = np.minimum(smb_accum, smb_boosted_max)
+    vmb_max = dc["max_accumulated_frame_num"] * virtual_confidence
+    vmb_max = np.minimum(vmb_max, max_resp_y)
+    smb_accum = np.minimum(smb_accum, smb_max)
+    vmb_accum = np.minimum(vmb_accum, vmb_max)
+
+    # ---- fallback (new logic, REBLUR_USE_OLD_SMB_FALLBACK_LOGIC == 0, :691-706) ----
+    magic = np.where(vmb_accum > smb_accum, F32(8.0), F32(0.5))
+    amount = amount * (1.0 + (vmb_accum - smb_accum)
+                       / (magic * np.maximum(vmb_accum, smb_accum) + 1.0))
+    amount = H.saturate(amount)
+
+    # ---- sample virtual history (:712-726) ----
+    vmb_sample_pos = H.saturate(vmb_uv) * rect_prev
+    vmb_hist = H.catrom_with_bilinear_fallback(spec_history, vmb_sample_pos,
+                                               vmb_allow_catrom, vmb_weights)
+    vmb_fast = H.bilinear_custom(spec_fast_history, np.floor(vmb_sample_pos - 0.5),
+                                 vmb_weights)
+
+    smb_hist = _clamp_negative_to_zero(smb_hist)
+    vmb_hist = _clamp_negative_to_zero(vmb_hist)
+
+    # ---- accumulation (:732-760) ----
+    smb_nlas = 1.0 / (1.0 + smb_accum)
+    vmb_nlas = 1.0 / (1.0 + vmb_accum)
+    smb_spec = _mix_history_and_current(dc, smb_hist, spec, smb_nlas,
+                                        roughness_modified)
+    vmb_spec = _mix_history_and_current(dc, vmb_hist, spec, vmb_nlas,
+                                        roughness_modified)
+    spec_result = H.lerp(smb_spec, vmb_spec, amount[..., None])
+    accum_speed = H.lerp(smb_accum_boosted, vmb_accum, amount)
+    spec_hist_mix = H.lerp(smb_hist, vmb_hist, amount[..., None])
+
+    # ---- firefly suppressor (:762-777) ----
+    max_rel = dc["firefly_suppressor_min_relative_scale"] \
+        + FIREFLY_MAX_RELATIVE_INTENSITY / (accum_speed + 1.0)
+    anti = accum_speed * dc["max_blur_radius"] * FIREFLY_RADIUS_SCALE
+    anti = anti / (1.0 + anti)
+    luma = _luma(spec_result)
+    luma_cl = np.minimum(luma, _luma(spec_hist_mix) * max_rel)
+    luma_cl = H.lerp(luma, luma_cl, anti)
+    spec_result = _change_luma(spec_result, luma_cl)
+
+    # ---- fast history (:786-795) ----
+    smb_fast_nlas = H.get_non_linear_accum_speed(
+        smb_accum, dc["max_fast_accumulated_frame_num"], surface_confidence, True)
+    vmb_fast_nlas = H.get_non_linear_accum_speed(
+        vmb_accum, dc["max_fast_accumulated_frame_num"], virtual_confidence, True)
+    smb_fast_r = H.lerp(smb_fast, _luma(spec), smb_fast_nlas)
+    vmb_fast_r = H.lerp(vmb_fast, _luma(spec), vmb_fast_nlas)
+    fast = H.lerp(smb_fast_r, vmb_fast_r, amount)
+    fast_cl = np.minimum(fast, _luma(spec_hist_mix) * max_rel
+                         * FIREFLY_FAST_RELATIVE_INTENSITY)
+    fast = H.lerp(fast, fast_cl, anti)
+
+    return dict(spec=spec_result, fast=fast, accum_speed=accum_speed, fbits=fbits,
+                curvature=curvature, virtual_history_amount=amount, hdt=hdt_out,
+                surface_confidence=surface_confidence,
+                virtual_confidence=virtual_confidence)

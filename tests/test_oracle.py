@@ -39,8 +39,8 @@ def psnr(ref, x):
     return 10.0 * np.log10(peak * peak / max(mse, 1e-30))
 
 
-def _camera(translate_x=0.0):
-    eng = Engine({0: Denoiser.REBLUR_DIFFUSE}, resource_size=(W, H_))
+def _camera(translate_x=0.0, denoiser=Denoiser.REBLUR_DIFFUSE):
+    eng = Engine({0: denoiser}, resource_size=(W, H_))
     cs = CommonSettings()
     proj = np.zeros((4, 4), np.float32)
     proj[0, 0] = proj[1, 1] = 1.0
@@ -167,3 +167,73 @@ class TestTemporalAccumulationOracle:
         assert p_acc >= 40.0, f"accum speed: {p_acc:.1f} dB"
         assert p_diff >= 40.0, f"TA diffuse: {p_diff:.1f} dB"
         assert p_fast >= 40.0, f"TA fast history: {p_fast:.1f} dB"
+
+
+class TestSpecularTAOracle:
+    """Specular TA vs the HLSL oracle (REBLUR_TemporalAccumulation.hlsli:306-830).
+
+    Covers curvature-along-motion, GetXvirtual, the virtual-motion confidence
+    cascade (roughness/normal/parallax/prev-prev), smb/vmb blend, responsive
+    accumulation, firefly, fast history - the 930-line kernel VERDICT r3 flagged
+    as oracle-less."""
+
+    @pytest.mark.parametrize("translate_x", [0.0, 0.013])
+    def test_ta_specular_matches_oracle(self, translate_x):
+        sc, dc, config = _camera(translate_x,
+                                 denoiser=Denoiser.REBLUR_DIFFUSE_SPECULAR)
+        s = _scene(sc)
+        prev_view_z = s["view_z"]
+        prev_nr = s["nr"]
+        accum = RNG.uniform(0.0, 40.0, (H_, W)).astype(np.float32)
+        prev_internal = {
+            "diff_accum": jnp.asarray(accum),
+            "spec_accum": jnp.asarray(accum),
+            "material_id": jnp.zeros((H_, W), jnp.float32),
+        }
+        spec_input = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        spec_input[..., 1:3] -= 0.5
+        history = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        fast_hist = RNG.uniform(0.0, 1.0, (H_, W)).astype(np.float32)
+        prev_hdt = RNG.uniform(0.0, 5.0, (H_, W)).astype(np.float32)
+        hdt_in = spec_input[..., 3]  # ExtractHitDist(spec): prepass off (Preload :31)
+
+        ref = O.ta_specular(sc, dc, s["view_z"], s["nr"], s["mv"], prev_view_z,
+                            prev_nr, accum, accum, np.zeros((H_, W), np.float32),
+                            spec_input, history, fast_hist, hdt_in, prev_hdt,
+                            has_prepass_hitdist=False)
+
+        sm = K.surface_motion_reprojection(
+            sc, dc, jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]),
+            jnp.asarray(s["mv"]), jnp.asarray(prev_view_z), jnp.asarray(prev_nr),
+            prev_internal, config)
+        got = K.temporal_accumulation_specular(
+            sc, dc, sm, jnp.asarray(spec_input), jnp.asarray(history),
+            jnp.asarray(fast_hist), jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]),
+            jnp.asarray(prev_view_z), jnp.asarray(prev_nr), prev_internal,
+            jnp.asarray(hdt_in), jnp.asarray(prev_hdt), config,
+            occlusion=False, has_prepass_hitdist=False)
+
+        checks = [
+            ("hdt", ref["hdt"], got["hit_dist_for_tracking"]),
+            ("virtual amount", ref["virtual_history_amount"],
+             got["virtual_history_amount"]),
+            ("accum speed", ref["accum_speed"], got["accum_speed"]),
+            ("spec", ref["spec"], got["spec"]),
+            ("fast", ref["fast"], got["fast"]),
+        ]
+        # With an exactly static camera the curvature MIX DIRECTION is pure float
+        # noise (deltaUv ~ 1e-6 px, amplified 256x by the 1/256 floor) - the
+        # reference's own comment: "curvature = 0 on static objects if camera is
+        # static". Direction is well-conditioned only under real parallax.
+        if translate_x != 0.0:
+            checks.insert(1, ("curvature", ref["curvature"], got["curvature"]))
+        for name, r, g in checks:
+            p = psnr(r, g)
+            assert p >= 40.0, f"TA specular {name}: {p:.1f} dB vs HLSL oracle"
+
+        # fbits are binary: a tap whose plane distance lands within float-eps of
+        # the threshold legitimately flips - assert the flip RATE instead of PSNR
+        ri = np.asarray(ref["fbits"]).astype(np.int64)
+        gi = (np.asarray(sm["fbits"]) + np.asarray(got["fbits_vmb"])).astype(np.int64)
+        flip_px = np.mean((ri ^ gi) != 0)
+        assert flip_px < 0.01, f"TA specular fbits: {flip_px:.2%} pixels flipped"
