@@ -866,3 +866,168 @@ def ta_specular(sc, dc, view_z_in, normal_roughness, mv_in, prev_view_z,
                 curvature=curvature, virtual_history_amount=amount, hdt=hdt_out,
                 surface_confidence=surface_confidence,
                 virtual_confidence=virtual_confidence)
+
+
+# ---------------------------------------------------------------------------
+# Temporal stabilization (REBLUR_TemporalStabilization.hlsli:93-367)
+# ---------------------------------------------------------------------------
+
+
+def _compute_antilag(sc, dc, history, avg, sigma, accum_speed):
+    """ComputeAntilag, REBLUR_ANTILAG_MODE == 2 (REBLUR_Common.hlsli:244-274)."""
+    s = sigma * dc["antilag_params"][0]
+    magic = dc["antilag_params"][1] * float(sc["framerate_scale"]) ** 2
+    hc = np.clip(history, avg - s, avg + s)
+    d = np.abs(history - hc) / (np.maximum(history, hc) + H.NRD_EPS)
+    return 1.0 / (1.0 + d * accum_speed / magic)
+
+
+def _ta_params(sc, quality, accum_speed):
+    """GetTemporalAccumulationParams (REBLUR_Common.hlsli:297-306)."""
+    a = accum_speed * REBLUR_SAMPLES_PER_FRAME
+    w_ = quality * a / (1.0 + a)
+    return w_, 1.0 + 3.0 * float(sc["framerate_scale"]) * w_
+
+
+def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_diff,
+                           data1_spec, fbits, curvature, virtual_history_amount,
+                           diff, spec, diff_luma_stab_history,
+                           spec_luma_stab_history):
+    """Diffuse+specular TS: 3x3 moments + RCRS, antilag, history clamp, accum-speed
+    increment. No SH / checkerboard / MV patching (basecolor absent) / prepass hdt.
+
+    Returns dict(diff, spec, diff_luma_stab, spec_luma_stab, data1_diff, data1_spec,
+    diff_antilag, spec_antilag)."""
+    h, w = view_z_in.shape
+    uv = _pixel_uv(h, w)
+    view_z = H.unpack_view_z(view_z_in, float(sc["view_z_scale"]))
+    n, roughness, material_id = H.unpack_normal_roughness(normal_roughness)
+    frustum = np.asarray(sc["frustum"], F32)
+    ortho = float(sc["ortho_mode"])
+    xv = H.reconstruct_view_position(uv, frustum, view_z, ortho)
+    x = H.rotate_vector(sc["view_to_world"], xv)
+    rect_prev = np.asarray(sc["rect_size_prev"], F32)
+
+    # surface motion uv + Xprev (:51-71, same block as the TA prelude)
+    mv = mv_in * np.asarray(sc["mv_scale"], F32)[None, None, :3]
+    w2v_prev = np.asarray(sc["world_to_view_prev"], F32)
+    if float(sc["mv_scale"][3]) != 0.0:
+        x_prev = x + mv
+        smb_uv = H.get_screen_uv(sc["world_to_clip_prev"], x_prev)
+    else:
+        smb_uv = uv + mv[..., :2]
+        if float(sc["mv_scale"][2]) == 0.0:
+            mv_z = H.affine_transform(w2v_prev, x)[..., 2] - view_z
+        else:
+            mv_z = mv[..., 2]
+        xv_prev_local = H.reconstruct_view_position(
+            smb_uv, np.asarray(sc["frustum_prev"], F32), view_z + mv_z, ortho)
+        x_prev = xv_prev_local @ w2v_prev[:3, :3] \
+            + np.asarray(sc["camera_delta"], F32)[None, None, :]
+
+    # surface footprint from the TA's occlusion bits (:86-93)
+    fb = fbits.astype(np.int64)
+    smb_occ = np.stack([((fb >> b) & 1).astype(F32) for b in range(4)], -1)
+    smb_origin, smb_f = H.get_bilinear_filter(smb_uv, rect_prev)
+    smb_weights = H.get_bilinear_custom_weights(smb_f, smb_occ)
+    smb_allow_catrom = np.sum(smb_occ, -1) > 3.5
+    smb_quality = np.sqrt(H.saturate(np.sum(smb_occ * H.bilinear_weights(smb_f), -1)))
+
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+
+    def moments_rcrs(luma):
+        m1 = luma.copy()
+        m2 = luma * luma
+        lmin = np.full_like(luma, H.NRD_INF)
+        lmax = np.full_like(luma, -H.NRD_INF)
+        for j in range(-1, 2):
+            for i in range(-1, 2):
+                if i == 0 and j == 0:
+                    continue
+                t = luma[np.clip(ys + j, 0, h - 1), np.clip(xs + i, 0, w - 1)]
+                m1 = m1 + t
+                m2 = m2 + t * t
+                lmin = np.minimum(lmin, t)
+                lmax = np.maximum(lmax, t)
+        m1 /= 9.0
+        m2 /= 9.0
+        sigma = H.get_std_dev(m1, m2)
+        rcrs = np.where(dc["max_blur_radius"] != 0.0, np.clip(luma, lmin, lmax),
+                        luma)
+        return m1, sigma, rcrs
+
+    out = {}
+
+    # ---- diffuse (:96-185) ----
+    d_luma = _luma(diff)
+    m1, sigma, luma_rcrs = moments_rcrs(d_luma)
+    smb_pos = H.saturate(smb_uv) * rect_prev
+    smb_hist = H.catrom_with_bilinear_fallback(diff_luma_stab_history, smb_pos,
+                                               smb_allow_catrom, smb_weights)
+    smb_hist = np.maximum(smb_hist, 0.0)
+    antilag = _compute_antilag(sc, dc, smb_hist, m1, sigma, smb_quality * data1_diff)
+    taw, sig_scale = _ta_params(sc, smb_quality, data1_diff)
+    hw = taw * antilag
+    hw = hw * (uv[..., 0] >= float(sc["split_screen"]))
+    hw = hw * (smb_uv[..., 0] >= float(sc["split_screen_prev"]))
+    hist_cl = np.clip(smb_hist, m1 - sigma * sig_scale, m1 + sigma * sig_scale)
+    d_stab = H.lerp(luma_rcrs, hist_cl, np.minimum(hw, dc["stabilization_strength"]))
+    out["diff"] = _change_luma(diff, d_stab)
+    out["diff_luma_stab"] = d_stab
+    out["diff_antilag"] = antilag
+    d1 = data1_diff + 1.0
+    out["data1_diff"] = H.lerp(np.minimum(d1, dc["history_fix_frame_num"]), d1,
+                               antilag)
+
+    # ---- specular (:188-364) ----
+    s_luma = _luma(spec)
+    m1, sigma, luma_rcrs = moments_rcrs(s_luma)
+    hdt = spec[..., 3] * H.hit_dist_normalization(view_z, dc["hit_dist_params"],
+                                                  roughness)
+    v = -x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-15)
+    x_virtual = H.get_xvirtual(hdt, curvature, x, x_prev, n, v, roughness)
+    vmb_uv = H.get_screen_uv(sc["world_to_clip_prev"], x_virtual)
+    cam_attached = material_id == float(sc["camera_attached_reflection_material_id"])
+    vmb_uv = np.where(cam_attached[..., None], uv, vmb_uv)
+
+    vmb_occ = np.stack([((fb >> b) & 1).astype(F32) for b in range(4, 8)], -1)
+    vmb_origin, vmb_f = H.get_bilinear_filter(vmb_uv, rect_prev)
+    vmb_weights = H.get_bilinear_custom_weights(vmb_f, vmb_occ)
+    vmb_allow_catrom = np.sum(vmb_occ, -1) > 3.5
+    vmb_quality = np.sqrt(H.saturate(np.sum(vmb_occ * H.bilinear_weights(vmb_f), -1)))
+
+    smb_hist = H.catrom_with_bilinear_fallback(spec_luma_stab_history, smb_pos,
+                                               smb_allow_catrom, smb_weights)
+    vmb_pos = H.saturate(vmb_uv) * rect_prev
+    vmb_hist = H.catrom_with_bilinear_fallback(spec_luma_stab_history, vmb_pos,
+                                               vmb_allow_catrom, vmb_weights)
+    smb_hist = np.maximum(smb_hist, 0.0)
+    vmb_hist = np.maximum(vmb_hist, 0.0)
+    spec_hist = H.lerp(smb_hist, vmb_hist, virtual_history_amount)
+    quality = H.lerp(smb_quality, vmb_quality, virtual_history_amount)
+    antilag = _compute_antilag(sc, dc, spec_hist, m1, sigma, quality * data1_spec)
+    taw, sig_scale = _ta_params(sc, quality, data1_spec)
+    hw = taw * antilag
+    hw = hw * (uv[..., 0] >= float(sc["split_screen"]))
+    hw = hw * np.where(virtual_history_amount != 1.0,
+                       (smb_uv[..., 0] >= float(sc["split_screen_prev"])).astype(F32),
+                       F32(1.0))
+    hw = hw * np.where(virtual_history_amount != 0.0,
+                       (vmb_uv[..., 0] >= float(sc["split_screen_prev"])).astype(F32),
+                       F32(1.0))
+    resp = H.remap_roughness_to_responsive_factor(
+        roughness, float(dc["responsive_accumulation_roughness_threshold"]))
+    smc = H.get_spec_magic_curve(roughness)
+    acceleration = H.lerp(smc, 1.0, 0.5 + resp * 0.5)
+    hw = hw * np.where(material_id == float(sc["strand_material_id"]), F32(0.5),
+                       acceleration)
+    spec_hist = np.clip(spec_hist, m1 - sigma * sig_scale, m1 + sigma * sig_scale)
+    s_stab = H.lerp(luma_rcrs, spec_hist, np.minimum(hw, dc["stabilization_strength"]))
+    out["spec"] = _change_luma(spec, s_stab)
+    out["spec_luma_stab"] = s_stab
+    out["spec_antilag"] = antilag
+    d1 = data1_spec + 1.0
+    out["data1_spec"] = H.lerp(np.minimum(d1, dc["history_fix_frame_num"]), d1,
+                               antilag)
+    return out

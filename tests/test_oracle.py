@@ -237,3 +237,48 @@ class TestSpecularTAOracle:
         gi = (np.asarray(sm["fbits"]) + np.asarray(got["fbits_vmb"])).astype(np.int64)
         flip_px = np.mean((ri ^ gi) != 0)
         assert flip_px < 0.01, f"TA specular fbits: {flip_px:.2%} pixels flipped"
+
+
+class TestTemporalStabilizationOracle:
+    """TS vs the HLSL oracle (REBLUR_TemporalStabilization.hlsli:93-367):
+    3x3 moments + RCRS, mode-2 antilag, clamped history blend, virtual-motion
+    history combine, accumulation-speed increment."""
+
+    @pytest.mark.parametrize("translate_x", [0.0, 0.013])
+    def test_ts_matches_oracle(self, translate_x):
+        sc, dc, config = _camera(translate_x,
+                                 denoiser=Denoiser.REBLUR_DIFFUSE_SPECULAR)
+        s = _scene(sc)
+        # de-alias: the synthetic static camera lands smb/vmb uvs EXACTLY on texel
+        # centers, where floor(pos - 0.5) legitimately differs between numpy and
+        # XLA float rounding; with random fbits the footprint slots then disagree.
+        # A fractional mv offset moves every uv off the measure-zero boundary
+        # (real pipelines never sit exactly on it with random occlusion bits).
+        s["mv"] = s["mv"] + np.asarray([0.37 / W, 0.23 / H_, 0.0], np.float32)
+        data1_d = RNG.uniform(0.0, 30.0, (H_, W)).astype(np.float32)
+        data1_s = RNG.uniform(0.0, 30.0, (H_, W)).astype(np.float32)
+        fbits = RNG.integers(0, 256, (H_, W)).astype(np.float32)
+        curvature = RNG.uniform(-0.2, 0.2, (H_, W)).astype(np.float32)
+        amount = RNG.uniform(0.0, 1.0, (H_, W)).astype(np.float32)
+        diff = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        spec = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        diff[..., 1:3] -= 0.5
+        spec[..., 1:3] -= 0.5
+        d_hist = RNG.uniform(0.0, 1.0, (H_, W)).astype(np.float32)
+        s_hist = RNG.uniform(0.0, 1.0, (H_, W)).astype(np.float32)
+
+        ref = O.temporal_stabilization(sc, dc, s["view_z"], s["nr"], s["mv"],
+                                       data1_d, data1_s, fbits, curvature, amount,
+                                       diff, spec, d_hist, s_hist)
+        got = K.temporal_stabilization(
+            sc, dc, jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]),
+            jnp.asarray(s["mv"]), jnp.asarray(data1_d), jnp.asarray(data1_s),
+            jnp.asarray(fbits), jnp.asarray(curvature), jnp.asarray(amount),
+            jnp.asarray(diff), jnp.asarray(spec), jnp.asarray(d_hist),
+            jnp.asarray(s_hist), None, None, config,
+            has_diffuse=True, has_specular=True, has_prepass=False)
+
+        for name in ["diff", "spec", "diff_luma_stab", "spec_luma_stab",
+                     "data1_diff", "data1_spec"]:
+            p = psnr(ref[name], np.asarray(got[name]))
+            assert p >= 40.0, f"TS {name}: {p:.1f} dB vs HLSL oracle"
