@@ -99,7 +99,14 @@ class FSig:
 
 def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wins,
                        centers, outs, origin, scratch):
-    """Shared-geometry tap loop over all signals (see module docstring)."""
+    """Shared-geometry tap loop over all signals (see module docstring).
+
+    Round-4 "hoist" structure (bench_tap2: 4.53 -> 3.39 ms on the 13-window
+    replica, compile 64 -> 15 s): the per-radius-level `pl.when` bodies contain
+    ONLY the tap loads (into per-plane scratch); the ~55-op weight chain runs
+    once per dir on the hoisted values with runtime-selected (off_y, off_x, k_t)
+    scalars. Dead predicated issue drops from half-a-full-body per dead level
+    (bench_tap.py's predicated-issue finding) to half-the-loads."""
     wi = iter(wins)
     zw = next(wi)
     wnx = next(wi); wny = next(wi); wnz = next(wi)
@@ -110,6 +117,10 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wi
         sw = [next(wi) for _ in range(d.c)]
         shw = [next(wi) for _ in range(3)] if d.has_sh else []
         sig_wins.append((sw, shw))
+    tap_wins = [zw, wnx, wny, wnz] + ([wrs] if any_spec else []) \
+        + ([wmat] if mat_occ else [])
+    for sw, shw in sig_wins:
+        tap_wins += list(sw) + list(shw)
 
     ci = iter(centers)
     ga_r = next(ci); gb_r = next(ci)
@@ -185,20 +196,19 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wi
         cw = p["cbm"][:, :] if d.has_cb else jnp.ones((bh, bw), jnp.float32)
         p["cw"] = cw
 
-    # init: center contributions
+    # init: center contributions (held as VALUES across the dir loop)
+    sums = []
+    accs = []
+    hdts = []
     for si, (d, p) in enumerate(zip(descs, per)):
         sw, shw = sig_wins[si]
-        b = out_base[si]
-        scratch[si][:, :] = p["cw"]
-        for k_, sg in enumerate(sw):
-            outs[b + k_][:, :] = sg.tap() * p["cw"]
-        if d.has_sh:
-            for k_, s_ in enumerate(shw):
-                outs[b + d.c + k_][:, :] = s_.tap() * p["cw"]
+        sums.append(p["cw"])
+        accs.append([sg.tap() * p["cw"] for sg in list(sw) + list(shw)])
         if d.prepass:
             hd_c = p["hd_c"]
-            outs[b + d.c + (3 if d.has_sh else 0)][:, :] = jnp.where(
-                hd_c == 0.0, jnp.float32(NRD_INF), hd_c)
+            hdts.append(jnp.where(hd_c == 0.0, jnp.float32(NRD_INF), hd_c))
+        else:
+            hdts.append(None)
 
     i_b = pl.program_id(0)
     j_b = pl.program_id(1)
@@ -207,105 +217,102 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wi
         rmax = jnp.where(bsm[2][i_b, j_b] != 0.0, jnp.float32(-1.0), rmax)
 
     taps = _static_offsets(n_dirs)
-    for li in range(len(_LEV)):
-        active = (rmax > jnp.float32(_LO[li])) & (rmax <= jnp.float32(_HI[li]))
+    lws = [(rmax > jnp.float32(_LO[li])) & (rmax <= jnp.float32(_HI[li]))
+           for li in range(len(_LEV))]
+    tap_scr = scratch[:len(tap_wins)]
+    if has_skip:
+        # culled blocks fire no level: zero the tap scratch once so the shared
+        # math below runs on zeros (finite weights x zero taps -> outputs keep
+        # the zeroed-window init, like the old all-inside-pl.when shape)
+        for t_ in tap_scr:
+            t_[:, :] = jnp.zeros(t_.shape, jnp.float32)
 
-        @pl.when(active)
-        def _(li=li):
-            sums = [scratch[si][:, :] for si in range(len(descs))]
-            accs = []
-            hdts = []
-            for si, d in enumerate(descs):
-                b = out_base[si]
-                accs.append([outs[b + k_][:, :]
-                             for k_ in range(d.c + (3 if d.has_sh else 0))])
-                hdts.append(outs[b + d.c + (3 if d.has_sh else 0)][:, :]
-                            if d.prepass else None)
-            for k in range(n_dirs):
-                off_y, off_x, k_t = taps[k][li]
-                # ---- shared geometry chain (once per tap) ----
-                zs = zw.tap(off_y, off_x)
-                nsx = wnx.tap(off_y, off_x)
-                nsy = wny.tap(off_y, off_x)
-                nsz = wnz.tap(off_y, off_x)
-                angle = _acos_approx(ncx * nsx + ncy * nsy + ncz * nsz)
-                s_f = zs * s_lin + abs_ortho
-                kx = jnp.float32(off_x) * inv_w * fdx
-                ky = jnp.float32(off_y) * inv_h * fdy
-                w_geo = ((fx >= jnp.float32(-off_x))
-                         & (fx <= rect_w - jnp.float32(1 + off_x))
-                         & (fy >= jnp.float32(-off_y))
-                         & (fy <= rect_h - jnp.float32(1 + off_y))
-                         ).astype(jnp.float32)
-                plane_d = (plane_a + kx * nvx + ky * nvy) * s_f + nvz * zs
-                w_geo = w_geo * _sstep10(jnp.abs(plane_d * ga + gb))
-                rs = wrs.tap(off_y, off_x) if any_spec else None
-                ms = wmat.tap(off_y, off_x) if mat_occ else None
-                if any_prepass:
-                    sx = (dirx + kx) * s_f
-                    sy = (diry + ky) * s_f
-                    dx_ = sx - xvx
-                    dy_ = sy - xvy
-                    dz_ = zs - xvz
-                    tap_d = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_) + NRD_EPS
+    for k in range(n_dirs):
+        # runtime-uniform (off_y, off_x, k_t) of the block's live level: the
+        # buckets partition the radius line, so exactly one mask is 1
+        sel = [jnp.float32(0.0)] * 3
+        for li in range(len(_LEV)):
+            m = lws[li].astype(jnp.float32)
+            for q in range(3):
+                sel[q] = sel[q] + m * jnp.float32(taps[k][li][q])
+        oyf, oxf, k_t = sel
 
-                # ---- per-signal weights + accumulate ----
-                for si, (d, p) in enumerate(zip(descs, per)):
-                    sw, shw = sig_wins[si]
-                    w_ = w_geo
-                    if mat_occ:
-                        w_ = w_ * (p["mat_c"] == jnp.maximum(ms, min_mat[si])
-                                   ).astype(jnp.float32)
-                    w_ = w_ * _sstep10(jnp.abs(angle * p["nwp_c"]))
-                    if d.spec:
-                        w_ = w_ * _sstep10(jnp.abs(rs * p["wra_c"] + p["wrb_c"]))
-                    s_taps = [sg.tap(off_y, off_x) for sg in sw]
-                    s_hd = s_taps[-1]
-                    if d.prepass:
-                        hdn_s = (hdp[0] + zs * hdp[1]) * (
-                            1.0 + (hdp[2] - 1.0)
-                            * jnp.clip(jnp.exp2(hdp[3] * rs * rs), 0.0, 1.0))
-                        hs = s_hd * hdn_s
-                        gw_ = w_ * jnp.clip(hs / tap_d, 0.0, 1.0)
-                        take = (p["rnd"][k][:, :] < gw_) & (hs > 0.0)
-                        hdts[si] = jnp.where(take, jnp.minimum(hdts[si], hs),
-                                             hdts[si])
-                        w_ = w_ * use_prepass
-                        t = hs / (tap_d + p["hd_c"])
-                        t = jnp.clip(t, 0.0, 1.0)
-                        w_ = w_ * (t + (1.0 - t) * rough_term)
-                    w_ = w_ * (p["mhdw_c"] + (1.0 - p["mhdw_c"])
-                               * _exp_w(s_hd * p["ha_c"] + p["hb_c"]))
-                    w_ = w_ * jnp.exp(jnp.float32(k_t) * p["inv_r2"])
+        for li in range(len(_LEV)):
+            @pl.when(lws[li])
+            def _(li=li, k=k):
+                off_y, off_x, _ = taps[k][li]
+                for t_, wv in zip(tap_scr, tap_wins):
+                    t_[:, :] = wv.tap(off_y, off_x)
 
-                    sums[si] = sums[si] + w_
-                    accs[si] = ([a + st * w_ for a, st in zip(accs[si][:d.c], s_taps)]
-                                + accs[si][d.c:])
-                    if d.has_sh:
-                        sh_taps = [s_.tap(off_y, off_x) for s_ in shw]
-                        for t_, st in enumerate(sh_taps):
-                            accs[si][d.c + t_] = accs[si][d.c + t_] + st * w_
+        ts = iter(tap_scr)
+        zs = next(ts)[:, :]
+        nsx = next(ts)[:, :]; nsy = next(ts)[:, :]; nsz = next(ts)[:, :]
+        rs = next(ts)[:, :] if any_spec else None
+        ms = next(ts)[:, :] if mat_occ else None
+        sig_taps = [[next(ts)[:, :] for _ in range(d.c + (3 if d.has_sh else 0))]
+                    for d in descs]
 
-            for si, d in enumerate(descs):
-                b = out_base[si]
-                scratch[si][:, :] = sums[si]
-                for k_ in range(d.c + (3 if d.has_sh else 0)):
-                    outs[b + k_][:, :] = accs[si][k_]
-                if d.prepass:
-                    outs[b + d.c + (3 if d.has_sh else 0)][:, :] = hdts[si]
+        # ---- shared geometry chain (once per dir) ----
+        angle = _acos_approx(ncx * nsx + ncy * nsy + ncz * nsz)
+        s_f = zs * s_lin + abs_ortho
+        kx = oxf * inv_w * fdx
+        ky = oyf * inv_h * fdy
+        w_geo = ((fx >= -oxf) & (fx <= rect_w - 1.0 - oxf)
+                 & (fy >= -oyf) & (fy <= rect_h - 1.0 - oyf)
+                 ).astype(jnp.float32)
+        plane_d = (plane_a + kx * nvx + ky * nvy) * s_f + nvz * zs
+        w_geo = w_geo * _sstep10(jnp.abs(plane_d * ga + gb))
+        if any_prepass:
+            sx = (dirx + kx) * s_f
+            sy = (diry + ky) * s_f
+            dx_ = sx - xvx
+            dy_ = sy - xvy
+            dz_ = zs - xvz
+            tap_d = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_) + NRD_EPS
+
+        # ---- per-signal weights + accumulate ----
+        for si, (d, p) in enumerate(zip(descs, per)):
+            st = sig_taps[si]
+            w_ = w_geo
+            if mat_occ:
+                w_ = w_ * (p["mat_c"] == jnp.maximum(ms, min_mat[si])
+                           ).astype(jnp.float32)
+            w_ = w_ * _sstep10(jnp.abs(angle * p["nwp_c"]))
+            if d.spec:
+                w_ = w_ * _sstep10(jnp.abs(rs * p["wra_c"] + p["wrb_c"]))
+            s_hd = st[d.c - 1]
+            if d.prepass:
+                hdn_s = (hdp[0] + zs * hdp[1]) * (
+                    1.0 + (hdp[2] - 1.0)
+                    * jnp.clip(jnp.exp2(hdp[3] * rs * rs), 0.0, 1.0))
+                hs = s_hd * hdn_s
+                gw_ = w_ * jnp.clip(hs / tap_d, 0.0, 1.0)
+                take = (p["rnd"][k][:, :] < gw_) & (hs > 0.0)
+                hdts[si] = jnp.where(take, jnp.minimum(hdts[si], hs),
+                                     hdts[si])
+                w_ = w_ * use_prepass
+                t = hs / (tap_d + p["hd_c"])
+                t = jnp.clip(t, 0.0, 1.0)
+                w_ = w_ * (t + (1.0 - t) * rough_term)
+            w_ = w_ * (p["mhdw_c"] + (1.0 - p["mhdw_c"])
+                       * _exp_w(s_hd * p["ha_c"] + p["hb_c"]))
+            w_ = w_ * jnp.exp(k_t * p["inv_r2"])
+
+            sums[si] = sums[si] + w_
+            accs[si] = [a + t2 * w_ for a, t2 in zip(accs[si], st)]
 
     for si, (d, p) in enumerate(zip(descs, per)):
         b = out_base[si]
-        inv = 1.0 / jnp.maximum(scratch[si][:, :], 1e-15)
-        for k_ in range(d.c + (3 if d.has_sh else 0)):
-            outs[b + k_][:, :] = outs[b + k_][:, :] * inv
+        inv = 1.0 / jnp.maximum(sums[si], 1e-15)
+        for k_, a in enumerate(accs[si]):
+            outs[b + k_][:, :] = a * inv
         k_ = d.c + (3 if d.has_sh else 0)
         if d.prepass:
-            hdt = outs[b + k_][:, :]
+            hdt = hdts[si]
             outs[b + k_][:, :] = jnp.where(hdt >= jnp.float32(NRD_INF), 0.0, hdt)
             k_ += 1
         if d.has_cb:  # weight sum for the caller's sum==0 fallback
-            outs[b + k_][:, :] = scratch[si][:, :]
+            outs[b + k_][:, :] = sums[si]
 
 
 def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, has_skip,
@@ -687,7 +694,9 @@ def spatial_filter_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
                       else jnp.maximum(radius_all, s["blur_radius"]))
 
     n_out = sum(d.n_out for d in descs)
-    block = _choose_block(1, len(windows) - 1, len(centers), n_out, len(descs))
+    # scratch = one hoisted tap plane per window; live accumulator values ~ n_out
+    block = _choose_block(1, len(windows) - 1, len(centers), n_out,
+                          len(windows) + n_out)
 
     def launch(tree, origin_offset=None):
         windows_l, centers_l, radius_l, dead_l, scalars_l = tree
@@ -703,7 +712,7 @@ def spatial_filter_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
             windows_l, n_out=n_out, halo=HALO2, block=block,
             scalars=scalars_l,
             block_scalars=[rmin_b, rmax_b] + ([skip] if skip is not None else []),
-            center_inputs=centers_l, scratch_blocks=len(descs), block_skip=skip,
+            center_inputs=centers_l, scratch_blocks=len(windows_l), block_skip=skip,
             origin_offset=origin_offset)
 
     tree = (windows, centers, radius_all, dead, scalars)
