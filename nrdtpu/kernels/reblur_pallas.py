@@ -200,6 +200,112 @@ _CENTER = ((1, 1), (2, 1), (1, 2), (2, 2))  # (i, j) == kernels.py CENTER_TAPS (
 _CORNER = ((0, 0), (3, 0), (0, 3), (3, 3))
 
 
+class RC:
+    """Per-raw-cell resolve weights: CatRom-12 with bilinear-custom fallback.
+
+    The old path selected VALUES per footprint tap per plane (FP.tap = 3
+    jnp.where each; ~12 taps x N-planes of ~6 us select chains dominated the
+    smb/vmb resolve kernels). Here the per-pixel origin select (my/mx in
+    {-1, 0}) moves into per-CELL weight planes built ONCE and shared by every
+    plane; a plane then resolves as sum(win.tap(cell) * w_cell) - a ~21-term
+    load-fma chain with zero selects. Weight algebra is exact: the footprint
+    tap (i, j) lands at raw cell (j-1+sy, i-1+sx), so each cell's weight is the
+    mask-weighted sum of the footprint weights that can land there; CatRom row/
+    col weights and the in-screen test are separable in raw space, and the
+    no-corners rule is the product of the row/col extremity masks.
+    """
+
+    def __init__(self, my, mx, fx, fy, occ_w, occ_wsum, allow_catrom, abs_y,
+                 abs_x, rect_w, rect_h, use_catrom, cat_extra=None):
+        f32 = jnp.float32
+        myf = my.astype(f32)
+        mxf = mx.astype(f32)
+        self.mm = myf * mxf
+        self.mM = myf * (1.0 - mxf)
+        self.Mm = (1.0 - myf) * mxf
+        self.MM = (1.0 - myf) * (1.0 - mxf)
+        self.osy = {a: ((abs_y + a >= 0.0) & (abs_y + a < rect_h)).astype(f32)
+                    for a in range(-2, 3)}
+        self.osx = {b: ((abs_x + b >= 0.0) & (abs_x + b < rect_w)).astype(f32)
+                    for b in range(-2, 3)}
+
+        self.occ_cells = self.place4(occ_w)
+        self.inv_occ = jnp.where(occ_wsum < 1e-4, 0.0,
+                                 1.0 / jnp.where(occ_wsum < 1e-4, 1.0, occ_wsum))
+        self.occ_cells_n = {ab: w_ * self.inv_occ
+                            for ab, w_ in self.occ_cells.items()}
+        if not use_catrom:  # performance mode: bilinear everywhere
+            self.hist_cells = self.occ_cells_n
+            return
+
+        def raw_w(tab, m):
+            out = {}
+            for a in range(-2, 3):
+                hi = tab[a + 2] if 0 <= a + 2 <= 3 else None  # shifted origin
+                lo = tab[a + 1] if 0 <= a + 1 <= 3 else None  # unshifted
+                if hi is None:
+                    out[a] = (1.0 - m) * lo
+                elif lo is None:
+                    out[a] = m * hi
+                else:
+                    out[a] = m * hi + (1.0 - m) * lo
+            return out
+
+        wy = raw_w(_catrom_w(fy), myf)
+        wx = raw_w(_catrom_w(fx), mxf)
+        # footprint rows/cols {0, 3} (the dropped-corner extremes) in raw space
+        ext_y = {-2: myf, -1: 1.0 - myf, 0: None, 1: myf, 2: 1.0 - myf}
+        ext_x = {-2: mxf, -1: 1.0 - mxf, 0: None, 1: mxf, 2: 1.0 - mxf}
+        wy_os = {a: wy[a] * self.osy[a] for a in wy}
+        if cat_extra is not None:
+            wy_os = {a: w_ * cat_extra for a, w_ in wy_os.items()}
+        wx_os = {b: wx[b] * self.osx[b] for b in wx}
+        cat_cells = {}
+        cat_wsum = None
+        for a in range(-2, 3):
+            for b in range(-2, 3):
+                if a in (-2, 2) and b in (-2, 2):
+                    continue  # raw corners are always footprint corners
+                w_ = wy_os[a] * wx_os[b]
+                if ext_y[a] is not None and ext_x[b] is not None:
+                    w_ = w_ * (1.0 - ext_y[a] * ext_x[b])
+                cat_cells[(a, b)] = w_
+                cat_wsum = w_ if cat_wsum is None else cat_wsum + w_
+        allowf = allow_catrom.astype(f32)
+        a_ = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                       allowf / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
+        b_ = (1.0 - allowf) * self.inv_occ
+        self.hist_cells = {ab: w_ * a_ for ab, w_ in cat_cells.items()}
+        for ab, w_ in self.occ_cells.items():
+            self.hist_cells[ab] = self.hist_cells.get(ab, 0.0) + w_ * b_
+
+    def place4(self, w4):
+        """Scatter 4 footprint-center weights into their raw 3x3 cells."""
+        cells = {}
+        for k, (i_, j_) in enumerate(_CENTER):
+            for (a, b), m_ in (((j_ - 2, i_ - 2), self.mm),
+                               ((j_ - 2, i_ - 1), self.mM),
+                               ((j_ - 1, i_ - 2), self.Mm),
+                               ((j_ - 1, i_ - 1), self.MM)):
+                w_ = w4[k] * m_
+                cells[(a, b)] = cells.get((a, b), 0.0) + w_
+        return cells
+
+    @staticmethod
+    def resolve(win, cells):
+        acc = None
+        for (a, b), w_ in cells.items():
+            t = win.tap(a, b) * w_
+            acc = t if acc is None else acc + t
+        return acc
+
+    def resolve_hist(self, win):
+        return self.resolve(win, self.hist_cells)
+
+    def resolve_custom(self, win):
+        return self.resolve(win, self.occ_cells_n)
+
+
 def _smb_kernel(n_hist, n_bil, mat_occlusion, use_catrom, smem, bsm, wins, centers,
                 outs, origin, scratch):
     """See reblur_smb_resolve for the plane layout."""
@@ -322,44 +428,17 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, use_catrom, smem, bsm, wins, cente
     footprint_raw = (occ_c[0] * bw00 + occ_c[1] * bw10 + occ_c[2] * bw01
                      + occ_c[3] * bw11)
 
-    def resolve_custom(fp_):
-        acc = sum(fp_.tap(i_, j_) * occ_w[k] for k, (i_, j_) in enumerate(_CENTER))
-        return jnp.where(occ_wsum < 1e-4, 0.0,
-                         acc / jnp.where(occ_wsum < 1e-4, 1.0, occ_wsum))
+    # CatRom-13 with bilinear-custom fallback (Common.hlsli:602-646), per-cell
+    # shared weights (see RC): selects built once, each plane = 21 load-fmas
+    rc = RC(my, mx, fx, fy, occ_w, occ_wsum, allow_catrom,
+            py + base_y.astype(jnp.float32), px + base_x.astype(jnp.float32),
+            rect_w, rect_h, use_catrom)
+    dacc = rc.resolve_custom(dacc_w)
+    sacc = rc.resolve_custom(sacc_w)
 
-    dacc = resolve_custom(fp(dacc_w))
-    sacc = resolve_custom(fp(sacc_w))
-
-    # CatRom-13 with bilinear-custom fallback (Common.hlsli:602-646 direct form):
-    # per-tap weight wx_i*wy_j, corners dropped, off-screen taps dropped, renormalized.
-    if use_catrom:
-        wxs = _catrom_w(fx)
-        wys = _catrom_w(fy)
-        cat_w = {}
-        cat_wsum = jnp.zeros((bh, bw), jnp.float32)
-        for j_ in range(4):
-            for i_ in range(4):
-                if (i_, j_) in _CORNER:
-                    continue
-                w_ = wxs[i_] * wys[j_] * on_screen(i_, j_)
-                cat_w[(i_, j_)] = w_
-                cat_wsum = cat_wsum + w_
-
-    use_cat = allow_catrom
-    hist_out = []
-    for hw_ in hist_wins:
-        fp_ = fp(hw_)
-        bil = resolve_custom(fp_)
-        if use_catrom:
-            cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
-            cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
-                            cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0,
-                                                cat_wsum))
-            hist_out.append(jnp.where(use_cat, cat, bil))
-        else:  # performance mode: bilinear everywhere (REBLUR_Config.hlsli:196-207)
-            hist_out.append(bil)
+    hist_out = [rc.resolve_hist(hw_) for hw_ in hist_wins]
     for bw_ in bil_wins:
-        hist_out.append(resolve_custom(fp(bw_)))
+        hist_out.append(rc.resolve_custom(bw_))
 
     k = 0
     for v in hist_out:
@@ -539,46 +618,18 @@ def _vmb_kernel(mat_occlusion, n_sh, use_catrom, smem, bsm, wins, centers, outs,
     occ_sum = occ4[0] + occ4[1] + occ4[2] + occ4[3]
     allow_catrom = (occ_sum > 3.5) & (smb_catrom > 0.5)
 
-    def resolve_custom(fp_):
-        acc = sum(fp_.tap(i_, j_) * occ_w[k] for k, (i_, j_) in enumerate(_CENTER))
-        return jnp.where(occ_wsum < 1e-4, 0.0,
-                         acc / jnp.where(occ_wsum < 1e-4, 1.0, occ_wsum))
-
-    sacc = resolve_custom(fp(sacc_w))
-
-    if use_catrom:
-        wxs = _catrom_w(fx)
-        wys = _catrom_w(fy)
-        cat_w = {}
-        cat_wsum = jnp.zeros((bh, bw), jnp.float32)
-        for j_ in range(4):
-            for i_ in range(4):
-                if (i_, j_) in _CORNER:
-                    continue
-                w_ = wxs[i_] * wys[j_] * on_screen(i_, j_)
-                cat_w[(i_, j_)] = w_
-                cat_wsum = cat_wsum + w_
-
-    hist_out = []
-    for hw_ in (h0, h1, h2, h3):
-        fp_ = fp(hw_)
-        bil = resolve_custom(fp_)
-        if use_catrom:
-            cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
-            cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
-                            cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0,
-                                                cat_wsum))
-            hist_out.append(jnp.where(allow_catrom, cat, bil))
-        else:  # performance mode: bilinear everywhere
-            hist_out.append(bil)
-
-    fast = resolve_custom(fp(fast_w))
+    rc = RC(my, mx, fx, fy, occ_w, occ_wsum, allow_catrom,
+            py + base_y.astype(jnp.float32), px + base_x.astype(jnp.float32),
+            rect_w, rect_h, use_catrom)
+    sacc = rc.resolve_custom(sacc_w)
+    hist_out = [rc.resolve_hist(hw_) for hw_ in (h0, h1, h2, h3)]
+    fast = rc.resolve_custom(fast_w)
 
     # plain bilinear (no occlusion) for prev hit-dist-for-tracking (TA :561)
-    hfp = fp(hdtp_w)
-    pw = [bws[k] * on_screen(i_, j_) for k, (i_, j_) in enumerate(_CENTER)]
-    pws = pw[0] + pw[1] + pw[2] + pw[3]
-    hdt_acc = sum(hfp.tap(i_, j_) * pw[k] for k, (i_, j_) in enumerate(_CENTER))
+    pb_cells = rc.place4(bws)
+    pb_cells = {(a, b): w_ * rc.osy[a] * rc.osx[b] for (a, b), w_ in pb_cells.items()}
+    pws = functools.reduce(lambda x, y: x + y, pb_cells.values())
+    hdt_acc = RC.resolve(hdtp_w, pb_cells)
     hdtp = jnp.where(pws < 1e-4, 0.0, hdt_acc / jnp.where(pws < 1e-4, 1.0, pws))
 
     k = 0
@@ -592,7 +643,7 @@ def _vmb_kernel(mat_occlusion, n_sh, use_catrom, smem, bsm, wins, centers, outs,
     outs[k][:, :] = rough_conf; k += 1
     outs[k][:, :] = hdtp; k += 1
     for sw in sh_ws:  # SH history: occlusion-weighted bilinear (TA SH sample :708)
-        outs[k][:, :] = resolve_custom(fp(sw)); k += 1
+        outs[k][:, :] = rc.resolve_custom(sw); k += 1
 
 
 def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
@@ -1393,32 +1444,12 @@ def _hist_sample_kernel(n_planes, use_catrom, smem, bsm, wins, centers, outs, or
     occ_w = [bws[k] * occ[k] * valid for k in range(4)]
     occ_wsum = occ_w[0] + occ_w[1] + occ_w[2] + occ_w[3]
 
-    if use_catrom:
-        wxs = _catrom_w(fx)
-        wys = _catrom_w(fy)
-        cat_w = {}
-        cat_wsum = jnp.zeros((bh, bw), jnp.float32)
-        for j_ in range(4):
-            for i_ in range(4):
-                if (i_, j_) in _CORNER:
-                    continue
-                w_ = wxs[i_] * wys[j_] * on_screen(i_, j_) * valid
-                cat_w[(i_, j_)] = w_
-                cat_wsum = cat_wsum + w_
-
+    px_nm = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32)
+    py_nm = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32)
+    rc = RC(my, mx, fx, fy, occ_w, occ_wsum, allow, py_nm, px_nm,
+            rect_w, rect_h, use_catrom, cat_extra=valid)
     for p in range(n_planes):
-        fp_ = FP(wins[p], my, mx)
-        bil_acc = sum(fp_.tap(i_, j_) * occ_w[k] for k, (i_, j_) in enumerate(_CENTER))
-        bil = jnp.where(occ_wsum < 1e-4, 0.0,
-                        bil_acc / jnp.where(occ_wsum < 1e-4, 1.0, occ_wsum))
-        if use_catrom:
-            cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
-            cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
-                            cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0,
-                                                cat_wsum))
-            outs[p][:, :] = jnp.where(allow, cat, bil)
-        else:  # performance mode: bilinear everywhere
-            outs[p][:, :] = bil
+        outs[p][:, :] = rc.resolve_hist(wins[p])
 
 
 def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom,
