@@ -65,8 +65,8 @@ class TestReblurDiffuse:
         p_noisy = psnr(fd.diff_noisy[geom], clean[geom])
         p_out = psnr(out[..., :3][geom], clean[geom])
         assert p_out > p_noisy + 8.0, (p_noisy, p_out)
-        # absolute floor (VERDICT r1 #5): XLA path measures 26.6 dB here
-        assert p_out > 24.0, p_out
+        # absolute floor at measured - 1 dB (VERDICT r3 #9): 26.69 dB measured
+        assert p_out > 25.7, p_out
         assert np.isfinite(out).all()
 
     def test_stabilization_reduces_flicker(self, scene):
@@ -100,7 +100,7 @@ class TestReblurSpecular:
         p_noisy = psnr(fd.spec_noisy[geom], clean[geom])
         p_out = psnr(out[..., :3][geom], clean[geom])
         assert p_out > p_noisy + 6.0, (p_noisy, p_out)
-        assert p_out > 19.0, p_out  # absolute floor; measures ~21.1 dB
+        assert p_out > 20.1, p_out  # floor at measured - 1 dB (21.14 measured)
         assert np.isfinite(out).all()
 
 
@@ -121,8 +121,8 @@ class TestReblurDiffuseSpecular:
             p_noisy = psnr(noisy[geom], clean[geom])
             p_out = psnr(out[..., :3][geom], clean[geom])
             assert p_out > p_noisy + 5.0, (rt, p_noisy, p_out)
-            # absolute floors (VERDICT r1 #5): 26.6 dB diff / 21.1 dB spec measured
-            floor = 24.0 if rt == RT.OUT_DIFF_RADIANCE_HITDIST else 19.0
+            # floors at measured - 1 dB (VERDICT r3 #9): 26.69 / 21.14 measured
+            floor = 25.7 if rt == RT.OUT_DIFF_RADIANCE_HITDIST else 20.1
             assert p_out > floor, (rt, p_out)
 
     def test_spec_accum_speed_grows(self, scene):
@@ -138,7 +138,10 @@ class TestReblurDiffuseSpecular:
 
 @pytest.mark.slow
 class TestReblurSH:
-    def test_diffuse_sh_runs(self, scene):
+    def test_diffuse_sh_resolve_roundtrip(self, scene):
+        """The SH contract (NRD.hlsli:937-1138): denoised SH, resolved through
+        NRD_SH_ResolveDiffuse, must reconstruct the same radiance the scalar
+        pipeline denoises - not merely stay finite (VERDICT r3 weak #9)."""
         def pool(fd):
             norm_hd = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
                                                   jnp.asarray(fd.view_z), HDP, 1.0)
@@ -150,11 +153,37 @@ class TestReblurSH:
         sh0 = np.asarray(outs[RT.OUT_DIFF_SH0])
         sh1 = np.asarray(outs[RT.OUT_DIFF_SH1])
         assert np.isfinite(sh0).all() and np.isfinite(sh1).all()
-        # resolve must give positive radiance on geometry
+
+        n = jnp.asarray(fd.normal)
         sg = fe.reblur_unpack_sh(jnp.asarray(sh0), jnp.asarray(sh1))
-        resolved = np.asarray(fe.sh_resolve_diffuse(sg, jnp.asarray(fd.normal)))
+        resolved = np.asarray(fe.sh_resolve_diffuse(sg, n))
         geom = fd.hit_mask > 0
-        assert resolved[geom].mean() > 0.0
+
+        # ground truth: the clean signal packed + resolved through the same codec
+        # (input direction == n, so the resolve reconstructs the full radiance)
+        nh = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
+                                         jnp.asarray(fd.view_z), HDP, 1.0)
+        c0, c1 = fe.reblur_pack_sh(jnp.asarray(fd.diff_clean), nh, n)
+        clean_res = np.asarray(fe.sh_resolve_diffuse(
+            fe.reblur_unpack_sh(c0, c1), n))
+        n0, n1 = fe.reblur_pack_sh(jnp.asarray(fd.diff_noisy), nh, n)
+        noisy_res = np.asarray(fe.sh_resolve_diffuse(
+            fe.reblur_unpack_sh(n0, n1), n))
+
+        p_noisy = psnr(noisy_res[geom], clean_res[geom])
+        p_out = psnr(resolved[geom], clean_res[geom])
+        assert p_out > p_noisy + 8.0, (p_noisy, p_out)
+
+        # and the resolved SH radiance must match the scalar pipeline's output
+        # (identical kernels modulo the co-filtered SH planes). With input
+        # direction == n the resolve returns 1.5x the radiance by construction:
+        # y = dot(n, c1) + 0.5 c0 = luma + 0.5 luma (NRD.hlsli:1117-1122)
+        outs_s, _, fd_s = run(scene, Denoiser.REBLUR_DIFFUSE, 8,
+                              lambda fd: {RT.IN_DIFF_RADIANCE_HITDIST: diff_packed(fd)})
+        out_rgb = np.asarray(fe.reblur_unpack_radiance_hitdist(
+            outs_s[RT.OUT_DIFF_RADIANCE_HITDIST]))[..., :3]
+        p_cross = psnr(resolved[geom] / 1.5, out_rgb[geom])
+        assert p_cross > 28.0, p_cross
 
 
 @pytest.mark.slow
