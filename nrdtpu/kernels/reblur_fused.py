@@ -99,6 +99,22 @@ class FSig:
 
 def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wins,
                        centers, outs, origin, scratch):
+    """Block-grid wrapper: per-block (rmax, skip) lookup + the shared core."""
+    i_b = pl.program_id(0)
+    j_b = pl.program_id(1)
+    rmax = bsm[1][i_b, j_b]
+    if has_skip:  # culled block: no tap level fires (windows are zero-filled)
+        rmax = jnp.where(bsm[2][i_b, j_b] != 0.0, jnp.float32(-1.0), rmax)
+        for t_ in scratch[:len(wins)]:
+            # the shared math below runs on zeros (finite weights x zero taps ->
+            # outputs keep the zeroed-window init)
+            t_[:, :] = jnp.zeros(t_.shape, jnp.float32)
+    _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax, wins,
+                     centers, outs, origin, scratch)
+
+
+def _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax_in, wins,
+                     centers, outs, origin, scratch):
     """Shared-geometry tap loop over all signals (see module docstring).
 
     Round-4 "hoist" structure (bench_tap2: 4.53 -> 3.39 ms on the 13-window
@@ -106,7 +122,13 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wi
     ONLY the tap loads (into per-plane scratch); the ~55-op weight chain runs
     once per dir on the hoisted values with runtime-selected (off_y, off_x, k_t)
     scalars. Dead predicated issue drops from half-a-full-body per dead level
-    (bench_tap.py's predicated-issue finding) to half-the-loads."""
+    (bench_tap.py's predicated-issue finding) to half-the-loads.
+
+    Callable from any grid shape: `rmax_in` is an explicit traced scalar (< 0
+    skips every level - the caller zero-fills the tap scratch in that case), and
+    `centers` only needs items supporting `[:, :]` reads (refs or value
+    wrappers), so the band pipeline (reblur_band.py) can drive the same core
+    over sliding buffers."""
     wi = iter(wins)
     zw = next(wi)
     wnx = next(wi); wny = next(wi); wnz = next(wi)
@@ -137,8 +159,6 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wi
         if d.has_cb:
             p["cbm"] = next(ci)
         per.append(p)
-
-    rmin_b, rmax_b = bsm[0], bsm[1]
 
     rect_w = smem[_S_RW]
     rect_h = smem[_S_RH]
@@ -210,22 +230,12 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wi
         else:
             hdts.append(None)
 
-    i_b = pl.program_id(0)
-    j_b = pl.program_id(1)
-    rmax = jnp.minimum(rmax_b[i_b, j_b], jnp.float32(_LEV[-1]))
-    if has_skip:  # culled block: no tap level fires (windows are zero-filled)
-        rmax = jnp.where(bsm[2][i_b, j_b] != 0.0, jnp.float32(-1.0), rmax)
+    rmax = jnp.minimum(rmax_in, jnp.float32(_LEV[-1]))
 
     taps = _static_offsets(n_dirs)
     lws = [(rmax > jnp.float32(_LO[li])) & (rmax <= jnp.float32(_HI[li]))
            for li in range(len(_LEV))]
     tap_scr = scratch[:len(tap_wins)]
-    if has_skip:
-        # culled blocks fire no level: zero the tap scratch once so the shared
-        # math below runs on zeros (finite weights x zero taps -> outputs keep
-        # the zeroed-window init, like the old all-inside-pl.when shape)
-        for t_ in tap_scr:
-            t_[:, :] = jnp.zeros(t_.shape, jnp.float32)
 
     for k in range(n_dirs):
         # runtime-uniform (off_y, off_x, k_t) of the block's live level: the
@@ -317,12 +327,30 @@ def _fused_blur_kernel(descs, n_dirs, mat_occ, any_spec, has_skip, smem, bsm, wi
 
 def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, has_skip,
                        smem, bsm, wins, centers, outs, origin, scratch):
+    """Block-grid wrapper: per-block (smin, smax, skip) lookup + the shared core."""
+    n_sig = len(descs)
+    i_b = pl.program_id(0)
+    j_b = pl.program_id(1)
+    smin = functools.reduce(jnp.minimum, [r[i_b, j_b] for r in bsm[:n_sig]])
+    smax = functools.reduce(jnp.maximum, [r[i_b, j_b] for r in bsm[n_sig:2 * n_sig]])
+    if has_skip:  # culled block: the 20-tap loop never fires (windows zero-filled)
+        smax = jnp.where(bsm[2 * n_sig][i_b, j_b] != 0.0, jnp.float32(0.0), smax)
+    _fused_hfix_core(descs, mat_occ, any_spec, af_flags, af_radius, smem,
+                     smin, smax, wins, centers, outs, origin, scratch)
+
+
+def _fused_hfix_core(descs, mat_occ, any_spec, af_flags, af_radius, smem,
+                     smin, smax, wins, centers, outs, origin, scratch):
     """Fused history fix: shared geometry taps + per-signal stride masks/weights.
 
     Level selection runs over the hull of both signals' stride ranges; each signal
     gates taps with its own nearest-level mask (lw), so per-signal semantics match
     reblur_hfix2 exactly. The whole 20-tap loop is skipped when neither signal has a
-    nonzero stride in the block (steady state for converged history)."""
+    nonzero stride in the block (steady state for converged history).
+
+    smin/smax are explicit traced scalars and `centers` only needs `[:, :]` reads,
+    so the band pipeline (reblur_band.py) can drive this core over sliding buffers
+    from its own grid shape."""
     wi = iter(wins)
     zw = next(wi)
     wnx = next(wi); wny = next(wi); wnz = next(wi)
@@ -349,8 +377,6 @@ def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, has_skip,
             p["hd"] = next(ci); p["bguide"] = next(ci)
         per.append(p)
 
-    n_sig = len(descs)
-    smin_refs, smax_refs = bsm[:n_sig], bsm[n_sig:2 * n_sig]
     rect_w = smem[_S_RW]
     rect_h = smem[_S_RH]
     ortho = smem[_S_ORTHO]
@@ -371,13 +397,6 @@ def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, has_skip,
     s_lin = 1.0 - abs_ortho
     dirx = u * fdx + fx0
     diry = v * fdy + fy0
-
-    i_b = pl.program_id(0)
-    j_b = pl.program_id(1)
-    smin = functools.reduce(jnp.minimum, [r[i_b, j_b] for r in smin_refs])
-    smax = functools.reduce(jnp.maximum, [r[i_b, j_b] for r in smax_refs])
-    if has_skip:  # culled block: the 20-tap loop never fires (windows zero-filled)
-        smax = jnp.where(bsm[2 * n_sig][i_b, j_b] != 0.0, jnp.float32(0.0), smax)
 
     out_base = []
     k0 = 0

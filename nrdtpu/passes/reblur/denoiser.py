@@ -393,8 +393,31 @@ class ReblurDenoiser:
                           "virtual_parallax_confidence"):
                     _pb.emit(f"reblur/ta/{k}", ta_spec.get(k))
 
-        # HISTORY FIX
-        if fused_ok:
+        # HISTORY FIX + BLUR + POST BLUR in ONE launch (band pipeline): sliding
+        # VMEM buffers carry each stage's output into the next stage's stencil -
+        # no halo recompute, one launch floor, geometry DMA'd once
+        # (kernels/reblur_band.py). Falls back to the 3-launch path when a probe
+        # needs the intermediates or when disabled via NRDTPU_REBLUR_BAND=0.
+        import os as _os
+        band_ok = (fused_ok and mesh is None
+                   and not (_pb.active() or _pb.show_active())
+                   and _os.environ.get("NRDTPU_REBLUR_BAND") != "0")
+        if band_ok:
+            from ...kernels.reblur_band import reblur_spatial_band
+            af_diff = (s.enableAntiFirefly and not self.occlusion
+                       and not self.directional)
+            af_spec = s.enableAntiFirefly and not self.occlusion
+            rb = reblur_spatial_band(
+                sc, dc, cfg, geom, view_z,
+                diff=dict(signal=diff1, sh=diff_sh1, data1=data1_diff,
+                          fast_history=diff_fast1, anti_firefly=af_diff),
+                spec=dict(signal=spec1, sh=spec_sh1, data1=data1_spec,
+                          fast_history=spec_fast1, anti_firefly=af_spec),
+                occlusion=self.occlusion, directional=self.directional,
+                perf_mode=perf)
+            diff4, diff_sh4, diff_fast2 = rb["diff"], rb["diff_sh"], rb["diff_fast"]
+            spec4, spec_sh4, spec_fast2 = rb["spec"], rb["spec_sh"], rb["spec_fast"]
+        elif fused_ok:
             hf = K.fused_history_fix(
                 sc, dc, geom, view_z, cfg, mesh=mesh,
                 diff=dict(signal=diff1, sh=diff_sh1, data1=data1_diff,
@@ -432,7 +455,9 @@ class ReblurDenoiser:
                 _pb.emit("reblur/hfix/spec_fast_history", spec_fast2)
 
         # BLUR + POST BLUR
-        if fused_ok:
+        if band_ok:
+            pass  # diff4/spec4 (+sh) already produced by the band launch above
+        elif fused_ok:
             fb = K.fused_spatial_filter(
                 sc, dc, K.BLUR, geom, view_z, cfg,
                 diff=dict(signal=diff2, sh=diff_sh2, data1=data1_diff),

@@ -85,6 +85,30 @@ class SigmaDenoiser:
         sigma_blur_pallas, blur_channels = get_sigma_blur()
         pallas_ok = use_pallas() and self.channels <= blur_channels
         rs_static = self.config.rect_size == self.config.resource_size
+
+        # single-launch band pipeline (blur1+blur2+TS); see kernels/sigma_band.py
+        from ...utils import probe as _pb
+        import os as _os
+        band_ok = (pallas_ok and rs_static and self._stabilization
+                   and mv is not None and not _pb.active()
+                   and _os.environ.get("NRDTPU_SIGMA_BAND") != "0")
+        if band_ok:
+            from ...kernels.sigma_band import sigma_band_pallas
+            if mv.ndim == 3 and mv.shape[-1] == 2:
+                mv = jnp.concatenate([mv, jnp.zeros_like(mv[..., :1])], -1)
+            out, new_prev_view_z, new_history_len = sigma_band_pallas(
+                sc, dc, penumbra, shadow_in0, view_z, normal_roughness,
+                tiles_smoothed, mv, state["shadow_history"],
+                state["prev_view_z"], state["history_len"],
+                channels=self.channels, translucent=self.translucent)
+            new_state = {"shadow_history": out, "prev_view_z": new_prev_view_z,
+                         "history_len": new_history_len}
+            out = K.split_screen(sc, penumbra, view_z, out, translucency,
+                                 channels=self.channels)
+            from ...config import requantize_state
+            return ({ResourceType.OUT_SHADOW_TRANSLUCENCY: out},
+                    requantize_state(state, new_state))
+
         if pallas_ok:
 
             penum1, shadow1 = sigma_blur_pallas(

@@ -18,7 +18,10 @@ from nrdtpu.engine import Engine
 from nrdtpu.settings import CommonSettings, Denoiser
 from nrdtpu.passes.reblur import kernels as K
 
-W, H = 256, 256  # 8 shards x 32 rows; blur reach +-32 px crosses every boundary
+# 8 shards x 32 rows; blur reach +-32 px crosses every ROW boundary (the sharded
+# dimension). Width is not load-bearing for the halo exchange - keep it at one
+# lane tile so the interpret-mode runs stay fast.
+W, H = 128, 256
 RNG = np.random.default_rng(5)
 
 
