@@ -106,6 +106,29 @@ def _prep(sc, mv_pix_y, mv_pix_x):
     return base_y, base_x
 
 
+# Row-halo for running the motion-base gather launches under shard_map
+# (parallel/sharding.shard_stencil): the kernel's own window halo (HALO[0]) plus
+# the vertical motion-base bound (HALO[0] - 4, see _prep) - every base-shifted
+# DMA start then lands on rows that exist locally (exchanged from the ring
+# neighbor); vertical motion beyond the bound degrades to disocclusion exactly
+# like the single-chip path's base clip.
+SHARD_HALO = 2 * HALO[0] - 4 + 4  # = 64 rows
+
+
+def _launch_or_shard(launch, tree, h, mesh, halo_rows=None):
+    """Run `launch(tree, origin_offset)` directly, or row-sharded over `mesh`.
+
+    The single-chip path passes origin_offset=None (kernels use raw block
+    origins); the sharded path halo-pads every (h, w[, c]) leaf of `tree` with
+    `halo_rows` exchanged rows and offsets in-kernel coordinates so uv math and
+    in-screen tests stay global (parallel/sharding.shard_stencil)."""
+    if mesh is None:
+        return launch(tree)
+    from ..parallel.sharding import shard_stencil
+
+    return shard_stencil(mesh, launch, halo_rows or SHARD_HALO, tree, h)
+
+
 # ---------------------------------------------------------------------------
 # nearest_resolve
 # ---------------------------------------------------------------------------
@@ -130,18 +153,30 @@ def _nearest_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
     outs[n_planes][:, :] = valid
 
 
-def nearest_resolve(planes, mv_pix_y, mv_pix_x):
+def nearest_resolve(planes, mv_pix_y, mv_pix_x, mesh=None):
     """Sample each plane at round(pixel + motion); returns (resolved list, valid).
 
     Replaces resample.sample_nearest at a reprojected uv. valid=0 marks pixels whose
     motion deviates >1 px from the block base (callers treat them as off-screen)."""
-    base_y, base_x = _prep(None, mv_pix_y, mv_pix_x)
     n = len(planes)
-    outs = stencil_call2(
-        functools.partial(_nearest_kernel, n), list(planes),
-        n_out=n + 1, halo=HALO, block=BLOCK,
-        block_scalars=[base_y, base_x], center_inputs=[mv_pix_y, mv_pix_x],
-        base_offset=(base_y, base_x), offset_windows=[True] * n)
+
+    def launch(tree, origin_offset=None):
+        planes_l, mvy_l, mvx_l = tree
+        base_y, base_x = _prep(None, mvy_l, mvx_l)
+        return stencil_call2(
+            functools.partial(_nearest_kernel, n), list(planes_l),
+            n_out=n + 1, halo=HALO, block=BLOCK,
+            block_scalars=[base_y, base_x], center_inputs=[mvy_l, mvx_l],
+            base_offset=(base_y, base_x), offset_windows=[True] * n,
+            origin_offset=origin_offset)
+
+    tree = (list(planes), mv_pix_y, mv_pix_x)
+    if mesh is None:
+        outs = launch(tree)
+    else:
+        from ..parallel.sharding import shard_stencil
+
+        outs = shard_stencil(mesh, launch, SHARD_HALO, tree, mv_pix_y.shape[0])
     return list(outs[:n]), outs[n]
 
 
@@ -166,7 +201,7 @@ def _nearest_multi_kernel(n_planes, n_sets, smem, bsm, wins, centers, outs, orig
         outs[s * (n_planes + 1) + n_planes][:, :] = valid
 
 
-def nearest_resolve_multi(planes, mv_sets):
+def nearest_resolve_multi(planes, mv_sets, mesh=None):
     """nearest_resolve over SEVERAL motion fields in ONE launch.
 
     mv_sets: list of (mv_pix_y, mv_pix_x). Each set gets its own per-block DMA base
@@ -177,17 +212,31 @@ def nearest_resolve_multi(planes, mv_sets):
     Returns a list of (resolved list, valid) per set."""
     n = len(planes)
     n_sets = len(mv_sets)
-    bases = [rp.block_motion_base(my, mx, BLOCK, bound=(HALO[0] - 4, HALO[1] - 4))
-             for (my, mx) in mv_sets]
-    images = [p for _ in range(n_sets) for p in planes]
-    offset_windows = [s for s in range(n_sets) for _ in planes]
-    centers = [c for (my, mx) in mv_sets for c in (my, mx)]
-    block_scalars = [b for pair in bases for b in pair]
-    outs = stencil_call2(
-        functools.partial(_nearest_multi_kernel, n, n_sets), images,
-        n_out=n_sets * (n + 1), halo=HALO, block=BLOCK,
-        block_scalars=block_scalars, center_inputs=centers,
-        base_offset=[tuple(b) for b in bases], offset_windows=offset_windows)
+
+    def launch(tree, origin_offset=None):
+        planes_l, sets_l = tree
+        bases = [rp.block_motion_base(my, mx, BLOCK,
+                                      bound=(HALO[0] - 4, HALO[1] - 4))
+                 for (my, mx) in sets_l]
+        images = [p for _ in range(n_sets) for p in planes_l]
+        offset_windows = [s for s in range(n_sets) for _ in planes_l]
+        centers = [c for (my, mx) in sets_l for c in (my, mx)]
+        block_scalars = [b for pair in bases for b in pair]
+        return stencil_call2(
+            functools.partial(_nearest_multi_kernel, n, n_sets), images,
+            n_out=n_sets * (n + 1), halo=HALO, block=BLOCK,
+            block_scalars=block_scalars, center_inputs=centers,
+            base_offset=[tuple(b) for b in bases], offset_windows=offset_windows,
+            origin_offset=origin_offset)
+
+    tree = (list(planes), [tuple(s) for s in mv_sets])
+    if mesh is None:
+        outs = launch(tree)
+    else:
+        from ..parallel.sharding import shard_stencil
+
+        outs = shard_stencil(mesh, launch, SHARD_HALO, tree,
+                             mv_sets[0][0].shape[0])
     return [(list(outs[s * (n + 1): s * (n + 1) + n]), outs[s * (n + 1) + n])
             for s in range(n_sets)]
 
@@ -332,7 +381,17 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, use_catrom, smem, bsm, wins, cente
     mat_center = mat_c_r[:, :]
 
     bh, bw = mvy.shape
-    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x)
+    # Wide capture (budget 3, VERDICT r2 ask #6): pixels whose motion deviates
+    # 1..3 px from the block base no longer hard-reset; they sample at the
+    # CLIPPED footprint position (the positional error is dev - 1, so <= 1 px up
+    # to dev 2 - every tap still individually occlusion-tested at the position
+    # actually sampled, and TS's moment-box clamp bounds any residual ghosting).
+    # Footprint confidence holds at 1 through dev 2 (error <= 1 px) then tapers
+    # to 0 at dev 3, where the reference's exact gather would diverge from us by
+    # 2 px. |q| < 1 pixels are bit-identical to the old path.
+    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x, budget=3.0)
+    qdev = jnp.maximum(jnp.abs(qy), jnp.abs(qx))
+    conf_taper = jnp.clip(3.0 - qdev, 0.0, 1.0)
     qy = jnp.clip(qy, -1.0, 0.999)
     qx = jnp.clip(qx, -1.0, 0.999)
     my = qy < 0.0   # fl_y == -1
@@ -425,8 +484,10 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, use_catrom, smem, bsm, wins, cente
     allow_catrom = occ12 > 11.5
 
     fbits = occ_c[0] * 1.0 + occ_c[1] * 2.0 + occ_c[2] * 4.0 + occ_c[3] * 8.0
+    # conf_taper^2: the caller sqrt's footprint_raw into footprint_quality, so
+    # quality scales linearly with the wide-capture deviation taper
     footprint_raw = (occ_c[0] * bw00 + occ_c[1] * bw10 + occ_c[2] * bw01
-                     + occ_c[3] * bw11)
+                     + occ_c[3] * bw11) * (conf_taper * conf_taper)
 
     # CatRom-13 with bilinear-custom fallback (Common.hlsli:602-646), per-cell
     # shared weights (see RC): selects built once, each plane = 21 load-fmas
@@ -460,7 +521,7 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, use_catrom, smem, bsm, wins, cente
 def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_threshold,
                        navg_thr, material_id_center, nr_cur_packed, prev_view_z,
                        prev_nr_packed, prev_mat, diff_accum, spec_accum, hist_planes,
-                       bil_planes=(), use_catrom=True):
+                       bil_planes=(), use_catrom=True, mesh=None):
     """Surface-motion footprint resolve (TA lines 131-305 + sample_history).
 
     hist_planes: (H, W) planes sampled CatRom-13-with-bilinear-custom-fallback
@@ -483,8 +544,6 @@ def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_th
                    jnp.asarray(sc["rect_size_prev"][1], jnp.float32)]),
         jnp.asarray(sc["world_prev_to_world"])[:3, :3].reshape(-1).astype(jnp.float32),
     ])
-    base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
-
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
     n_hist = len(hist_planes)
     n_bil = len(bil_planes)
@@ -499,13 +558,26 @@ def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_th
     centers = [mv_pix_y, mv_pix_x, xv_prev_z, base_threshold, navg_thr,
                material_id_center]
     n_out = n_hist + n_bil + 11
-    wdt = None
-    outs = stencil_call2(
-        functools.partial(_smb_kernel, n_hist, n_bil, mat_occ, use_catrom), windows,
-        n_out=n_out, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
-        base_offset=(base_y, base_x),
-        offset_windows=[True] * (len(windows) - 2) + [False, False])
+
+    def launch(tree, origin_offset=None):
+        windows_l, centers_l, scalars_l = tree
+        base_y, base_x = _prep(sc, centers_l[0], centers_l[1])
+        return stencil_call2(
+            functools.partial(_smb_kernel, n_hist, n_bil, mat_occ, use_catrom),
+            windows_l, n_out=n_out, halo=HALO, block=BLOCK,
+            scalars=scalars_l, block_scalars=[base_y, base_x],
+            center_inputs=centers_l, base_offset=(base_y, base_x),
+            offset_windows=[True] * (len(windows_l) - 2) + [False, False],
+            origin_offset=origin_offset)
+
+    tree = (windows, centers, scalars)
+    if mesh is None:
+        outs = launch(tree)
+    else:
+        from ..parallel.sharding import shard_stencil
+
+        outs = shard_stencil(mesh, launch, SHARD_HALO, tree,
+                             prev_view_z.shape[0])
     res = dict(hist=list(outs[:n_hist]), bil=list(outs[n_hist:n_hist + n_bil]))
     (res["diff_accum_speed"], res["spec_accum_speed"], res["fbits"],
      res["footprint_raw"], res["allow_catrom"], nx, ny, nz,
@@ -650,7 +722,7 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
                        n, vmb_v, ra, rb, roughness_sigma, parallax_sm,
                        material_id_center, smb_allow_catrom, prev_view_z,
                        prev_nr_packed, prev_mat, spec_accum, spec_hist4, spec_fast,
-                       prev_hdt, sh_hist4=None, use_catrom=True):
+                       prev_hdt, sh_hist4=None, use_catrom=True, mesh=None):
     """Virtual-motion footprint resolve (TA lines 459-530 + history samples :708, :561).
 
     vmb_thr: the per-pixel threshold with all elementwise factors already applied
@@ -665,7 +737,6 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
         jnp.asarray(sc["rect_size_prev"][0], jnp.float32),
         jnp.asarray(sc["rect_size_prev"][1], jnp.float32),
     ])
-    base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
 
     n_sh = 0 if sh_hist4 is None else 4
@@ -679,11 +750,20 @@ def reblur_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, nox_curr, vmb_thr,
                vmb_v[..., 0], vmb_v[..., 1], vmb_v[..., 2],
                ra, rb, roughness_sigma, parallax_sm, material_id_center,
                smb_allow_catrom]
-    outs = stencil_call2(
-        functools.partial(_vmb_kernel, mat_occ, n_sh, use_catrom), windows,
-        n_out=11 + n_sh, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
-        base_offset=(base_y, base_x), offset_windows=[True] * len(windows))
+
+    def launch(tree, origin_offset=None):
+        windows_l, centers_l, scalars_l = tree
+        base_y, base_x = _prep(sc, centers_l[0], centers_l[1])
+        return stencil_call2(
+            functools.partial(_vmb_kernel, mat_occ, n_sh, use_catrom),
+            windows_l, n_out=11 + n_sh, halo=HALO, block=BLOCK,
+            scalars=scalars_l, block_scalars=[base_y, base_x],
+            center_inputs=centers_l, base_offset=(base_y, base_x),
+            offset_windows=[True] * len(windows_l),
+            origin_offset=origin_offset)
+
+    outs = _launch_or_shard(launch, (windows, centers, scalars),
+                            mv_pix_y.shape[0], mesh)
     res = dict(spec_hist=jnp.stack(outs[:4], -1), spec_fast=outs[4],
                spec_accum_speed_raw=outs[5], fbits_vmb=outs[6],
                footprint_raw=outs[7], allow_catrom=outs[8], rough_conf=outs[9],
@@ -706,15 +786,21 @@ def _shift_kernel(offsets, n_planes, smem, bsm, wins, centers, outs, origin, scr
             k += 1
 
 
-def shift_planes(planes, offsets):
+def shift_planes(planes, offsets, mesh=None):
     """planes at static integer offsets: out[p][o][y, x] = planes[p][y+dy, x+dx].
 
     Border pixels read edge-clamped values on the padded fallback path and wrapped values
     on the no-pad path (masked by callers' in-screen tests where it matters)."""
     n = len(planes)
-    outs = stencil_call2(
-        functools.partial(_shift_kernel, tuple(offsets), n), list(planes),
-        n_out=n * len(offsets), halo=(8, 128), block=BLOCK)
+
+    def launch(planes_l, origin_offset=None):
+        return stencil_call2(
+            functools.partial(_shift_kernel, tuple(offsets), n), list(planes_l),
+            n_out=n * len(offsets), halo=(8, 128), block=BLOCK,
+            origin_offset=origin_offset)
+
+    outs = _launch_or_shard(launch, list(planes), planes[0].shape[0], mesh,
+                            halo_rows=8)
     return [list(outs[p * len(offsets):(p + 1) * len(offsets)]) for p in range(n)]
 
 
@@ -735,12 +821,18 @@ def _spec_prelude_kernel(smem, bsm, wins, centers, outs, origin, scratch):
     outs[2][:, :] = m2 / 9.0
 
 
-def spec_prelude(hdt_src, roughness):
+def spec_prelude(hdt_src, roughness, mesh=None):
     """3x3 min hit-dist-for-tracking + roughness^2 moments (spec TA lines 62-111).
 
     hdt_src: hit dist with zeros already replaced by +inf (XLA side); roughness decoded."""
-    outs = stencil_call2(_spec_prelude_kernel, [hdt_src, roughness],
-                         n_out=3, halo=(8, 128), block=BLOCK)
+
+    def launch(tree, origin_offset=None):
+        return stencil_call2(_spec_prelude_kernel, list(tree),
+                             n_out=3, halo=(8, 128), block=BLOCK,
+                             origin_offset=origin_offset)
+
+    outs = _launch_or_shard(launch, [hdt_src, roughness], hdt_src.shape[0],
+                            mesh, halo_rows=8)
     return outs[0], outs[1], outs[2]
 
 
@@ -750,10 +842,15 @@ def spec_prelude(hdt_src, roughness):
 
 
 class PallasSampler:
-    """Gather backend passed into the REBLUR XLA kernels on the Pallas path."""
+    """Gather backend passed into the REBLUR XLA kernels on the Pallas path.
 
-    def __init__(self, sc):
+    mesh: optional jax.sharding.Mesh - every gather launch then runs row-sharded
+    via shard_map + ring halo exchange (parallel/sharding.shard_stencil), making
+    the full TA bundle the production multi-chip path (VERDICT r3 ask #4)."""
+
+    def __init__(self, sc, mesh=None):
         self.sc = sc
+        self.mesh = mesh
 
     def _mv_pix(self, uv_target, rect_cur=False):
         h, w = uv_target.shape[:2]
@@ -766,22 +863,22 @@ class PallasSampler:
         return mvy, mvx
 
     def spec_prelude(self, hdt_src, roughness):
-        return spec_prelude(hdt_src, roughness)
+        return spec_prelude(hdt_src, roughness, mesh=self.mesh)
 
     def shift(self, planes, offsets):
-        return shift_planes(planes, offsets)
+        return shift_planes(planes, offsets, mesh=self.mesh)
 
     def nearest(self, planes, uv_target, rect_cur=False):
         mvy, mvx = self._mv_pix(uv_target, rect_cur)
-        return nearest_resolve(planes, mvy, mvx)
+        return nearest_resolve(planes, mvy, mvx, mesh=self.mesh)
 
     def nearest_multi(self, planes, uv_targets, rect_cur=False):
         """One launch resolving `planes` at several reprojected uv fields."""
         sets = [self._mv_pix(uv, rect_cur) for uv in uv_targets]
-        return nearest_resolve_multi(planes, sets)
+        return nearest_resolve_multi(planes, sets, mesh=self.mesh)
 
     def vmb_bundle(self, sc, dc, config, **kw):
-        return reblur_vmb_resolve(sc, dc, config, **kw)
+        return reblur_vmb_resolve(sc, dc, config, mesh=self.mesh, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -1361,7 +1458,8 @@ def _hdrecon_kernel(radius, has_d, has_s, mat_unused, rough_sq, smem, bsm, wins,
 
 
 def hitdist_recon_pallas(sc, dc, config, *, radius, view_z_in, normal_roughness,
-                         hd_d, hd_s, ga, gb, diff_nwp, spec_nwp, ra, rb, n, nv):
+                         hd_d, hd_s, ga, gb, diff_nwp, spec_nwp, ra, rb, n, nv,
+                         mesh=None):
     """REBLUR hit-distance reconstruction taps on Pallas. Returns (new_hd_d, new_hd_s)."""
     rough_sq = {"SQRT_LINEAR": 1, "SQ_LINEAR": 2}.get(config.roughness_encoding.name, 0)
     misc = jnp.stack([
@@ -1382,12 +1480,18 @@ def hitdist_recon_pallas(sc, dc, config, *, radius, view_z_in, normal_roughness,
     centers = [ga, gb, diff_nwp, spec_nwp, ra, rb,
                n[..., 0], n[..., 1], n[..., 2], nv[..., 0], nv[..., 1], nv[..., 2]]
     n_out = (hd_d is not None) + (hd_s is not None)
-    wdt = None
-    outs = stencil_call2(
-        functools.partial(_hdrecon_kernel, radius, hd_d is not None, hd_s is not None,
-                          False, rough_sq),
-        windows, n_out=n_out, halo=(8, 128), block=BLOCK,
-        scalars=scalars, center_inputs=centers)
+
+    def launch(tree, origin_offset=None):
+        windows_l, centers_l, scalars_l = tree
+        return stencil_call2(
+            functools.partial(_hdrecon_kernel, radius, hd_d is not None,
+                              hd_s is not None, False, rough_sq),
+            windows_l, n_out=n_out, halo=(8, 128), block=BLOCK,
+            scalars=scalars_l, center_inputs=centers_l,
+            origin_offset=origin_offset)
+
+    outs = _launch_or_shard(launch, (windows, centers, scalars),
+                            view_z_in.shape[0], mesh, halo_rows=8)
     k = 0
     new_d = new_s = None
     if hd_d is not None:
@@ -1453,19 +1557,27 @@ def _hist_sample_kernel(n_planes, use_catrom, smem, bsm, wins, centers, outs, or
 
 
 def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom,
-                       use_catrom=True):
+                       use_catrom=True, mesh=None):
     """sample_history (CatRom-13 + bilinear-custom fallback) with caller-provided
     per-tap occlusion (REBLUR TS: occlusion comes from the fbits of TA)."""
     scalars = jnp.stack([jnp.asarray(sc["rect_size_prev"][0], jnp.float32),
                          jnp.asarray(sc["rect_size_prev"][1], jnp.float32)])
-    base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
+    n = len(planes)
+
+    def launch(tree, origin_offset=None):
+        planes_l, centers_l, scalars_l = tree
+        base_y, base_x = _prep(sc, centers_l[0], centers_l[1])
+        return stencil_call2(
+            functools.partial(_hist_sample_kernel, n, use_catrom),
+            list(planes_l), n_out=n, halo=HALO, block=BLOCK,
+            scalars=scalars_l, block_scalars=[base_y, base_x],
+            center_inputs=centers_l, base_offset=(base_y, base_x),
+            offset_windows=[True] * n, origin_offset=origin_offset)
+
     centers = [mv_pix_y, mv_pix_x, occ4[..., 0], occ4[..., 1], occ4[..., 2],
                occ4[..., 3], allow_catrom]
-    outs = stencil_call2(
-        functools.partial(_hist_sample_kernel, len(planes), use_catrom), list(planes),
-        n_out=len(planes), halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
-        base_offset=(base_y, base_x), offset_windows=[True] * len(planes))
+    outs = _launch_or_shard(launch, (list(planes), centers, scalars),
+                            mv_pix_y.shape[0], mesh)
     return list(outs)
 
 
@@ -1491,12 +1603,19 @@ def _moments_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
         outs[4 * p + 3][:, :] = lmax
 
 
-def moments_minmax_pallas(planes):
+def moments_minmax_pallas(planes, mesh=None):
     """3x3 moments + cross min/max (RCRS) per plane: [(m1, m2, lmin, lmax), ...]."""
-    outs = stencil_call2(
-        functools.partial(_moments_kernel, len(planes)), list(planes),
-        n_out=4 * len(planes), halo=(8, 128), block=BLOCK)
-    return [tuple(outs[4 * p:4 * p + 4]) for p in range(len(planes))]
+    n = len(planes)
+
+    def launch(planes_l, origin_offset=None):
+        return stencil_call2(
+            functools.partial(_moments_kernel, n), list(planes_l),
+            n_out=4 * n, halo=(8, 128), block=BLOCK,
+            origin_offset=origin_offset)
+
+    outs = _launch_or_shard(launch, list(planes), planes[0].shape[0], mesh,
+                            halo_rows=8)
+    return [tuple(outs[4 * p:4 * p + 4]) for p in range(n)]
 
 
 def _bilinear_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
@@ -1543,18 +1662,25 @@ def _bilinear_kernel(n_planes, smem, bsm, wins, centers, outs, origin, scratch):
     outs[n_planes][:, :] = valid
 
 
-def bilinear_resolve(sc, planes, mv_pix_y, mv_pix_x):
+def bilinear_resolve(sc, planes, mv_pix_y, mv_pix_x, mesh=None):
     """Plain bilinear sample of N planes at a reprojected per-pixel position
     (replaces resample.sample_bilinear; off-screen/ out-of-budget taps excluded and
     renormalized). Returns (resolved list, valid)."""
     scalars = jnp.stack([jnp.asarray(sc["rect_size_prev"][0], jnp.float32),
                          jnp.asarray(sc["rect_size_prev"][1], jnp.float32)])
-    base_y, base_x = _prep(sc, mv_pix_y, mv_pix_x)
     n = len(planes)
-    outs = stencil_call2(
-        functools.partial(_bilinear_kernel, n), list(planes),
-        n_out=n + 1, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x],
-        center_inputs=[mv_pix_y, mv_pix_x],
-        base_offset=(base_y, base_x), offset_windows=[True] * n)
+
+    def launch(tree, origin_offset=None):
+        planes_l, centers_l, scalars_l = tree
+        base_y, base_x = _prep(sc, centers_l[0], centers_l[1])
+        return stencil_call2(
+            functools.partial(_bilinear_kernel, n), list(planes_l),
+            n_out=n + 1, halo=HALO, block=BLOCK,
+            scalars=scalars_l, block_scalars=[base_y, base_x],
+            center_inputs=centers_l,
+            base_offset=(base_y, base_x), offset_windows=[True] * n,
+            origin_offset=origin_offset)
+
+    outs = _launch_or_shard(launch, (list(planes), [mv_pix_y, mv_pix_x],
+                                     scalars), mv_pix_y.shape[0], mesh)
     return list(outs[:n]), outs[n]

@@ -52,14 +52,19 @@ def block_motion_base(mv_pix_y, mv_pix_x, block=(64, 256), bound=(30, 126),
     return by, bx
 
 
-def residual_and_validity(mv_pix_y, mv_pix_x, base_y, base_x):
+def residual_and_validity(mv_pix_y, mv_pix_x, base_y, base_x, budget=1.0):
     """Per-pixel residual q = motion - base and its validity mask (|q| within budget).
 
-    Inputs are (bh, bw) blocks / scalars inside a kernel. Returns (qy, qx, valid)."""
+    Inputs are (bh, bw) blocks / scalars inside a kernel. Returns (qy, qx, valid).
+    budget: capture half-width in pixels. 1.0 = the classic 3x3 tent; resolvers
+    that weight a wider static raw-cell neighbourhood (reblur_smb_resolve's 5x5
+    hat) pass 2.0, halving the in-block motion deviation that forces a history
+    reset (VERDICT r2 ask #6: rotation/zoom retention)."""
     qy = mv_pix_y - base_y.astype(jnp.float32)
     qx = mv_pix_x - base_x.astype(jnp.float32)
     eps = 1e-4
-    valid = ((qy >= -1.0) & (qy < 1.0 - eps) & (qx >= -1.0) & (qx < 1.0 - eps))
+    b = float(budget)
+    valid = ((qy >= -b) & (qy < b - eps) & (qx >= -b) & (qx < b - eps))
     return qy, qx, valid.astype(jnp.float32)
 
 

@@ -257,10 +257,11 @@ def _coords(nr, nc, row0, col0):
             col + jnp.asarray(col0).astype(f32))
 
 
-def _band_kernel(channels, translucent, nb, Wh, nseg_h, smem, by_ref, bx_ref,
+def _band_kernel(channels, translucent, nb, Wh, nseg_h, diag, smem, by_ref, bx_ref,
                  *refs):
     f32 = jnp.float32
     n_sin = channels if translucent else 0
+    n_hp = channels + 2   # history planes gathered by TS: hist c.., prev_z, hl
     # ---- unpack refs (order mirrors the call in sigma_band_pallas) ----
     it = iter(refs)
     pen_h = next(it); z_h = next(it); tile_h = next(it)
@@ -274,13 +275,13 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, smem, by_ref, bx_ref,
     pen_w = next(it); z_w = next(it); tile_w = next(it)
     nx_w = next(it); ny_w = next(it)
     sin_w = [next(it) for _ in range(n_sin)]
-    hseg = [next(it) for _ in range(channels + 2)]  # (B+16, 512) segment windows
+    # (B+16, 512) per-(segment, plane) history windows, all DMA'd in one batch
+    hseg = [next(it) for _ in range(nseg_h * (channels + 2))]
     mvy_w = next(it); mvx_w = next(it); xvpz_w = next(it); thr_w = next(it)
     b1 = [next(it) for _ in range(1 + channels)]   # pen1, s1.. (B, Wh + 2*EXT)
     b2 = [next(it) for _ in range(1 + channels)]   # pen2, s2.. (B, Wh + 2*EXT2)
     acc = [next(it) for _ in range(2 + channels)]
     sem = next(it)
-    hsem = next(it)
 
     h = pl.program_id(0)
     i = pl.program_id(1)
@@ -320,6 +321,22 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, smem, by_ref, bx_ref,
     cp(mvx_h, mvx_w, r_c, c_in)
     cp(xvpz_h, xvpz_w, r_c, c_in)
     cp(thr_h, thr_w, r_c, c_in)
+
+    # per-(segment, plane) history windows for the TS gather (see below): the
+    # bases are SMEM-prefetched, so every DMA rides the same batch/wait
+    hist_planes = hist_h + [pz_h, hl_h]
+    seg_rem = []
+    for s in range(nseg_h if not diag else 0):
+        g = h * nseg_h + s
+        by = by_ref[j2, g]
+        bx = bx_ref[j2, g]
+        ry = j2 * B + PADY + by - 1
+        cx = col0 + s * SEG + PADXH + bx - 1
+        sy = pl.multiple_of((ry // 8) * 8, 8)
+        sx = pl.multiple_of((cx // 128) * 128, 128)
+        seg_rem.append((ry - sy, cx - sx))
+        for k_, src in enumerate(hist_planes):
+            cp(src, hseg[s * n_hp + k_], sy, sx)
     for c_ in cps:
         c_.start()
     for c_ in cps:
@@ -364,6 +381,11 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, smem, by_ref, bx_ref,
 
     pen1, s1 = _blur_band(channels, n_sin > 0, smem, pen_tap1, z_tap1, s_tap1,
                           nx1, ny1, tile1, fyp1, fxp1, rmax1, acc, (B, Wc1))
+    if diag == "b1":  # timing diagnostic: blur1 only (outputs are NOT SIGMA)
+        for c in range(channels):
+            outs[c][:, :] = s1[min(c, len(s1) - 1)][:, EXT:EXT + Wh]
+        hl_out[:, :] = pen1[:, EXT:EXT + Wh]
+        return
     # slide the blur1 buffers and append
     for b_, v in zip(b1, [pen1] + s1):
         b_[0:2 * B, :] = b_[B:3 * B, :]
@@ -397,6 +419,11 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, smem, by_ref, bx_ref,
 
     pen2, s2 = _blur_band(channels, True, smem, pen_tap2, z_tap2, s_tap2,
                           nx2, ny2, tile2, fyp2, fxp2, rmax2, acc, (B, Wc2))
+    if diag == "b12":  # timing diagnostic: blur1+blur2 only (outputs NOT SIGMA)
+        for c in range(channels):
+            outs[c][:, :] = s2[min(c, len(s2) - 1)][:, EXT2:EXT2 + Wh]
+        hl_out[:, :] = pen2[:, EXT2:EXT2 + Wh]
+        return
     for b_, v in zip(b2, [pen2] + s2):
         b_[0:2 * B, :] = b_[B:3 * B, :]
         b_[2 * B:3 * B, :] = v.astype(b_.dtype)
@@ -417,11 +444,10 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, smem, by_ref, bx_ref,
     thr_in = thr_w[:, :]
 
     # history gather: per-(B, SEG)-segment integer base + per-pixel tent residual.
-    # Mosaic vector loads need (8, 128)-aligned provable starts, so each segment
-    # DMAs a small (B+16, 512) window at a floor-aligned start and absorbs the
-    # (0..7, 0..127) remainder with ONE normalization roll pair (the harness2
-    # offset-window scheme); the 3x3 tent taps are then static slices.
-    hist_planes = hist_h + [pz_h, hl_h]
+    # Mosaic vector loads need (8, 128)-aligned provable starts, so each segment's
+    # (B+16, 512) window was DMA'd at a floor-aligned start (in the main batch
+    # above) and the (0..7, 0..127) remainder is absorbed by ONE normalization
+    # roll pair; the 3x3 tent taps are then static slices.
     seg_hist = [[] for _ in range(channels)]
     seg_hl, seg_w = [], []
     for s in range(nseg_h):
@@ -436,27 +462,10 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, smem, by_ref, bx_ref,
         qx = jnp.clip(qx, -1.0, 0.999)
         thr_s = thr_in[:, c0s:c0s + SEG] * valid - (1.0 - valid)
         xvz_s = xv_prev_z[:, c0s:c0s + SEG]
+        rem_y, rem_x = seg_rem[s]
 
-        # target abs rows j2*B + by + dy (dy in -1..1) -> padded row + PADY;
-        # target cols col0 + c0s + bx + dx -> padded col + PADXH
-        ry = j2 * B + PADY + by - 1
-        cx = col0 + c0s + PADXH + bx - 1
-        sy = pl.multiple_of((ry // 8) * 8, 8)
-        sx = pl.multiple_of((cx // 128) * 128, 128)
-        rem_y = ry - sy
-        rem_x = cx - sx
-        hcps = []
-        for k_, src in enumerate(hist_planes):
-            hcps.append(pltpu.make_async_copy(
-                src.at[pl.ds(sy, B + 16), pl.ds(sx, 512)], hseg[k_],
-                hsem.at[k_]))
-        for c_ in hcps:
-            c_.start()
-        for c_ in hcps:
-            c_.wait()
-
-        def rolled(k_):
-            v = hseg[k_][:, :].astype(f32)
+        def rolled(k_, s=s, rem_y=rem_y, rem_x=rem_x):
+            v = hseg[s * n_hp + k_][:, :].astype(f32)
             v = pltpu.roll(v, jnp.mod(-rem_y, B + 16), 0)
             return pltpu.roll(v, jnp.mod(-rem_x, 512), 1)
 
@@ -565,7 +574,9 @@ def sigma_band_pallas(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughnes
 
     # narrower columns compile far faster in Mosaic (register pressure grows
     # superlinearly with vregs-per-value) and the EXT margin overhead stays small
-    cs = col_split or (4 if channels == 1 else 8)
+    import os
+    cs = col_split or int(os.environ.get("NRDTPU_BAND_CS", 0)) \
+        or (4 if channels == 1 else 8)
     nseg_tot = -(-w // SEG)
     cs = min(cs, nseg_tot)
     while nseg_tot % cs:
@@ -653,8 +664,12 @@ def sigma_band_pallas(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughnes
                    jnp.asarray(w, f32), jnp.asarray(h, f32),
                    jnp.asarray(dc["stabilization_strength"], f32)])])
 
+    diag = os.environ.get("NRDTPU_BAND_DIAG", "")
     WIN_W = Wh + 2 * PADX
-    n_dma = 9 + n_sin
+    n_dma = 9 + n_sin + (0 if diag else nseg_h * (channels + 2))
+    hseg_one = [pltpu.VMEM((B + 16, 512), bf) for _ in range(channels)] \
+        + [pltpu.VMEM((B + 16, 512), f32),              # prev z segment
+           pltpu.VMEM((B + 16, 512), bf)]
     scratch = [
         pltpu.VMEM((120, WIN_W), args[0].dtype),        # pen
         pltpu.VMEM((3 * B + 40, WIN_W), f32),           # z
@@ -662,15 +677,12 @@ def sigma_band_pallas(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughnes
         pltpu.VMEM((2 * B, WIN_W), bf),                 # nx
         pltpu.VMEM((2 * B, WIN_W), bf),                 # ny
     ] + [pltpu.VMEM((120, WIN_W), bf) for _ in range(n_sin)] \
-      + [pltpu.VMEM((B + 16, 512), bf) for _ in range(channels)] \
-      + [pltpu.VMEM((B + 16, 512), f32),                # prev z segment
-         pltpu.VMEM((B + 16, 512), bf)] \
+      + hseg_one * nseg_h \
       + [pltpu.VMEM((B, Wh), f32) for _ in range(4)] \
       + [pltpu.VMEM((3 * B, Wh + 2 * EXT), bf) for _ in range(1 + channels)] \
       + [pltpu.VMEM((3 * B, Wh + 2 * EXT2), bf) for _ in range(1 + channels)] \
       + [pltpu.VMEM((B, Wh + 2 * EXT), f32) for _ in range(2 + channels)] \
-      + [pltpu.SemaphoreType.DMA((n_dma,)),
-         pltpu.SemaphoreType.DMA((channels + 2,))]
+      + [pltpu.SemaphoreType.DMA((n_dma,))]
 
     grid = (cs, nb + 2)
     out_specs = tuple(
@@ -683,7 +695,8 @@ def sigma_band_pallas(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughnes
         + [pl.BlockSpec(memory_space=pl.ANY)] * len(args)
 
     outs = pl.pallas_call(
-        functools.partial(_band_kernel, channels, translucent, nb, Wh, nseg_h),
+        functools.partial(_band_kernel, channels, translucent, nb, Wh, nseg_h,
+                          diag),
         grid=grid, in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(

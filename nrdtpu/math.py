@@ -62,8 +62,20 @@ def linearstep(a, b, x):
 
 
 def pow01(x, y):
-    """Math::Pow01 - pow of a saturated base (avoids NaNs for tiny negatives)."""
-    return jnp.power(saturate(x), y)
+    """Math::Pow01 - pow of a saturated base (avoids NaNs for tiny negatives).
+
+    Static small/quarter exponents decompose into integer_pow / sqrt chains so
+    the function lowers inside Pallas kernels (Mosaic has no generic powf)."""
+    x = saturate(x)
+    if isinstance(y, (int, float)):
+        f = float(y)
+        if f == int(f) and 1.0 <= f <= 8.0:
+            return x ** int(f)
+        if f == 0.25:
+            return jnp.sqrt(jnp.sqrt(x))
+        if f == 0.5:
+            return jnp.sqrt(x)
+    return jnp.power(x, y)
 
 
 def acos_approx(x):
@@ -574,13 +586,33 @@ def normal_encoding_error(normal_encoding: int) -> float:
     return 0.50 / 255.0  # RGBA16
 
 
+def atan_approx(x):
+    """Full-range atan via an odd minimax polynomial on [0, 1] + range reduction.
+
+    Max error ~1e-5 rad. Exists because Mosaic (Pallas TPU) has no atan
+    lowering - this is the kernel-safe atan for in-kernel weight-parameter
+    math (kernels/reblur_band.py computes stage params in VMEM)."""
+    ax = jnp.abs(x)
+    hi = ax > 1.0
+    a = jnp.where(hi, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    s = a * a
+    p = a * (0.99988660 + s * (-0.33029950 + s * (0.18014100 + s * (
+        -0.08513300 + s * 0.02083510))))
+    r = jnp.where(hi, (np.pi / 2.0) - p, p)
+    return jnp.where(x < 0.0, -r, r)
+
+
 def get_normal_weight_param(non_linear_accum_speed, lobe_angle_fraction, roughness=1.0,
                             encoding_error: float = 0.75 / 255.0):
-    """GetNormalWeightParam (Common.hlsli:486-499). Returns 1/angle."""
+    """GetNormalWeightParam (Common.hlsli:486-499). Returns 1/angle.
+
+    atan_approx (not jnp.arctan) so the SAME function is usable inside Pallas
+    kernels and on the XLA path (error ~1e-5 rad, far below the 40 dB oracle
+    tolerance)."""
     percent_of_volume = NRD_MAX_PERCENT_OF_LOBE_VOLUME * lerp(
         lobe_angle_fraction, 1.0, non_linear_accum_speed)
     tan_half = get_specular_lobe_tan_half_angle(roughness, percent_of_volume)
-    angle = jnp.arctan(tan_half)
+    angle = atan_approx(tan_half)
     angle = jnp.maximum(angle, encoding_error)
     return 1.0 / angle
 

@@ -205,11 +205,18 @@ class ReblurDenoiser:
                       and cfg.normal_encoding.name == "R10_G10_B10_A2_UNORM"
                       and not self.directional
                       and cfg.rect_size == cfg.resource_size)
-        # Under a device mesh the reprojection kernels (multi-base DMA windows with
-        # unbounded motion reach) stay on the XLA path - GSPMD partitions their
-        # gathers; the bounded-reach fused spatial stages run sharded Pallas via
-        # shard_map + halo exchange (kernels get mesh=, parallel/sharding.py).
-        pallas_ok = kernels_ok and mesh is None
+        # Under a device mesh the TA/reprojection gather launches now ALSO run
+        # sharded Pallas (every motion-base reach is bounded by the base clip,
+        # kernels/reblur_pallas.SHARD_HALO rows of ring halo exchange cover it),
+        # provided each row shard is tall enough. Diff+spec configs - the ones
+        # the fused spatial stages cover - take this production path; other
+        # variants keep the warned XLA fallback (engine.py emits the warning).
+        from ...kernels.reblur_pallas import SHARD_HALO
+        shard_ta_ok = mesh is not None and self.has_diffuse and self.has_specular \
+            and not self.directional \
+            and cfg.rect_size[1] % mesh.devices.size == 0 \
+            and cfg.rect_size[1] // mesh.devices.size >= SHARD_HALO
+        pallas_ok = kernels_ok and (mesh is None or shard_ta_ok)
 
         perf = s.enablePerformanceMode
         # checkerboard disables reconstruction in the reference too, despite the
@@ -227,7 +234,7 @@ class ReblurDenoiser:
                            == HitDistanceReconstructionMode.AREA_5X5) else 1
             diff_in, spec_in = K.hit_dist_reconstruction(
                 sc, dc, view_z, normal_roughness, diff_in, spec_in, cfg, radius=radius,
-                pallas=pallas_ok)
+                pallas=pallas_ok, mesh=mesh)
 
         # Fused diff+spec spatial stages: one Pallas launch per stage with shared
         # geometry windows/math (kernels/reblur_fused.py); single-signal variants and
@@ -298,7 +305,7 @@ class ReblurDenoiser:
         if pallas_ok:
             from ...kernels.reblur_pallas import PallasSampler
 
-            sampler = PallasSampler(sc)
+            sampler = PallasSampler(sc, mesh=mesh)
             hist_planes, bil_planes = [], []
             if self.has_diffuse:
                 hist_planes += [state["diff_history"][..., c]
@@ -316,7 +323,7 @@ class ReblurDenoiser:
                 sc, dc, view_z, normal_roughness, mv, state["prev_view_z"],
                 state["prev_normal_roughness"], prev_internal, cfg,
                 hist_planes, bil_planes, disocclusion_threshold_mix=dt_mix,
-                perf_mode=perf)
+                perf_mode=perf, mesh=mesh)
             hk = bk = 0
             if self.has_diffuse:
                 diff_samples = dict(
@@ -518,7 +525,7 @@ class ReblurDenoiser:
                 has_prepass=not skip_prepass, directional=self.directional,
                 diff_sh=diff_sh4 if self.has_diffuse and self.sh else None,
                 spec_sh=spec_sh4 if self.has_specular and self.sh else None,
-                pallas=pallas_ok, perf_mode=perf)
+                pallas=pallas_ok, perf_mode=perf, mesh=mesh)
             if self.has_diffuse:
                 diff_out = ts["diff"]
                 diff_sh_out = ts.get("diff_sh")

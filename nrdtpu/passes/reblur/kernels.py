@@ -275,7 +275,7 @@ def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_i
                                        prev_view_z, prev_normal_roughness, prev_internal,
                                        config, hist_planes, bil_planes,
                                        disocclusion_threshold_mix=None,
-                                       perf_mode=False):
+                                       perf_mode=False, mesh=None):
     """surface_motion_reprojection with the gather work on the Pallas path.
 
     Same elementwise math as surface_motion_reprojection (kept line-parallel - any change
@@ -383,7 +383,7 @@ def surface_motion_reprojection_pallas(sc, dc, view_z_in, normal_roughness, mv_i
         prev_view_z=prev_view_z, prev_nr_packed=prev_normal_roughness,
         prev_mat=prev_internal["material_id"], diff_accum=prev_internal["diff_accum"],
         spec_accum=prev_internal["spec_accum"], hist_planes=hist_planes,
-        bil_planes=bil_planes)
+        bil_planes=bil_planes, mesh=mesh)
 
     # footprint quality (lines 296-305)
     vvwp = sc["view_vector_world_prev"]
@@ -2239,7 +2239,7 @@ def diffuse_pre_pass(sc, dc, spec_like_signal, view_z_in, normal_roughness, conf
 
 @jax.named_scope("REBLUR/hit_dist_reconstruction")
 def hit_dist_reconstruction(sc, dc, view_z_in, normal_roughness, diff, spec, config,
-                            *, radius: int, pallas: bool = False):
+                            *, radius: int, pallas: bool = False, mesh=None):
     """Reconstruct hitT==0 holes from 3x3 (radius=1) / 5x5 (radius=2) neighbors.
 
     diff/spec are (h, w, c) signals or None; only the hit channel is modified.
@@ -2272,7 +2272,8 @@ def hit_dist_reconstruction(sc, dc, view_z_in, normal_roughness, diff, spec, con
         new_hd_d, new_hd_s = hitdist_recon_pallas(
             sc, dc, config, radius=radius, view_z_in=view_z_in,
             normal_roughness=normal_roughness, hd_d=hd_d, hd_s=hd_s, ga=ga, gb=gb,
-            diff_nwp=diff_nwp, spec_nwp=spec_nwp, ra=ra, rb=rb, n=n, nv=nv)
+            diff_nwp=diff_nwp, spec_nwp=spec_nwp, ra=ra, rb=rb, n=n, nv=nv,
+            mesh=mesh)
         out_d = out_s = None
         if diff is not None:
             out_d = jnp.concatenate([diff[..., :-1], new_hd_d[..., None]], -1)
@@ -2333,7 +2334,7 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
                            spec_hitdist_for_tracking, base_color_metalness, config, *,
                            has_diffuse: bool, has_specular: bool, has_prepass: bool,
                            diff_sh=None, spec_sh=None, directional: bool = False,
-                           pallas: bool = False, perf_mode=False):
+                           pallas: bool = False, perf_mode=False, mesh=None):
     """Anti-lag output filter. Returns dict(diff, spec, diff_luma_stab, spec_luma_stab,
     data1_diff, data1_spec, mv_out[, diff_sh, spec_sh])."""
     h, w = view_z_in.shape
@@ -2381,14 +2382,14 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
             from ...kernels.reblur_pallas import (hist_sample_pallas,
                                                   moments_minmax_pallas)
 
-            (m1, m2, lmin, lmax), = moments_minmax_pallas([luma])
+            (m1, m2, lmin, lmax), = moments_minmax_pallas([luma], mesh=mesh)
             sigma = nm.get_std_dev(m1, m2)
             luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0,
                                   jnp.clip(luma, lmin, lmax), luma)
             smb_mvy, smb_mvx = uv_to_mv_pix(smb_pixel_uv, h, w, sc["rect_size_prev"])
             smb_hist = hist_sample_pallas(sc, [luma_stab_history], smb_mvy, smb_mvx,
                                           occ4, allow_catrom.astype(jnp.float32),
-                                          use_catrom=not perf_mode)[0]
+                                          use_catrom=not perf_mode, mesh=mesh)[0]
         else:
             m1 = jnp.zeros_like(luma)
             m2 = jnp.zeros_like(luma)
@@ -2497,7 +2498,7 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
             from ...kernels.reblur_pallas import (hist_sample_pallas,
                                                   moments_minmax_pallas)
 
-            (m1, m2, lmin, lmax), = moments_minmax_pallas([luma])
+            (m1, m2, lmin, lmax), = moments_minmax_pallas([luma], mesh=mesh)
             sigma = nm.get_std_dev(m1, m2)
             luma_rcrs = jnp.where(dc["max_blur_radius"] != 0.0,
                                   jnp.clip(luma, lmin, lmax), luma)
@@ -2506,11 +2507,11 @@ def temporal_stabilization(sc, dc, view_z_in, normal_roughness, mv_in, data1_dif
             smb_hist = hist_sample_pallas(sc, [spec_luma_stab_history], smb_mvy,
                                           smb_mvx, smb_occ,
                                           smb_allow_catrom.astype(jnp.float32),
-                                          use_catrom=not perf_mode)[0]
+                                          use_catrom=not perf_mode, mesh=mesh)[0]
             vmb_hist = hist_sample_pallas(sc, [spec_luma_stab_history], vmb_mvy,
                                           vmb_mvx, vmb_occ,
                                           vmb_allow_catrom.astype(jnp.float32),
-                                          use_catrom=not perf_mode)[0]
+                                          use_catrom=not perf_mode, mesh=mesh)[0]
         else:
             m1 = jnp.zeros_like(luma)
             m2 = jnp.zeros_like(luma)

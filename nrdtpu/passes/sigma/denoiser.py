@@ -89,9 +89,12 @@ class SigmaDenoiser:
         # single-launch band pipeline (blur1+blur2+TS); see kernels/sigma_band.py
         from ...utils import probe as _pb
         import os as _os
+        # opt-IN while the band trails the 3-launch path on chip (11.7 vs 6.1 ms
+        # at 1440p: per-step DMA stalls + register spills at the wide column
+        # split - see bench_band.py); flip to default when it wins
         band_ok = (pallas_ok and rs_static and self._stabilization
                    and mv is not None and not _pb.active()
-                   and _os.environ.get("NRDTPU_SIGMA_BAND") != "0")
+                   and _os.environ.get("NRDTPU_SIGMA_BAND", "0") == "1")
         if band_ok:
             from ...kernels.sigma_band import sigma_band_pallas
             if mv.ndim == 3 and mv.shape[-1] == 2:

@@ -81,9 +81,14 @@ def test_sigma_pallas_matches_xla_path(pallas_interpret):
     assert np.abs(a - b).mean() < 0.03
 
 
-def test_sigma_band_translucency_matches_xla(pallas_interpret):
+def test_sigma_band_translucency_matches_xla(pallas_interpret, monkeypatch):
     """SIGMA_SHADOW_TRANSLUCENCY through the band pipeline (kernels/sigma_band.py)
-    vs the XLA path: 4 channels + the multi-column-split path under motion."""
+    vs the XLA path: 4 channels + the multi-column-split path under motion.
+
+    The band is opt-in while it trails the 3-launch path on chip (see
+    passes/sigma/denoiser.py) - this test opts in to keep its parity pinned."""
+    monkeypatch.setenv("NRDTPU_SIGMA_BAND", "1")
+
     def run(n_frames):
         gen = SceneGenerator(SceneSpec(size=(512, 96)), camera_mode="orbit")
         eng = Engine({0: Denoiser.SIGMA_SHADOW_TRANSLUCENCY}, resource_size=(512, 96))

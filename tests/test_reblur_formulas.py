@@ -201,9 +201,10 @@ def test_history_retention_under_camera_motion(pallas_interpret, camera):
             for i in range(6):
                 fd = gen.frame(i)
                 eng.set_common_settings(fd.common_settings)
-                dn = fe.reblur_get_norm_hit_dist(jnp.asarray(fd.diff_hit_dist),
-                                                 jnp.asarray(fd.view_z),
-                                                 eng._settings[0].hitDistanceParameters)
+                hp = eng._settings[0].hitDistanceParameters
+                dn = fe.reblur_get_norm_hit_dist(
+                    jnp.asarray(fd.diff_hit_dist), jnp.asarray(fd.view_z),
+                    jnp.asarray([hp.A, hp.B, hp.C, hp.D], jnp.float32))
                 pool = {
                     RT.IN_VIEWZ: fd.view_z,
                     RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
@@ -222,4 +223,11 @@ def test_history_retention_under_camera_motion(pallas_interpret, camera):
     acc_xla = run("xla")
     # after 6 frames a well-tracking reprojector should hold several frames of history
     assert acc_xla > 2.0, acc_xla
-    assert acc_pallas > 0.5 * acc_xla, (acc_pallas, acc_xla)
+    # Wide capture (reblur_pallas._smb_kernel, budget 3 + clip-sampling) holds
+    # >= 0.9 of the XLA path's history under orbit (measured 0.918). Zoom keeps
+    # a 0.8 floor (measured 0.848): its radial in-block deviation reaches the
+    # taper region, and this 128-px-wide scene IS one block - at production
+    # block sizes the same zoom rate deviates < 0.5 px/block. Both floors are
+    # measured-minus-margin; the pre-widening values were 0.80 / 0.74.
+    floor = 0.9 if camera == "orbit" else 0.8
+    assert acc_pallas > floor * acc_xla, (acc_pallas, acc_xla, floor)

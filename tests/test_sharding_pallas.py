@@ -140,3 +140,50 @@ def test_fused_hfix_sharded_equals_unsharded(pallas_interpret, mesh):
     live = view_z < 1e5
     for r, g in zip(ref, got):
         np.testing.assert_allclose(g[live], r[live], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_smb_resolve_sharded_equals_unsharded(pallas_interpret):
+    """TA surface-motion resolve under shard_map (VERDICT r3 ask #4): the
+    motion-base gather launches run row-sharded with SHARD_HALO exchanged rows.
+
+    4-device mesh -> 64-row shards (= SHARD_HALO); the motion field pushes
+    reprojection up to 20 rows across every shard boundary."""
+    from nrdtpu.parallel.sharding import make_mesh
+
+    assert len(jax.devices()) >= 4
+    mesh = make_mesh(4)
+    sc, dc, cfg = _camera()
+    view_z, nr, sig = _scene()
+    state_prev_z = (view_z * (1.0 + 0.01 * RNG.uniform(size=(H, W)))) \
+        .astype(np.float32)
+    hist = [RNG.uniform(0.0, 1.0, (H, W)).astype(np.float32) for _ in range(4)]
+    bil = [RNG.uniform(0.0, 1.0, (H, W)).astype(np.float32) for _ in range(2)]
+    prev_internal = {
+        "diff_accum": RNG.uniform(0.0, 30.0, (H, W)).astype(np.float32),
+        "spec_accum": RNG.uniform(0.0, 30.0, (H, W)).astype(np.float32),
+        "material_id": np.zeros((H, W), np.float32),
+    }
+    # vertical + horizontal screen-space motion, varying per pixel: rows cross
+    # shard boundaries (up to 20 rows), residuals exercise the wide capture
+    uv_y = (np.arange(H, dtype=np.float32) + 0.5)[:, None] / H
+    mv = np.zeros((H, W, 3), np.float32)
+    mv[..., 0] = (6.0 + 2.0 * uv_y * np.ones((1, W))) / W   # cols
+    mv[..., 1] = (20.0 * uv_y - 10.0) / H                   # rows: -10..+10
+    def run(m):
+        return K.surface_motion_reprojection_pallas(
+            sc, dc, jnp.asarray(view_z), jnp.asarray(nr), jnp.asarray(mv),
+            jnp.asarray(state_prev_z), jnp.asarray(nr),
+            {k: jnp.asarray(v) for k, v in prev_internal.items()}, cfg,
+            [jnp.asarray(p) for p in hist], [jnp.asarray(p) for p in bil],
+            mesh=m)
+
+    ref = run(None)
+    got = run(mesh)
+    for key in ("hist", "bil"):
+        for r, g in zip(ref[key], got[key]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+    for key in ("diff_accum_speed", "footprint_quality", "fbits"):
+        np.testing.assert_allclose(np.asarray(got[key]), np.asarray(ref[key]),
+                                   rtol=2e-5, atol=2e-5)
