@@ -42,16 +42,34 @@ class Win2:
       Offsets beyond the halo wrap; kernels mask with in-screen weights.
     """
 
-    def __init__(self, ref, bh, bw, hy, hx, upcast=False, shadow=None):
+    def __init__(self, ref, bh, bw, hy, hx, upcast=False, shadow=None, row0=0):
         self._ref = ref
         self.bh, self.bw, self.hy, self.hx = bh, bw, hy, hx
         self._upcast = upcast
         self._shadow = shadow
+        # row0: extra row base added to every slice start. May be TRACED (a
+        # provably tile-aligned row-chunk base from a fori_loop) - the row-chunk
+        # pattern that keeps live values small in band kernels. Static slicing
+        # is preserved when row0 is the python int 0.
+        self._row0 = row0
+
+    def _rows(self, r0, n):
+        if isinstance(self._row0, int) and self._row0 == 0:
+            return slice(r0, r0 + n)
+        from jax.experimental import pallas as pl
+
+        return pl.ds(self._row0 + r0, n)
+
+    def at_rows(self, row0, bh):
+        """A view of this window whose taps cover `bh` rows starting `row0` rows
+        below the block's first row (row0 may be traced)."""
+        return Win2(self._ref, bh, self.bw, self.hy, self.hx,
+                    upcast=self._upcast, shadow=self._shadow, row0=row0)
 
     def tap(self, dy: int = 0, dx: int = 0):
         assert isinstance(dy, int) and isinstance(dx, int), "static taps only"
         assert abs(dy) <= self.hy and abs(dx) <= self.hx, (dy, dx, self.hy, self.hx)
-        val = self._ref[self.hy + dy: self.hy + dy + self.bh,
+        val = self._ref[self._rows(self.hy + dy, self.bh),
                         self.hx + dx: self.hx + dx + self.bw]
         return val.astype(jnp.float32) if self._upcast else val
 
@@ -63,7 +81,7 @@ class Win2:
         unaligned load 5.6 vs 13.6 - bench_vpu/bench_micro)."""
         assert isinstance(dy, int) and isinstance(dx, int), "static taps only"
         assert abs(dy) <= self.hy and abs(dx) <= self.hx, (dy, dx, self.hy, self.hx)
-        return self._ref[self.hy + dy: self.hy + dy + self.bh,
+        return self._ref[self._rows(self.hy + dy, self.bh),
                          self.hx + dx: self.hx + dx + self.bw]
 
     def ext(self, ry: int, rx: int):
@@ -72,7 +90,7 @@ class Win2:
         Building block for separable stencils over computed planes: slice once,
         derive the plane, then row/column-shift the VALUE instead of re-tapping."""
         assert ry <= self.hy and rx <= self.hx, (ry, rx, self.hy, self.hx)
-        val = self._ref[self.hy - ry: self.hy + ry + self.bh,
+        val = self._ref[self._rows(self.hy - ry, self.bh + 2 * ry),
                         self.hx - rx: self.hx + rx + self.bw]
         return val.astype(jnp.float32) if self._upcast else val
 
@@ -80,7 +98,7 @@ class Win2:
         """(bh + dy1 - dy0, bw) static slice: rows [dy0, bh + dy1) around the center.
 
         Building block for separable box sums (row-sum bands then column sums)."""
-        val = self._ref[self.hy + dy0: self.hy + dy1 + self.bh,
+        val = self._ref[self._rows(self.hy + dy0, self.bh + dy1 - dy0),
                         self.hx + dx: self.hx + dx + self.bw]
         return val.astype(jnp.float32) if self._upcast else val
 

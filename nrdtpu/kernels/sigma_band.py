@@ -56,6 +56,7 @@ from .sigma_pallas import (
 )
 
 B = 40          # band height; must be >= 34 (stage reach) and a multiple of 8
+RC = 8          # compute row-chunk inside a band (fori_loop; keeps vregs low)
 PADY = 80       # row edge-pad on all stencilled inputs (2 bands, covers every start)
 PADX = 128      # col edge-pad on blur-stencilled inputs (DMA col starts stay aligned)
 PADXH = 256     # col edge-pad on history planes (motion base up to +-126, + align)
@@ -72,7 +73,9 @@ _NSC = 21
 
 
 def _slc(ref, r0, nr, c0, nc):
-    v = ref[r0:r0 + nr, c0:c0 + nc]
+    # r0 may be traced (row-chunk base, provably 8-aligned + static offset);
+    # cols are static
+    v = ref[pl.ds(r0, nr), pl.ds(c0, nc)]
     return v.astype(jnp.float32) if v.dtype != jnp.float32 else v
 
 
@@ -354,116 +357,149 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, diag, smem, by_ref, bx_r
     cw1 = PADX - EXT
     cw2 = PADX - EXT2
 
+    # Row-chunked stages: each 40-row band computes in RC=8-row slices inside a
+    # fori_loop (body instantiated ONCE). Full-band (40, ~Wh+2*EXT) f32 values
+    # are ~50 vregs each and spill; (8, w) slices are ~10 - bench_band.py's
+    # blur1-only diag measured the spilled version at 2.9x the block-kernel
+    # cost. Slides run in a separate chunk loop BEFORE appends (the appended
+    # rows are read by later slide chunks otherwise).
+    nch = B // RC
+
+    def slide(k, carry):
+        r0 = pl.multiple_of(k * RC, RC)
+        for b_ in b1 + b2:
+            b_[pl.ds(r0, RC), :] = b_[pl.ds(B + r0, RC), :]
+        return carry
+
+    jax.lax.fori_loop(0, (2 * B) // RC, slide, 0, unroll=False)
+
     # ================= blur1 for band j0 = i =================
     # pen window rows: band row r -> 40 + r; z/tile window: band row r -> 2B + r
-    fyp1, fxp1 = _coords(B, Wc1, i * B, col0 - EXT)
+    def blur1_chunk(k, carry):
+        r0 = pl.multiple_of(k * RC, RC)
+        fyp1, fxp1 = _coords(RC, Wc1, i * B + r0, col0 - EXT)
 
-    def pen_tap1(dy, dx):
-        return _slc(pen_w, 40 + dy, B, cw1 + dx, Wc1)
+        def pen_tap1(dy, dx):
+            return _slc(pen_w, r0 + 40 + dy, RC, cw1 + dx, Wc1)
 
-    def z_tap1(dy, dx):
-        return jnp.abs(_slc(z_w, 2 * B + dy, B, cw1 + dx, Wc1)) * view_z_scale
+        def z_tap1(dy, dx):
+            return jnp.abs(_slc(z_w, r0 + 2 * B + dy, RC, cw1 + dx, Wc1)) \
+                * view_z_scale
 
-    def s_tap1(dy, dx):
-        return [_slc(w_, 40 + dy, B, cw1 + dx, Wc1) for w_ in sin_w]
+        def s_tap1(dy, dx):
+            return [_slc(w_, r0 + 40 + dy, RC, cw1 + dx, Wc1) for w_ in sin_w]
 
-    nx1 = _slc(nx_w, B, B, cw1, Wc1)
-    ny1 = _slc(ny_w, B, B, cw1, Wc1)
-    tile1 = _slc(tile_w, 2 * B, B, cw1, Wc1)
+        nx1 = _slc(nx_w, r0 + B, RC, cw1, Wc1)
+        ny1 = _slc(ny_w, r0 + B, RC, cw1, Wc1)
+        tile1 = _slc(tile_w, r0 + 2 * B, RC, cw1, Wc1)
 
-    # radius bound: refined penumbra is a convex 5x5 mix * f4(<=4) of raw pen
-    zb = jnp.abs(_slc(z_w, 2 * B - 2, B + 4, cw1 - 2, Wc1 + 4)) * view_z_scale
-    pb = _slc(pen_w, 40 - 2, B + 4, cw1 - 2, Wc1 + 4)
-    tb = _slc(tile_w, 2 * B - 2, B + 4, cw1 - 2, Wc1 + 4)
-    pb = jnp.where(pb >= jnp.float32(65504.0), 0.0, pb)
-    rb = pb / jnp.maximum(unproject * zb, NRD_EPS) * tb * 4.0
-    rmax1 = jnp.max(jnp.clip(rb, 0.0, 32.0))
+        # radius bound: refined penumbra is a convex 5x5 mix * f4(<=4) of raw pen
+        zb = jnp.abs(_slc(z_w, r0 + 2 * B - 2, RC + 4, cw1 - 2, Wc1 + 4)) \
+            * view_z_scale
+        pb = _slc(pen_w, r0 + 40 - 2, RC + 4, cw1 - 2, Wc1 + 4)
+        tb = _slc(tile_w, r0 + 2 * B - 2, RC + 4, cw1 - 2, Wc1 + 4)
+        pb = jnp.where(pb >= jnp.float32(65504.0), 0.0, pb)
+        rb = pb / jnp.maximum(unproject * zb, NRD_EPS) * tb * 4.0
+        rmax1 = jnp.max(jnp.clip(rb, 0.0, 32.0))
 
-    pen1, s1 = _blur_band(channels, n_sin > 0, smem, pen_tap1, z_tap1, s_tap1,
-                          nx1, ny1, tile1, fyp1, fxp1, rmax1, acc, (B, Wc1))
-    if diag == "b1":  # timing diagnostic: blur1 only (outputs are NOT SIGMA)
-        for c in range(channels):
-            outs[c][:, :] = s1[min(c, len(s1) - 1)][:, EXT:EXT + Wh]
-        hl_out[:, :] = pen1[:, EXT:EXT + Wh]
+        pen1, s1 = _blur_band(channels, n_sin > 0, smem, pen_tap1, z_tap1,
+                              s_tap1, nx1, ny1, tile1, fyp1, fxp1, rmax1, acc,
+                              (RC, Wc1))
+        if diag == "b1":  # timing diagnostic: blur1 only (outputs are NOT SIGMA)
+            for c in range(channels):
+                outs[c][pl.ds(r0, RC), :] = \
+                    s1[min(c, len(s1) - 1)][:, EXT:EXT + Wh]
+            hl_out[pl.ds(r0, RC), :] = pen1[:, EXT:EXT + Wh]
+            return carry
+        for b_, v in zip(b1, [pen1] + s1):
+            b_[pl.ds(2 * B + r0, RC), :] = v.astype(b_.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nch, blur1_chunk, 0, unroll=False)
+    if diag == "b1":
         return
-    # slide the blur1 buffers and append
-    for b_, v in zip(b1, [pen1] + s1):
-        b_[0:2 * B, :] = b_[B:3 * B, :]
-        b_[2 * B:3 * B, :] = v.astype(b_.dtype)
 
     # ================= blur2 for band j1 = i - 1 =================
     # b1 buf rows: band j1 row r -> B + r, col c -> EXT + c;
     # z/tile window: band j1 row r -> B + r; nxy window: row r
-    fyp2, fxp2 = _coords(B, Wc2, (i - 1) * B, col0 - EXT2)
+    def blur2_chunk(k, carry):
+        r0 = pl.multiple_of(k * RC, RC)
+        fyp2, fxp2 = _coords(RC, Wc2, (i - 1) * B + r0, col0 - EXT2)
 
-    def pen_tap2(dy, dx):
-        return _slc(b1[0], B + dy, B, EXT - EXT2 + dx, Wc2)
+        def pen_tap2(dy, dx):
+            return _slc(b1[0], r0 + B + dy, RC, EXT - EXT2 + dx, Wc2)
 
-    def z_tap2(dy, dx):
-        return jnp.abs(_slc(z_w, B + dy, B, cw2 + dx, Wc2)) * view_z_scale
+        def z_tap2(dy, dx):
+            return jnp.abs(_slc(z_w, r0 + B + dy, RC, cw2 + dx, Wc2)) \
+                * view_z_scale
 
-    def s_tap2(dy, dx):
-        return [_slc(b1[1 + c], B + dy, B, EXT - EXT2 + dx, Wc2)
-                for c in range(channels)]
+        def s_tap2(dy, dx):
+            return [_slc(b1[1 + c], r0 + B + dy, RC, EXT - EXT2 + dx, Wc2)
+                    for c in range(channels)]
 
-    nx2 = _slc(nx_w, 0, B, cw2, Wc2)
-    ny2 = _slc(ny_w, 0, B, cw2, Wc2)
-    tile2 = _slc(tile_w, B, B, cw2, Wc2)
+        nx2 = _slc(nx_w, r0, RC, cw2, Wc2)
+        ny2 = _slc(ny_w, r0, RC, cw2, Wc2)
+        tile2 = _slc(tile_w, r0 + B, RC, cw2, Wc2)
 
-    zb2 = jnp.abs(_slc(z_w, B - 2, B + 4, cw2 - 2, Wc2 + 4)) * view_z_scale
-    pb2 = _slc(b1[0], B - 2, B + 4, EXT - EXT2 - 2, Wc2 + 4)
-    tb2 = _slc(tile_w, B - 2, B + 4, cw2 - 2, Wc2 + 4)
-    pb2 = jnp.where(pb2 >= jnp.float32(65504.0), 0.0, pb2)
-    rb2 = pb2 / jnp.maximum(unproject * zb2, NRD_EPS) * tb2 * 4.0
-    rmax2 = jnp.max(jnp.clip(rb2, 0.0, 32.0))
+        zb2 = jnp.abs(_slc(z_w, r0 + B - 2, RC + 4, cw2 - 2, Wc2 + 4)) \
+            * view_z_scale
+        pb2 = _slc(b1[0], r0 + B - 2, RC + 4, EXT - EXT2 - 2, Wc2 + 4)
+        tb2 = _slc(tile_w, r0 + B - 2, RC + 4, cw2 - 2, Wc2 + 4)
+        pb2 = jnp.where(pb2 >= jnp.float32(65504.0), 0.0, pb2)
+        rb2 = pb2 / jnp.maximum(unproject * zb2, NRD_EPS) * tb2 * 4.0
+        rmax2 = jnp.max(jnp.clip(rb2, 0.0, 32.0))
 
-    pen2, s2 = _blur_band(channels, True, smem, pen_tap2, z_tap2, s_tap2,
-                          nx2, ny2, tile2, fyp2, fxp2, rmax2, acc, (B, Wc2))
-    if diag == "b12":  # timing diagnostic: blur1+blur2 only (outputs NOT SIGMA)
-        for c in range(channels):
-            outs[c][:, :] = s2[min(c, len(s2) - 1)][:, EXT2:EXT2 + Wh]
-        hl_out[:, :] = pen2[:, EXT2:EXT2 + Wh]
+        pen2, s2 = _blur_band(channels, True, smem, pen_tap2, z_tap2, s_tap2,
+                              nx2, ny2, tile2, fyp2, fxp2, rmax2, acc,
+                              (RC, Wc2))
+        if diag == "b12":  # timing diagnostic: blur1+blur2 only (NOT SIGMA)
+            for c in range(channels):
+                outs[c][pl.ds(r0, RC), :] = \
+                    s2[min(c, len(s2) - 1)][:, EXT2:EXT2 + Wh]
+            hl_out[pl.ds(r0, RC), :] = pen2[:, EXT2:EXT2 + Wh]
+            return carry
+        for b_, v in zip(b2, [pen2] + s2):
+            b_[pl.ds(2 * B + r0, RC), :] = v.astype(b_.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nch, blur2_chunk, 0, unroll=False)
+    if diag == "b12":
         return
-    for b_, v in zip(b2, [pen2] + s2):
-        b_[0:2 * B, :] = b_[B:3 * B, :]
-        b_[2 * B:3 * B, :] = v.astype(b_.dtype)
 
     # ================= TS for band j2 = i - 2 =================
-    # b2 buf rows: band j2 row r -> B + r, col c -> EXT2 + c.
+    # b2 buf rows: band j2 row r -> B + r, col c -> EXT2 + c. Processed per
+    # (B, SEG) SEGMENT (static loop) so live values stay ~10 vregs; the 5x5
+    # moments read b2's +-2-col margin, so segment edges need no halo exchange.
     # SIGMA_TemporalStabilization.hlsli:73-194.
     stab_strength = smem[_MISC + 7]
     denoising_range = smem[_MISC + 3]
-    shp = (B, Wh)
-    pen_c = _slc(b2[0], B, B, EXT2, Wh)
-    shadow = [_slc(b2[1 + c], B, B, EXT2, Wh) for c in range(channels)]
-    view_z_c = jnp.abs(_slc(z_w, 0, B, PADX, Wh)) * view_z_scale
-    tile_c = _slc(tile_w, 0, B, PADX, Wh)
-    mvy = mvy_w[:, :]
-    mvx = mvx_w[:, :]
-    xv_prev_z = xvpz_w[:, :]
-    thr_in = thr_w[:, :]
+    gv = [float(np.exp(-0.66 * (d * d) / 4.0)) for d in range(-2, 3)]
+    gsum = float(sum(gv)) ** 2
 
-    # history gather: per-(B, SEG)-segment integer base + per-pixel tent residual.
-    # Mosaic vector loads need (8, 128)-aligned provable starts, so each segment's
-    # (B+16, 512) window was DMA'd at a floor-aligned start (in the main batch
-    # above) and the (0..7, 0..127) remainder is absorbed by ONE normalization
-    # roll pair; the 3x3 tent taps are then static slices.
-    seg_hist = [[] for _ in range(channels)]
-    seg_hl, seg_w = [], []
     for s in range(nseg_h):
+        c0s = s * SEG
+        pen_c = _slc(b2[0], B, B, EXT2 + c0s, SEG)
+        shadow = [_slc(b2[1 + c], B, B, EXT2 + c0s, SEG) for c in range(channels)]
+        view_z_c = jnp.abs(_slc(z_w, 0, B, PADX + c0s, SEG)) * view_z_scale
+        tile_c = _slc(tile_w, 0, B, PADX + c0s, SEG)
+
         g = h * nseg_h + s
         by = by_ref[j2, g]
         bx = bx_ref[j2, g]
-        c0s = s * SEG
-        mvy_s = mvy[:, c0s:c0s + SEG]
-        mvx_s = mvx[:, c0s:c0s + SEG]
+        mvy_s = mvy_w[:, c0s:c0s + SEG]
+        mvx_s = mvx_w[:, c0s:c0s + SEG]
         qy, qx, valid = rp.residual_and_validity(mvy_s, mvx_s, by, bx)
         qy = jnp.clip(qy, -1.0, 0.999)
         qx = jnp.clip(qx, -1.0, 0.999)
-        thr_s = thr_in[:, c0s:c0s + SEG] * valid - (1.0 - valid)
-        xvz_s = xv_prev_z[:, c0s:c0s + SEG]
+        thr_s = thr_w[:, c0s:c0s + SEG] * valid - (1.0 - valid)
+        xvz_s = xvpz_w[:, c0s:c0s + SEG]
         rem_y, rem_x = seg_rem[s]
 
+        # history gather: per-segment integer base + per-pixel tent residual.
+        # Mosaic vector loads need (8, 128)-aligned provable starts, so each
+        # segment's (B+16, 512) window was DMA'd at a floor-aligned start (in
+        # the main batch above) and the (0..7, 0..127) remainder is absorbed by
+        # ONE normalization roll pair; the 3x3 tent taps are static slices.
         def rolled(k_, s=s, rem_y=rem_y, rem_x=rem_x):
             v = hseg[s * n_hp + k_][:, :].astype(f32)
             v = pltpu.roll(v, jnp.mod(-rem_y, B + 16), 0)
@@ -483,80 +519,72 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, diag, smem, by_ref, bx_r
 
         def gather(k_):
             v = rolled(k_)
-            acc = None
+            acc_ = None
             t_ = 0
             for ti, dy in enumerate(rp.TAPS):
                 for dx in rp.TAPS:
                     t = v[ti: ti + B, 1 + dx: 1 + dx + SEG] * w_taps[t_]
-                    acc = t if acc is None else acc + t
+                    acc_ = t if acc_ is None else acc_ + t
                     t_ += 1
-            return acc
+            return acc_
 
+        inv = jnp.where(ws < 1e-4, 0.0, 1.0 / jnp.maximum(ws, 1e-4))
+        history = [jnp.clip(gather(c) * inv, 0.0, 1.0) for c in range(channels)]
+        history = [t * t for t in history]   # state is sqrt-packed
+        history_length = gather(channels + 1) * inv
+
+        # ---- 5x5 moments, separable (see sigma_pallas._sigma_ts_kernel) ----
+        def _sep_blur(v):
+            a_ = None
+            for k, g_ in enumerate(gv):
+                sl = v[:, k:k + SEG] * jnp.float32(g_)
+                a_ = sl if a_ is None else a_ + sl
+            o_ = None
+            for k, g_ in enumerate(gv):
+                sl = a_[k:k + B, :] * jnp.float32(g_)
+                o_ = sl if o_ is None else o_ + sl
+            return o_
+
+        pen_e = _slc(b2[0], B - 2, B + 4, EXT2 + c0s - 2, SEG + 4)
+        lit_e = _is_lit(pen_e)
+        lit_cc = lit_e[2:2 + B, 2:2 + SEG]
+        bl_m = 2.0 * lit_cc - 1.0
+        bl_b = 1.0 - lit_cc
+        msum = bl_m * _sep_blur(lit_e) + bl_b * gsum
+        m1, m2 = [], []
         for c in range(channels):
-            seg_hist[c].append(gather(c))
-        seg_hl.append(gather(channels + 1))
-        seg_w.append(ws)
-    hist_acc = [jnp.concatenate(sl, axis=1) for sl in seg_hist]
-    hl_acc = jnp.concatenate(seg_hl, axis=1)
-    wsum = jnp.concatenate(seg_w, axis=1)
+            t2 = _slc(b2[1 + c], B - 2, B + 4, EXT2 + c0s - 2, SEG + 4)
+            t4 = jnp.square(t2)
+            m1.append((bl_m * _sep_blur(lit_e * t2) + bl_b * _sep_blur(t2)) / msum)
+            m2.append((bl_m * _sep_blur(lit_e * t4) + bl_b * _sep_blur(t4)) / msum)
+        sigma = [jnp.sqrt(jnp.abs(b_ - a_ * a_)) for a_, b_ in zip(m1, m2)]
 
-    inv = jnp.where(wsum < 1e-4, 0.0, 1.0 / jnp.maximum(wsum, 1e-4))
-    history = [jnp.clip(a * inv, 0.0, 1.0) for a in hist_acc]
-    history = [t * t for t in history]   # state is sqrt-packed
-    history_length = hl_acc * inv
+        sig_scale = 3.0 + (1.0 - 3.0) * (1.0 / (1.0 + history_length))
+        hist_cl = [jnp.clip(hh, a_ - sg * sig_scale, a_ + sg * sig_scale)
+                   for hh, a_, sg in zip(history, m1, sigma)]
+        antilag = jnp.abs(hist_cl[0] - history[0])
+        antilag = jnp.sqrt(jnp.clip(antilag, 0.0, 1.0))
+        antilag = jnp.clip(1.0 - antilag, 0.0, 1.0)
+        history_length = history_length * antilag
+        history_weight = history_length / (1.0 + history_length)
+        street_magic = 0.6 * history_weight * antilag
+        hist_cl = [hc + (hh - hc) * street_magic
+                   for hc, hh in zip(hist_cl, history)]
+        blend = jnp.minimum(stab_strength, history_weight)
+        result = [sh + (hc - sh) * blend for sh, hc in zip(shadow, hist_cl)]
 
-    # ---- 5x5 moments, separable (see sigma_pallas._sigma_ts_kernel) ----
-    gv = [float(np.exp(-0.66 * (d * d) / 4.0)) for d in range(-2, 3)]
+        is_hard = (tile_c == 0.0) | (pen_c == 0.0)
+        result = [jnp.where(is_hard, sh, r) for sh, r in zip(shadow, result)]
+        history_length = jnp.where(is_hard, 7.0, history_length)
+        new_hl = jnp.minimum(history_length + 1.0, 7.0)
 
-    def _sep_blur(v):
-        a_ = None
-        for k, g_ in enumerate(gv):
-            sl = v[:, k:k + Wh] * jnp.float32(g_)
-            a_ = sl if a_ is None else a_ + sl
-        o_ = None
-        for k, g_ in enumerate(gv):
-            sl = a_[k:k + B, :] * jnp.float32(g_)
-            o_ = sl if o_ is None else o_ + sl
-        return o_
-
-    pen_e = _slc(b2[0], B - 2, B + 4, EXT2 - 2, Wh + 4)
-    lit_e = _is_lit(pen_e)
-    lit_cc = lit_e[2:2 + B, 2:2 + Wh]
-    bl_m = 2.0 * lit_cc - 1.0
-    bl_b = 1.0 - lit_cc
-    gsum = float(sum(gv)) ** 2
-    msum = bl_m * _sep_blur(lit_e) + bl_b * gsum
-    m1, m2 = [], []
-    for c in range(channels):
-        t2 = _slc(b2[1 + c], B - 2, B + 4, EXT2 - 2, Wh + 4)
-        t4 = jnp.square(t2)
-        m1.append((bl_m * _sep_blur(lit_e * t2) + bl_b * _sep_blur(t2)) / msum)
-        m2.append((bl_m * _sep_blur(lit_e * t4) + bl_b * _sep_blur(t4)) / msum)
-    sigma = [jnp.sqrt(jnp.abs(b_ - a_ * a_)) for a_, b_ in zip(m1, m2)]
-
-    sig_scale = 3.0 + (1.0 - 3.0) * (1.0 / (1.0 + history_length))
-    hist_cl = [jnp.clip(hh, a_ - sg * sig_scale, a_ + sg * sig_scale)
-               for hh, a_, sg in zip(history, m1, sigma)]
-    antilag = jnp.abs(hist_cl[0] - history[0])
-    antilag = jnp.sqrt(jnp.clip(antilag, 0.0, 1.0))
-    antilag = jnp.clip(1.0 - antilag, 0.0, 1.0)
-    history_length = history_length * antilag
-    history_weight = history_length / (1.0 + history_length)
-    street_magic = 0.6 * history_weight * antilag
-    hist_cl = [hc + (hh - hc) * street_magic for hc, hh in zip(hist_cl, history)]
-    blend = jnp.minimum(stab_strength, history_weight)
-    result = [sh + (hc - sh) * blend for sh, hc in zip(shadow, hist_cl)]
-
-    is_hard = (tile_c == 0.0) | (pen_c == 0.0)
-    result = [jnp.where(is_hard, sh, r) for sh, r in zip(shadow, result)]
-    history_length = jnp.where(is_hard, 7.0, history_length)
-    new_hl = jnp.minimum(history_length + 1.0, 7.0)
-
-    dead = view_z_c > denoising_range
-    for c in range(channels):
-        outs[c][:, :] = jnp.where(dead, jnp.sqrt(jnp.clip(shadow[c], 0.0, 1.0)),
-                                  jnp.sqrt(jnp.clip(result[c], 0.0, 1.0)))
-    hl_out[:, :] = jnp.where(dead, history_length, jnp.round(new_hl))
+        dead = view_z_c > denoising_range
+        for c in range(channels):
+            outs[c][:, c0s:c0s + SEG] = jnp.where(
+                dead, jnp.sqrt(jnp.clip(shadow[c], 0.0, 1.0)),
+                jnp.sqrt(jnp.clip(result[c], 0.0, 1.0)))
+        hl_out[:, c0s:c0s + SEG] = jnp.where(dead, history_length,
+                                             jnp.round(new_hl))
 
 
 def sigma_band_pallas(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughness,

@@ -11,6 +11,8 @@ echo "== native shim =="
 make -C native
 
 echo "== fast tests =="
-JAX_PLATFORMS=cpu python -m pytest tests/ -q
+# hard wall-time bar (VERDICT r2 ask #7): the default suite must stay usable as
+# a pre-commit gate - 10 min cold-cache ceiling; warm-cache target is < 5 min
+timeout 600 env JAX_PLATFORMS=cpu python -m pytest tests/ -q
 
 echo "CI OK"

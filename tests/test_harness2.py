@@ -77,6 +77,7 @@ def test_block_minmax_agrees_with_grid():
     np.testing.assert_allclose(mx, t.max((1, 3)))
 
 
+@pytest.mark.slow
 def test_blur2_matches_v1_identity_rotator(interpret):
     """v3's lattice == v1's rotated lattice: identity rotator + uniform level radius.
 

@@ -81,6 +81,7 @@ def test_sigma_pallas_matches_xla_path(pallas_interpret):
     assert np.abs(a - b).mean() < 0.03
 
 
+@pytest.mark.slow
 def test_sigma_band_translucency_matches_xla(pallas_interpret, monkeypatch):
     """SIGMA_SHADOW_TRANSLUCENCY through the band pipeline (kernels/sigma_band.py)
     vs the XLA path: 4 channels + the multi-column-split path under motion.
@@ -174,6 +175,7 @@ def _run_reblur_ds(n_frames, size=(128, 96), camera="static"):
             np.asarray(outs[RT.OUT_SPEC_RADIANCE_HITDIST]))
 
 
+@pytest.mark.slow
 def test_reblur_ta_pallas_matches_xla(pallas_interpret):
     """REBLUR_DIFFUSE_SPECULAR with the Pallas TA resolvers vs pure XLA (static camera)."""
     d_p, s_p = _run_reblur_ds(4)
@@ -235,6 +237,7 @@ def test_relax_atrous_large_strides_pallas(pallas_interpret):
         assert np.abs(a[..., :3] - b[..., :3]).mean() < 0.08, name
 
 
+@pytest.mark.slow
 def test_relax_atrous_pallas_matches_xla(pallas_interpret):
     d_p, s_p = _run_relax_ds(3)
     os.environ["NRDTPU_IMPL"] = "xla"

@@ -297,6 +297,7 @@ def test_dynamic_resolution_rect_shrink_keeps_history():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_show_mode_returns_debug_plane():
     """REBLUR_SHOW_* analogue (REBLUR_Config.hlsli:39-50): set_debug_show captures a
     full internal plane (curvature, confidences, fast history) with the outputs."""

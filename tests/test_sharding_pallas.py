@@ -78,6 +78,7 @@ def _geom(sc, dc, view_z, nr, cfg, dead=True):
     return g
 
 
+@pytest.mark.slow
 def test_fused_blur_sharded_equals_unsharded(pallas_interpret, mesh):
     sc, dc, cfg = _camera()
     view_z, nr, sig = _scene()
@@ -107,6 +108,7 @@ def test_fused_blur_sharded_equals_unsharded(pallas_interpret, mesh):
     np.testing.assert_allclose(got_s[live], ref_s[live], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_hfix_sharded_equals_unsharded(pallas_interpret, mesh):
     sc, dc, cfg = _camera()
     view_z, nr, sig = _scene()
