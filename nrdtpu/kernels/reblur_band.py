@@ -42,6 +42,7 @@ from .reblur_fused import (
 from .reblur_pallas import NRD_EPS, _split
 
 B = 40           # band height; >= 34 (max stage reach: blur +-32, hfix +-28)
+RC = 8           # compute row-chunk inside a band (fori_loop; keeps vregs low)
 PADY = 80        # row edge-pad on stencilled inputs
 PADX = 128       # col edge-pad (keeps DMA col starts tile-aligned)
 E1 = 64          # history-fix compute col margin (blur taps +-32 into blur's margin)
@@ -70,17 +71,20 @@ class _V:
 
 
 class _CastOut:
-    """Write adapter: `out[:, :] = v` lands in a dtype-cast slice of a buffer."""
+    """Write adapter: `out[:, :] = v` lands in a dtype-cast slice of a buffer.
+
+    r0 may be TRACED (a provably 8-aligned row-chunk base from a fori_loop) -
+    the row-chunk pattern that keeps live values small in band kernels."""
 
     def __init__(self, ref, r0, nr, c0, nc):
         self.ref, self.r0, self.nr, self.c0, self.nc = ref, r0, nr, c0, nc
 
     def __setitem__(self, idx, v):
-        self.ref[self.r0:self.r0 + self.nr, self.c0:self.c0 + self.nc] = \
+        self.ref[pl.ds(self.r0, self.nr), self.c0:self.c0 + self.nc] = \
             v.astype(self.ref.dtype)
 
     def __getitem__(self, idx):
-        v = self.ref[self.r0:self.r0 + self.nr, self.c0:self.c0 + self.nc]
+        v = self.ref[pl.ds(self.r0, self.nr), self.c0:self.c0 + self.nc]
         return v.astype(jnp.float32)
 
 
@@ -321,171 +325,215 @@ def _band_kernel(descs, n_dirs, mat_occ, any_spec, af_flags, af_radius, enc_err,
         for b_ in b1 + b2 + fd:
             b_[:, :] = jnp.zeros(b_.shape, b_.dtype)
 
-    def geom_wins(hy, hx, bw):
-        return [Win2(r, B, bw, hy, hx, upcast=r.dtype == jnp.bfloat16)
+    def geom_wins(hy, hx, bw, r0):
+        return [Win2(r, RC, bw, hy, hx,
+                     upcast=r.dtype == jnp.bfloat16, row0=r0)
                 for r in geom_w]
 
     def coords(nc, row0, ext):
-        r_ = jax.lax.broadcasted_iota(jnp.int32, (B, nc), 0).astype(f32)
-        c_ = jax.lax.broadcasted_iota(jnp.int32, (B, nc), 1).astype(f32)
+        r_ = jax.lax.broadcasted_iota(jnp.int32, (RC, nc), 0).astype(f32)
+        c_ = jax.lax.broadcasted_iota(jnp.int32, (RC, nc), 1).astype(f32)
         return (r_ + jnp.asarray(row0).astype(f32),
                 c_ + jnp.asarray(col0 - ext).astype(f32))
 
     def _stage_geom(nc, row_off, col_off, row0, ext):
-        """Center geometry planes for a stage region (B, nc)."""
+        """Center geometry planes for a stage chunk (RC, nc); row_off may be
+        traced (8-aligned static base + fori_loop chunk base)."""
         gi = iter(geom_w)
-        z = next(gi)[row_off:row_off + B, col_off:col_off + nc]
-        nx = next(gi)[row_off:row_off + B, col_off:col_off + nc].astype(f32)
-        ny = next(gi)[row_off:row_off + B, col_off:col_off + nc].astype(f32)
-        nz = next(gi)[row_off:row_off + B, col_off:col_off + nc].astype(f32)
-        rough = (next(gi)[row_off:row_off + B, col_off:col_off + nc].astype(f32)
-                 if any_spec else jnp.ones((B, nc), f32))
-        mat = (next(gi)[row_off:row_off + B, col_off:col_off + nc].astype(f32)
-               if mat_occ else None)
+
+        def g_(cast=True):
+            v = next(gi)[pl.ds(row_off, RC), col_off:col_off + nc]
+            return v.astype(f32) if cast and v.dtype != f32 else v
+
+        z = g_()
+        nx = g_(); ny = g_(); nz = g_()
+        rough = g_() if any_spec else jnp.ones((RC, nc), f32)
+        mat = g_() if mat_occ else None
         fyp, fxp = coords(nc, row0, ext)
         g = _geom_mid(smem, z, nx, ny, nz, fxp, fyp)
         return z, rough, mat, g
 
+    # Row-chunked stages (see kernels/sigma_band.py): each 40-row band computes
+    # in RC=8-row slices inside a fori_loop (body instantiated ONCE; (8, w)
+    # values are ~6 vregs vs ~30 for the full band, so the cores' live
+    # accumulators stop spilling). Slides run in a separate chunk loop BEFORE
+    # the stage appends (the appended rows are read by later slide chunks
+    # otherwise).
+    nch = B // RC
+
+    def slide(k, carry):
+        r0 = pl.multiple_of(k * RC, RC)
+        for b_ in b1 + b2 + fd:
+            b_[pl.ds(r0, RC), :] = b_[pl.ds(B + r0, RC), :]
+        return carry
+
+    jax.lax.fori_loop(0, (2 * B) // RC, slide, 0, unroll=False)
+
     # ================= stage A: history fix, band j0 = i =================
     # geometry rows: band j0 row r -> (2B+32) + r; signal/fast: 32 + r; d1: 2B + r
-    z_a, rough_a, mat_a, g_a = _stage_geom(Wc1, 2 * B + 32, PADX - E1, i * B, E1)
-    dead_a = dead_w[2 * B:3 * B, PADX - E1:PADX - E1 + Wc1].astype(f32)
-    wins_a = geom_wins(2 * B + 32, PADX - E1, Wc1)
-    per_a = [None] * n_sig
-    centers_a = [_V(g_a["ga"]), _V(g_a["gb"])]
-    if mat_occ:
-        centers_a.append(_V(mat_a))
-    centers_a += [_V(g_a["nv"][0]), _V(g_a["nv"][1]), _V(g_a["nv"][2]),
-                  _V(g_a["fsz"])]
-    for si, d in enumerate(descs):
-        wins_a += [Win2(r, B, Wc1, 32, PADX - E1, upcast=True)
-                   for r in sig_w[si]]
-        wins_a.append(Win2(d1_w[si], B, Wc1, 2 * B, PADX - E1, upcast=True))
-        wins_a.append(Win2(fast_w[si], B, Wc1, 32, PADX - E1, upcast=True))
-        wins_a += [Win2(r, B, Wc1, 32, PADX - E1, upcast=True) for r in sh_w[si]]
-    # per-signal params need the TA hit-dist plane (last signal channel, center tap)
-    k0 = nw_geom
-    for si, d in enumerate(descs):
-        hd_c = sig_w[si][d.c - 1][32:32 + B, PADX - E1:PADX - E1 + Wc1].astype(f32)
-        d1_c = d1_w[si][2 * B:3 * B, PADX - E1:PADX - E1 + Wc1].astype(f32)
-        p = _hfix_params(smem, enc_err, d.spec, g_a, z_a, rough_a, d1_c, hd_c,
-                         dead_a)
-        per_a[si] = p
-        centers_a += [p["stride"], p["normal_weight_param"], p["ha"], p["hb"],
-                      p["frame_num"], p["hit_dist_scale"]]
-        if d.spec:
-            centers_a += [p["ra"], p["rb"], p["hit_dist"], p["bguide"]]
-    smax = functools.reduce(jnp.maximum,
-                            [jnp.max(p["stride_v"]) for p in per_a])
-    smin = functools.reduce(jnp.minimum,
-                            [jnp.min(p["stride_v"]) for p in per_a])
+    def stage_a(kc, carry):
+        r0 = pl.multiple_of(kc * RC, RC)
+        z_a, rough_a, mat_a, g_a = _stage_geom(Wc1, 2 * B + 32 + r0, PADX - E1,
+                                               i * B + r0, E1)
+        dead_a = dead_w[pl.ds(2 * B + r0, RC),
+                        PADX - E1:PADX - E1 + Wc1].astype(f32)
+        wins_a = geom_wins(2 * B + 32, PADX - E1, Wc1, r0)
+        per_a = [None] * n_sig
+        centers_a = [_V(g_a["ga"]), _V(g_a["gb"])]
+        if mat_occ:
+            centers_a.append(_V(mat_a))
+        centers_a += [_V(g_a["nv"][0]), _V(g_a["nv"][1]), _V(g_a["nv"][2]),
+                      _V(g_a["fsz"])]
+        for si, d in enumerate(descs):
+            wins_a += [Win2(r, RC, Wc1, 32, PADX - E1, upcast=True, row0=r0)
+                       for r in sig_w[si]]
+            wins_a.append(Win2(d1_w[si], RC, Wc1, 2 * B, PADX - E1, upcast=True,
+                               row0=r0))
+            wins_a.append(Win2(fast_w[si], RC, Wc1, 32, PADX - E1, upcast=True,
+                               row0=r0))
+            wins_a += [Win2(r, RC, Wc1, 32, PADX - E1, upcast=True, row0=r0)
+                       for r in sh_w[si]]
+        # per-signal params need the TA hit-dist plane (last channel, center tap)
+        k0 = nw_geom
+        for si, d in enumerate(descs):
+            hd_c = sig_w[si][d.c - 1][pl.ds(32 + r0, RC),
+                                      PADX - E1:PADX - E1 + Wc1].astype(f32)
+            d1_c = d1_w[si][pl.ds(2 * B + r0, RC),
+                            PADX - E1:PADX - E1 + Wc1].astype(f32)
+            per_a[si] = p = _hfix_params(smem, enc_err, d.spec, g_a, z_a,
+                                         rough_a, d1_c, hd_c, dead_a)
+            centers_a += [p["stride"], p["normal_weight_param"], p["ha"],
+                          p["hb"], p["frame_num"], p["hit_dist_scale"]]
+            if d.spec:
+                centers_a += [p["ra"], p["rb"], p["hit_dist"], p["bguide"]]
+        smax = functools.reduce(jnp.maximum,
+                                [jnp.max(p["stride_v"]) for p in per_a])
+        smin = functools.reduce(jnp.minimum,
+                                [jnp.min(p["stride_v"]) for p in per_a])
 
-    houts = ha_[:sum(n_ho)]
-    hsums = ha_[sum(n_ho):sum(n_ho) + n_sig]
-    _fused_hfix_core(descs, mat_occ, any_spec, af_flags, af_radius, smem,
-                     smin, smax, wins_a, centers_a, houts,
-                     (i * B, col0 - E1), hsums)
+        houts = [_CastOut(r, 0, RC, 0, Wc1) for r in ha_[:sum(n_ho)]]
+        hsums = [_CastOut(r, 0, RC, 0, Wc1)
+                 for r in ha_[sum(n_ho):sum(n_ho) + n_sig]]
+        _fused_hfix_core(descs, mat_occ, any_spec, af_flags, af_radius, smem,
+                         smin, smax, wins_a, centers_a, houts,
+                         (i * B + r0, col0 - E1), hsums)
 
-    # _hfix_post + write into b1 / fast-delay
-    kb = 0
-    ko = 0
-    for si, d in enumerate(descs):
-        npl = d.c + (3 if d.has_sh else 0)
-        fixed = [houts[ko + k_][:, :] for k_ in range(npl)]
-        m1 = houts[ko + npl][:, :]
-        m2 = houts[ko + npl + 1][:, :]
-        am1 = houts[ko + npl + 2][:, :] if af_flags[si] else None
-        am2 = houts[ko + npl + 3][:, :] if af_flags[si] else None
-        sig_in = [w.tap() for w in wins_a[k0:k0 + d.c]]
-        fast_in = wins_a[k0 + d.c + 1].tap()
-        sh_in = [w.tap() for w in wins_a[k0 + d.c + 2:k0 + d.c + 2 + 3]] \
-            if d.has_sh else None
-        sig2, sh2, fast2 = _hfix_post(
-            smem, d, occlusion, directional, af_flags[si], per_a[si]["smc"],
-            per_a[si]["frame_num_v"], per_a[si]["stride_v"], sig_in, sh_in,
-            fast_in, fixed, m1, m2, am1, am2)
-        planes = sig2 + (sh2 or [])
-        for k_, v in enumerate(planes):
-            b_ = b1[kb + k_]
-            b_[0:2 * B, :] = b_[B:3 * B, :]
-            b_[2 * B:3 * B, :] = v.astype(b_.dtype)
-        fd[si][0:2 * B, :] = fd[si][B:3 * B, :]
-        fd[si][2 * B:3 * B, :] = fast2[:, E1:E1 + Wh]
-        kb += npl
-        ko += n_ho[si]
-        k0 += d.c + 2 + (3 if d.has_sh else 0)
+        # _hfix_post + write into b1 / fast-delay
+        kb = 0
+        ko = 0
+        k0 = nw_geom
+        for si, d in enumerate(descs):
+            npl = d.c + (3 if d.has_sh else 0)
+            fixed = [houts[ko + k_][:, :] for k_ in range(npl)]
+            m1 = houts[ko + npl][:, :]
+            m2 = houts[ko + npl + 1][:, :]
+            am1 = houts[ko + npl + 2][:, :] if af_flags[si] else None
+            am2 = houts[ko + npl + 3][:, :] if af_flags[si] else None
+            sig_in = [w.tap() for w in wins_a[k0:k0 + d.c]]
+            fast_in = wins_a[k0 + d.c + 1].tap()
+            sh_in = [w.tap() for w in wins_a[k0 + d.c + 2:k0 + d.c + 2 + 3]] \
+                if d.has_sh else None
+            sig2, sh2, fast2 = _hfix_post(
+                smem, d, occlusion, directional, af_flags[si], per_a[si]["smc"],
+                per_a[si]["frame_num_v"], per_a[si]["stride_v"], sig_in, sh_in,
+                fast_in, fixed, m1, m2, am1, am2)
+            planes = sig2 + (sh2 or [])
+            for k_, v in enumerate(planes):
+                b_ = b1[kb + k_]
+                b_[pl.ds(2 * B + r0, RC), :] = v.astype(b_.dtype)
+            fd[si][pl.ds(2 * B + r0, RC), :] = fast2[:, E1:E1 + Wh]
+            kb += npl
+            ko += n_ho[si]
+            k0 += d.c + 2 + (3 if d.has_sh else 0)
+        return carry
+
+    jax.lax.fori_loop(0, nch, stage_a, 0, unroll=False)
 
     # ================= stage B: blur, band j1 = i - 1 =================
-    z_b, rough_b, mat_b, g_b = _stage_geom(Wc2, B + 32, PADX - E2,
-                                           (i - 1) * B, E2)
-    dead_b = dead_w[B:2 * B, PADX - E2:PADX - E2 + Wc2].astype(f32)
-    wins_b = geom_wins(B + 32, PADX - E2, Wc2)
-    kb = 0
-    for si, d in enumerate(descs):
-        npl = d.c + (3 if d.has_sh else 0)
-        wins_b += [Win2(b1[kb + k_], B, Wc2, B, E1 - E2, upcast=True)
-                   for k_ in range(npl)]
-        kb += npl
-    centers_b = [_V(g_b["ga"]), _V(g_b["gb"])]
-    if mat_occ:
-        centers_b.append(_V(mat_b))
-    centers_b += [_V(g_b["nv"][0]), _V(g_b["nv"][1]), _V(g_b["nv"][2])]
-    rmax_b = None
-    kb = 0
-    for si, d in enumerate(descs):
-        d1_c = d1_w[si][B:2 * B, PADX - E2:PADX - E2 + Wc2].astype(f32)
-        hd_c = b1[kb + d.c - 1][B:2 * B, E1 - E2:E1 - E2 + Wc2].astype(f32)
-        p = _blur_params(smem, enc_err, False, d.spec, occlusion, g_b, z_b,
-                         rough_b, d1_c, hd_c, dead_b)
-        centers_b += [p["radius"], p["nwp"], p["ha"], p["hb"], p["mhdw"]]
-        if d.spec:
-            centers_b += [p["wra"], p["wrb"]]
-        r_ = jnp.max(p["radius_v"])
-        rmax_b = r_ if rmax_b is None else jnp.maximum(rmax_b, r_)
-        kb += d.c + (3 if d.has_sh else 0)
-    bouts = []
-    kb = 0
-    for si, d in enumerate(descs):
-        npl = d.c + (3 if d.has_sh else 0)
-        for k_ in range(npl):
-            bouts.append(_CastOut(b2[kb + k_], 2 * B, B, 0, Wc2))
-        kb += npl
-    # slide b2 before the core writes the new band
-    for b_ in b2:
-        b_[0:2 * B, :] = b_[B:3 * B, :]
-    _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax_b, wins_b,
-                     centers_b, bouts, ((i - 1) * B, col0 - E2), tap_scr)
+    def stage_b(kc, carry):
+        r0 = pl.multiple_of(kc * RC, RC)
+        z_b, rough_b, mat_b, g_b = _stage_geom(Wc2, B + 32 + r0, PADX - E2,
+                                               (i - 1) * B + r0, E2)
+        dead_b = dead_w[pl.ds(B + r0, RC),
+                        PADX - E2:PADX - E2 + Wc2].astype(f32)
+        wins_b = geom_wins(B + 32, PADX - E2, Wc2, r0)
+        kb = 0
+        for si, d in enumerate(descs):
+            npl = d.c + (3 if d.has_sh else 0)
+            wins_b += [Win2(b1[kb + k_], RC, Wc2, B, E1 - E2, upcast=True,
+                            row0=r0)
+                       for k_ in range(npl)]
+            kb += npl
+        centers_b = [_V(g_b["ga"]), _V(g_b["gb"])]
+        if mat_occ:
+            centers_b.append(_V(mat_b))
+        centers_b += [_V(g_b["nv"][0]), _V(g_b["nv"][1]), _V(g_b["nv"][2])]
+        rmax_b = None
+        kb = 0
+        for si, d in enumerate(descs):
+            d1_c = d1_w[si][pl.ds(B + r0, RC),
+                            PADX - E2:PADX - E2 + Wc2].astype(f32)
+            hd_c = b1[kb + d.c - 1][pl.ds(B + r0, RC),
+                                    E1 - E2:E1 - E2 + Wc2].astype(f32)
+            p = _blur_params(smem, enc_err, False, d.spec, occlusion, g_b, z_b,
+                             rough_b, d1_c, hd_c, dead_b)
+            centers_b += [p["radius"], p["nwp"], p["ha"], p["hb"], p["mhdw"]]
+            if d.spec:
+                centers_b += [p["wra"], p["wrb"]]
+            r_ = jnp.max(p["radius_v"])
+            rmax_b = r_ if rmax_b is None else jnp.maximum(rmax_b, r_)
+            kb += d.c + (3 if d.has_sh else 0)
+        bouts = []
+        kb = 0
+        for si, d in enumerate(descs):
+            npl = d.c + (3 if d.has_sh else 0)
+            for k_ in range(npl):
+                bouts.append(_CastOut(b2[kb + k_], 2 * B + r0, RC, 0, Wc2))
+            kb += npl
+        tap_a = [_CastOut(t_, 0, RC, 0, Wc2) for t_ in tap_scr]
+        _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax_b, wins_b,
+                         centers_b, bouts, ((i - 1) * B + r0, col0 - E2), tap_a)
+        return carry
+
+    jax.lax.fori_loop(0, nch, stage_b, 0, unroll=False)
 
     # ================= stage C: post-blur, band j2 = i - 2 =================
-    z_c, rough_c, mat_c, g_c = _stage_geom(Wh, 32, PADX, (i - 2) * B, 0)
-    dead_c = dead_w[0:B, PADX:PADX + Wh].astype(f32)
-    wins_c = geom_wins(32, PADX, Wh)
-    kb = 0
-    for si, d in enumerate(descs):
-        npl = d.c + (3 if d.has_sh else 0)
-        wins_c += [Win2(b2[kb + k_], B, Wh, B, E2, upcast=True)
-                   for k_ in range(npl)]
-        kb += npl
-    centers_c = [_V(g_c["ga"]), _V(g_c["gb"])]
-    if mat_occ:
-        centers_c.append(_V(mat_c))
-    centers_c += [_V(g_c["nv"][0]), _V(g_c["nv"][1]), _V(g_c["nv"][2])]
-    rmax_c = None
-    kb = 0
-    for si, d in enumerate(descs):
-        d1_c = d1_w[si][0:B, PADX:PADX + Wh].astype(f32)
-        hd_c = b2[kb + d.c - 1][B:2 * B, E2:E2 + Wh].astype(f32)
-        p = _blur_params(smem, enc_err, True, d.spec, occlusion, g_c, z_c,
-                         rough_c, d1_c, hd_c, dead_c)
-        centers_c += [p["radius"], p["nwp"], p["ha"], p["hb"], p["mhdw"]]
-        if d.spec:
-            centers_c += [p["wra"], p["wrb"]]
-        r_ = jnp.max(p["radius_v"])
-        rmax_c = r_ if rmax_c is None else jnp.maximum(rmax_c, r_)
-        kb += d.c + (3 if d.has_sh else 0)
-    tap_scr_c = [_CastOut(t_, 0, B, 0, Wh) for t_ in tap_scr]
-    _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax_c, wins_c,
-                     centers_c, outs, ((i - 2) * B, col0), tap_scr_c)
+    def stage_c(kc, carry):
+        r0 = pl.multiple_of(kc * RC, RC)
+        z_c, rough_c, mat_c, g_c = _stage_geom(Wh, 32 + r0, PADX,
+                                               (i - 2) * B + r0, 0)
+        dead_c = dead_w[pl.ds(r0, RC), PADX:PADX + Wh].astype(f32)
+        wins_c = geom_wins(32, PADX, Wh, r0)
+        kb = 0
+        for si, d in enumerate(descs):
+            npl = d.c + (3 if d.has_sh else 0)
+            wins_c += [Win2(b2[kb + k_], RC, Wh, B, E2, upcast=True, row0=r0)
+                       for k_ in range(npl)]
+            kb += npl
+        centers_c = [_V(g_c["ga"]), _V(g_c["gb"])]
+        if mat_occ:
+            centers_c.append(_V(mat_c))
+        centers_c += [_V(g_c["nv"][0]), _V(g_c["nv"][1]), _V(g_c["nv"][2])]
+        rmax_c = None
+        kb = 0
+        for si, d in enumerate(descs):
+            d1_c = d1_w[si][pl.ds(r0, RC), PADX:PADX + Wh].astype(f32)
+            hd_c = b2[kb + d.c - 1][pl.ds(B + r0, RC), E2:E2 + Wh].astype(f32)
+            p = _blur_params(smem, enc_err, True, d.spec, occlusion, g_c, z_c,
+                             rough_c, d1_c, hd_c, dead_c)
+            centers_c += [p["radius"], p["nwp"], p["ha"], p["hb"], p["mhdw"]]
+            if d.spec:
+                centers_c += [p["wra"], p["wrb"]]
+            r_ = jnp.max(p["radius_v"])
+            rmax_c = r_ if rmax_c is None else jnp.maximum(rmax_c, r_)
+            kb += d.c + (3 if d.has_sh else 0)
+        outs_c = [_CastOut(o, r0, RC, 0, Wh) for o in outs[:sum(n_pl)]]
+        tap_c = [_CastOut(t_, 0, RC, 0, Wh) for t_ in tap_scr]
+        _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax_c, wins_c,
+                         centers_c, outs_c, ((i - 2) * B + r0, col0), tap_c)
+        return carry
+
+    jax.lax.fori_loop(0, nch, stage_c, 0, unroll=False)
 
     # fast2 exits with the same 2-step delay as the post-blur band
     for si in range(n_sig):
