@@ -836,6 +836,77 @@ def spec_prelude(hdt_src, roughness, mesh=None):
     return outs[0], outs[1], outs[2]
 
 
+def _spec_ta_head_kernel(smem, bsm, wins, centers, outs, origin, scratch):
+    """Fused TA-specular head: 3x3 prelude + nr edge shifts + high-parallax nearest.
+
+    Replaces spec_prelude + shift_planes + nearest_resolve (3 launches, each with
+    a ~1.2 ms dispatch/DMA floor at 1440p) with ONE launch sharing a DMA batch.
+    Per-piece formulas are unchanged (see the three standalone kernels above)."""
+    hdt_w, rough_w, nr0_w, nr1_w, vzo_w, nr0o_w, nr1o_w = wins
+    # ---- prelude: 3x3 min hitDist + roughness^2 moments (TA lines 62-111) ----
+    hdt_min = hdt_w.tap()
+    m1 = jnp.zeros_like(hdt_min)
+    m2 = jnp.zeros_like(hdt_min)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            hdt_min = jnp.minimum(hdt_min, hdt_w.tap(dy, dx))
+            rsq = rough_w.tap(dy, dx)
+            rsq = rsq * rsq
+            m1 = m1 + rsq
+            m2 = m2 + rsq * rsq
+    outs[0][:, :] = hdt_min
+    outs[1][:, :] = m1 / 9.0
+    outs[2][:, :] = m2 / 9.0
+    # ---- curvature edge shifts: nr planes at (0, 1) and (1, 0) ----
+    k = 3
+    for w_ in (nr0_w, nr1_w):
+        for dy, dx in ((0, 1), (1, 0)):
+            outs[k][:, :] = w_.tap(dy, dx)
+            k += 1
+    # ---- nearest at the high-parallax uv (motion base + residual select) ----
+    mvy = centers[0][:, :]
+    mvx = centers[1][:, :]
+    i, j = pl.program_id(0), pl.program_id(1)
+    base_y, base_x = bsm[0][i, j], bsm[1][i, j]
+    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x)
+    ry = jnp.clip(jnp.round(qy), -1.0, 1.0)
+    rx = jnp.clip(jnp.round(qx), -1.0, 1.0)
+    sels = [(dy, dx, ((ry == dy) & (rx == dx)).astype(jnp.float32))
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    for p, wb in enumerate((vzo_w, nr0o_w, nr1o_w)):
+        acc = jnp.zeros_like(mvy)
+        for dy, dx, m in sels:
+            acc = acc + wb.tap(dy, dx) * m
+        outs[k + p][:, :] = acc
+    outs[k + 3][:, :] = valid
+
+
+def spec_ta_head(hdt_src, roughness, nr0, nr1, view_z_raw, mv_pix_y, mv_pix_x,
+                 mesh=None):
+    """Fused spec-TA head launch (see _spec_ta_head_kernel).
+
+    Returns (hdt_min, rough_m1, rough_m2,
+             [nr0@(0,1), nr0@(1,0), nr1@(0,1), nr1@(1,0)],
+             (z_high, nh0, nh1), high_valid)."""
+
+    def launch(tree, origin_offset=None):
+        hdt_l, rough_l, nr0_l, nr1_l, vz_l, mvy_l, mvx_l = tree
+        base_y, base_x = _prep(None, mvy_l, mvx_l)
+        return stencil_call2(
+            _spec_ta_head_kernel,
+            [hdt_l, rough_l, nr0_l, nr1_l, vz_l, nr0_l, nr1_l],
+            n_out=11, halo=HALO, block=BLOCK,
+            block_scalars=[base_y, base_x], center_inputs=[mvy_l, mvx_l],
+            base_offset=(base_y, base_x),
+            offset_windows=[None, None, None, None, True, True, True],
+            origin_offset=origin_offset)
+
+    tree = (hdt_src, roughness, nr0, nr1, view_z_raw, mv_pix_y, mv_pix_x)
+    outs = _launch_or_shard(launch, tree, hdt_src.shape[0], mesh)
+    return (outs[0], outs[1], outs[2], list(outs[3:7]),
+            (outs[7], outs[8], outs[9]), outs[10])
+
+
 # ---------------------------------------------------------------------------
 # sampler object consumed by passes/reblur/kernels.py (sampler=... parameters)
 # ---------------------------------------------------------------------------
@@ -864,6 +935,13 @@ class PallasSampler:
 
     def spec_prelude(self, hdt_src, roughness):
         return spec_prelude(hdt_src, roughness, mesh=self.mesh)
+
+    def ta_head(self, hdt_src, roughness, normal_roughness, view_z_raw, uv_high):
+        """Fused prelude + nr shifts + high-parallax nearest (one launch)."""
+        mvy, mvx = self._mv_pix(uv_high, rect_cur=True)
+        return spec_ta_head(hdt_src, roughness, normal_roughness[..., 0],
+                            normal_roughness[..., 1], view_z_raw, mvy, mvx,
+                            mesh=self.mesh)
 
     def shift(self, planes, offsets):
         return shift_planes(planes, offsets, mesh=self.mesh)
