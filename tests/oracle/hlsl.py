@@ -97,6 +97,11 @@ def rotate_vector(m, v):
     return v @ np.asarray(m)[:3, :3].T
 
 
+def rotate_vector_inverse(m, v):
+    """Geometry::RotateVectorInverse - transpose(3x3) applied to v."""
+    return v @ np.asarray(m)[:3, :3]
+
+
 def affine_transform(m, v):
     m = np.asarray(m)
     return v @ m[:3, :3].T + m[:3, 3]

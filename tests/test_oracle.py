@@ -282,3 +282,91 @@ class TestTemporalStabilizationOracle:
                      "data1_diff", "data1_spec"]:
             p = psnr(ref[name], np.asarray(got[name]))
             assert p >= 40.0, f"TS {name}: {p:.1f} dB vs HLSL oracle"
+
+
+class TestSigmaOracle:
+    """SIGMA Blur/PostBlur + TemporalStabilization vs tests/oracle/sigma.py
+    (SIGMA_Blur.hlsli:77-269, SIGMA_TemporalStabilization.hlsli:46-226).
+
+    Uniform live tiles (tileValue = 1): the tile machinery is pinned by
+    tests/test_sigma.py; this pins the filter/stabilizer formulas at 40 dB."""
+
+    def _sigma_scene(self, sc, translucent=False):
+        s = _scene(sc)
+        uv = O._pixel_uv(H_, W)
+        fp16_max = np.float32(65504.0)
+        blob = (np.sin(6.0 * uv[..., 0] * 2 - 1) *
+                np.sin(5.0 * uv[..., 1] * 2 + 1.3) +
+                0.3 * np.sin(13.0 * (2 * uv[..., 0] - 1) * (2 * uv[..., 1] - 1)))
+        penumbra = np.where(blob > 0.8, fp16_max,
+                            np.where(blob < -0.9, 0.0,
+                                     0.2 + 2.5 * (blob + 0.9) / 1.7)).astype(np.float32)
+        s["penumbra"] = penumbra
+        th, tw = -(-H_ // 16), -(-W // 16)
+        s["tiles"] = jnp.stack([jnp.zeros((th, tw), jnp.float32),
+                                jnp.ones((th, tw), jnp.float32)], -1)
+        if translucent:
+            s["translucency"] = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        return s
+
+    @pytest.mark.parametrize("first_pass", [True, False])
+    def test_blur_matches_oracle(self, first_pass):
+        from nrdtpu.passes.sigma import kernels as SK
+        from oracle import sigma as OS
+
+        sc, dc, config = _camera(denoiser=Denoiser.SIGMA_SHADOW)
+        sc = dict(sc)
+        sc["plane_dist_sensitivity"] = dc["plane_dist_sensitivity"]
+        s = self._sigma_scene(sc)
+        if first_pass:
+            shadow_in = None
+        else:
+            shadow_in = np.sqrt(
+                RNG.uniform(0.0, 1.0, (H_, W, 1)).astype(np.float32))
+
+        ref_pen, ref_shadow = OS.blur(sc, dc, s["penumbra"], shadow_in,
+                                      s["view_z"], s["nr"],
+                                      first_pass=first_pass, translucent=False)
+        got_pen, got_shadow = SK.blur(
+            sc, dc, jnp.asarray(s["penumbra"]),
+            None if shadow_in is None else jnp.asarray(shadow_in),
+            jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]), s["tiles"],
+            first_pass=first_pass, translucent=False, channels=1,
+            normal_encoding=config.normal_encoding,
+            roughness_encoding=config.roughness_encoding)
+        # lit pixels carry FP16_MAX penumbra: compare on the finite-work mask
+        live = ref_pen < 1e4
+        p_pen = psnr(ref_pen[live], np.asarray(got_pen)[live])
+        p_sh = psnr(ref_shadow, got_shadow)
+        assert p_pen >= 40.0, f"blur penumbra (first={first_pass}): {p_pen:.1f} dB"
+        assert p_sh >= 40.0, f"blur shadow (first={first_pass}): {p_sh:.1f} dB"
+
+    @pytest.mark.parametrize("translate_x", [0.0, 0.013])
+    def test_ts_matches_oracle(self, translate_x):
+        from nrdtpu.passes.sigma import kernels as SK
+        from oracle import sigma as OS
+
+        sc, dc, config = _camera(translate_x, denoiser=Denoiser.SIGMA_SHADOW)
+        sc = dict(sc)
+        sc["plane_dist_sensitivity"] = dc["plane_dist_sensitivity"]
+        s = self._sigma_scene(sc)
+        s["mv"] = s["mv"] + np.asarray([0.37 / W, 0.23 / H_, 0.0], np.float32)
+        shadow_packed = np.sqrt(RNG.uniform(0.0, 1.0, (H_, W, 1))).astype(np.float32)
+        history = np.sqrt(RNG.uniform(0.0, 1.0, (H_, W, 1))).astype(np.float32)
+        prev_view_z = s["view_z"] + RNG.uniform(-0.01, 0.01, (H_, W)).astype(np.float32)
+        prev_len = RNG.integers(0, 8, (H_, W)).astype(np.float32)
+
+        ref_out, ref_z, ref_len = OS.temporal_stabilization(
+            sc, dc, s["view_z"], s["mv"], s["penumbra"], shadow_packed,
+            history, prev_view_z, prev_len)
+        got_out, got_z, got_len = SK.temporal_stabilization(
+            sc, dc, jnp.asarray(s["view_z"]), jnp.asarray(s["mv"]),
+            jnp.asarray(s["penumbra"]), jnp.asarray(shadow_packed),
+            jnp.asarray(history), jnp.asarray(prev_view_z),
+            jnp.asarray(prev_len), s["tiles"], channels=1)
+        p_out = psnr(ref_out, got_out)
+        assert p_out >= 40.0, f"TS shadow: {p_out:.1f} dB vs HLSL oracle"
+        assert psnr(ref_z, got_z) >= 40.0
+        # history length is 3-bit integral: exact match on >= 99% of pixels
+        match = np.mean(np.asarray(got_len) == ref_len)
+        assert match >= 0.99, f"TS history length match {match:.4f}"
