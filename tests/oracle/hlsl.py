@@ -583,14 +583,24 @@ def stochastic_bilinear_uv(uv, tex_size, state):
 
 
 def get_encoding_aware_normal_weight(n_curr, n_prev, max_angle, curvature_angle,
-                                     threshold_angle):
-    """GetEncodingAwareNormalWeight (Common.hlsli:578-589), remap=false."""
+                                     threshold_angle, remap=False):
+    """GetEncodingAwareNormalWeight (Common.hlsli:578-589)."""
     cosa = np.sum(n_curr * n_prev, -1)
     angle = acos_approx(cosa)
-    return smoothstep01(1.0 - (angle - curvature_angle - threshold_angle) / max_angle)
+    w = smoothstep01(1.0 - (angle - curvature_angle - threshold_angle) / max_angle)
+    if remap:   # RELAX: mitigates RGBA8 prev-normal imprecision (:584-586)
+        w = smoothstep(0.05, 0.95, w)
+    return w
 
 
 def sample_bilinear(img, uv):
     """Linear-clamp sampler at arbitrary uv."""
     h, w = img.shape[:2]
     return _sample_bilinear_clamp(img, uv, np.asarray([w, h], F32))
+
+
+def get_roughness_weight_params(roughness, fraction,
+                                sensitivity=NRD_ROUGHNESS_SENSITIVITY):
+    """GetRoughnessWeightParams (Common.hlsli:523-529)."""
+    a = 1.0 / lerp(sensitivity, 1.0, saturate(roughness * fraction))
+    return a, -(roughness * a)

@@ -370,3 +370,133 @@ class TestSigmaOracle:
         # history length is 3-bit integral: exact match on >= 99% of pixels
         match = np.mean(np.asarray(got_len) == ref_len)
         assert match >= 0.99, f"TS history length match {match:.4f}"
+
+
+class TestRelaxAtrousOracle:
+    """RELAX a-trous iterations >= 1 vs tests/oracle/relax.py
+    (RELAX_Atrous.hlsli; edge stops, variance propagation via w^2, big-step
+    PCG jitter). Steps 1/4 exercise the strict path, 32 the jittered one."""
+
+    @pytest.mark.parametrize("step_size", [1, 4, 32])
+    def test_atrous_matches_oracle(self, step_size):
+        from nrdtpu.passes.relax import kernels as RK
+        from oracle import relax as OR
+
+        sc, dc, config = _camera(denoiser=Denoiser.RELAX_DIFFUSE_SPECULAR)
+        # RELAX derives world-space frustum vectors from the camera set
+        # (Relax.cpp:70-80); the instance owns that augmentation
+        from nrdtpu.engine import Engine as _E
+        eng = _E({0: Denoiser.RELAX_DIFFUSE_SPECULAR}, resource_size=(W, H_))
+        sc = {k: (np.asarray(v) if hasattr(v, "shape") else v)
+              for k, v in eng._instances[0].__class__._relax_sc(
+                  eng._instances[0], sc).items()}
+        s = _scene(sc)
+        history_length = RNG.uniform(0.0, 30.0, (H_, W)).astype(np.float32)
+        conf = RNG.uniform(0.0, 1.0, (H_, W)).astype(np.float32)
+        diff = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        spec = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        diff[..., 3] = RNG.uniform(0.0, 0.2, (H_, W))   # variance plane
+        spec[..., 3] = RNG.uniform(0.0, 0.2, (H_, W))
+
+        ref = OR.atrous(sc, dc, s["view_z"], s["nr"], history_length, conf,
+                        diff, spec, step_size=step_size)
+        got = RK.atrous(sc, dc, jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]),
+                        jnp.asarray(history_length), jnp.asarray(conf),
+                        jnp.asarray(diff), jnp.asarray(spec), config,
+                        step_size=step_size, is_first=False, is_last=False,
+                        pallas=False)
+        for name in ("diff", "spec"):
+            p = psnr(ref[name][..., :3], np.asarray(got[name])[..., :3])
+            pv = psnr(ref[name][..., 3], np.asarray(got[name])[..., 3])
+            assert p >= 40.0, f"atrous {name} rgb (step {step_size}): {p:.1f} dB"
+            assert pv >= 40.0, f"atrous {name} var (step {step_size}): {pv:.1f} dB"
+
+
+class TestRelaxTAOracle:
+    """RELAX TemporalAccumulation (diff + spec: smb 12-tap footprint, curvature
+    along motion, vmb reprojection, confidence cascade) vs tests/oracle/relax.py
+    (RELAX_TemporalAccumulation.hlsli:15-929)."""
+
+    @pytest.mark.parametrize("translate_x", [0.0, 0.013])
+    def test_ta_matches_oracle(self, translate_x):
+        from nrdtpu.passes.relax import kernels as RK
+        from oracle import relax as OR
+
+        sc, dc, config = _camera(translate_x,
+                                 denoiser=Denoiser.RELAX_DIFFUSE_SPECULAR)
+        from nrdtpu.engine import Engine as _E
+        eng = _E({0: Denoiser.RELAX_DIFFUSE_SPECULAR}, resource_size=(W, H_))
+        inst = eng._instances[0]
+        sc = {k: (np.asarray(v) if hasattr(v, "shape") else v)
+              for k, v in inst.__class__._relax_sc(inst, sc).items()}
+        s = _scene(sc)
+        # de-alias uv off exact texel centers (see REBLUR TS oracle note above)
+        s["mv"] = s["mv"] + np.asarray([0.37 / W, 0.23 / H_, 0.0], np.float32)
+        diff = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        spec = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        spec[..., 3] = RNG.uniform(0.0, 4.0, (H_, W))  # hitT
+
+        import jax
+        prev_nr = np.asarray(jax.device_get(RK.pack_prev_normal_roughness(
+            jnp.asarray(s["n"]), jnp.asarray(s["roughness"]))))
+        state = {
+            "history_length": RNG.uniform(0.0, 30.0, (H_, W)).astype(np.float32),
+            "normal_roughness_prev": prev_nr,
+            "material_id_prev": np.zeros((H_, W), np.float32),
+            "view_z_prev": (s["view_z"]
+                            + RNG.uniform(-0.005, 0.005, (H_, W))).astype(np.float32),
+            "diff_illum_prev": RNG.uniform(0, 1, (H_, W, 4)).astype(np.float32),
+            "diff_responsive_prev": RNG.uniform(0, 1, (H_, W, 4)).astype(np.float32),
+            "spec_illum_prev": RNG.uniform(0, 1, (H_, W, 4)).astype(np.float32),
+            "spec_responsive_prev": RNG.uniform(0, 1, (H_, W, 4)).astype(np.float32),
+            "reflection_hit_t": RNG.uniform(0.01, 4.0, (H_, W)).astype(np.float32),
+        }
+
+        ref = OR.temporal_accumulation(sc, dc, s["view_z"], s["nr"], s["mv"],
+                                       diff, spec, state)
+        got = RK.temporal_accumulation(
+            sc, dc, jnp.asarray(s["view_z"]), jnp.asarray(s["nr"]),
+            jnp.asarray(s["mv"]), jnp.asarray(diff), jnp.asarray(spec),
+            {k: jnp.asarray(v) for k, v in state.items()}, config, pallas=False)
+
+        for name in ["history_length", "diff", "diff_fast", "spec", "spec_fast",
+                     "reflection_hit_t", "spec_reprojection_confidence"]:
+            p = psnr(ref[name], np.asarray(got[name]))
+            assert p >= 40.0, f"RELAX TA {name}: {p:.1f} dB vs HLSL oracle"
+
+
+class TestRelaxHistoryClampingOracle:
+    """RELAX HistoryClamping (YCoCg sigma box, antilag acceleration, history
+    reset, 2nd-moment correction) vs tests/oracle/relax.py
+    (RELAX_HistoryClamping.hlsli:52-330)."""
+
+    def test_history_clamping_matches_oracle(self):
+        from nrdtpu.passes.relax import kernels as RK
+        from oracle import relax as OR
+
+        sc, dc, config = _camera(denoiser=Denoiser.RELAX_DIFFUSE_SPECULAR)
+        s = _scene(sc)
+        noisy_d = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        noisy_s = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        slow_d = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        slow_s = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        resp_d = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        resp_s = RNG.uniform(0.0, 1.0, (H_, W, 4)).astype(np.float32)
+        hl = RNG.uniform(0.0, 30.0, (H_, W)).astype(np.float32)
+
+        ref = OR.history_clamping(sc, dc, s["view_z"], noisy_d, noisy_s,
+                                  slow_d, slow_s, resp_d, resp_s, hl)
+        got = RK.history_clamping(
+            sc, dc, jnp.asarray(s["view_z"]), jnp.asarray(noisy_d),
+            jnp.asarray(noisy_s), jnp.asarray(slow_d), jnp.asarray(slow_s),
+            jnp.asarray(resp_d), jnp.asarray(resp_s), jnp.asarray(hl), config,
+            pallas=False)
+        for oname, gname in (("diff", "diff_slow"), ("diff_fast", "diff_resp"),
+                             ("spec", "spec_slow"), ("spec_fast", "spec_resp")):
+            # .a of diff responsive: HLSL writes literal 0, engine carries the
+            # TA's fast .a (zero in the pipeline) - compare rgb for fast planes
+            a = ref[oname][..., :3] if oname.endswith("fast") else ref[oname]
+            b = np.asarray(got[gname])
+            b = b[..., :3] if oname.endswith("fast") else b
+            p = psnr(a, b)
+            assert p >= 40.0, f"history clamping {oname}: {p:.1f} dB"
