@@ -18,6 +18,7 @@ compile finished and no number was ever printed):
     the end - a partial run still yields an official number.
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -164,7 +165,10 @@ def time_frame_fn(fn, sc, dc, state, inputs, warmup=1, iters=6, frames_per_call=
     # into the program as literal constants (hundreds of MB of MLIR at 1440p), which
     # blows up remote compile time and can exceed the compile-service request limit.
     def make_run(n):
-        @jax.jit
+        # donate the history state: XLA aliases the carry buffers instead of
+        # holding both generations live (persistent-pool parity with the
+        # reference's aliasable heap)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def run(state, sc, dc, inputs):
             def step(state, _):
                 outs, new_state = fn(sc, dc, state, inputs)

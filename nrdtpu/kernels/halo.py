@@ -79,6 +79,10 @@ def halo_call(kernel_body, images: Sequence[jax.Array], out_channels: Sequence[i
         j = pl.program_id(1)
         y0 = i * bh
         x0 = j * bw
+        if bh % 8 == 0:     # help Mosaic's divisibility prover on the DMA start
+            y0 = pl.multiple_of(y0, 8)
+        if bw % 128 == 0:
+            x0 = pl.multiple_of(x0, 128)
 
         for k, (src, dst, sem) in enumerate(zip(in_refs, windows, sems)):
             if src.ndim == 3:

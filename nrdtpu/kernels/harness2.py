@@ -47,10 +47,12 @@ class Win2:
         self.bh, self.bw, self.hy, self.hx = bh, bw, hy, hx
         self._upcast = upcast
         self._shadow = shadow
-        # row0: extra row base added to every slice start. May be TRACED (a
-        # provably tile-aligned row-chunk base from a fori_loop) - the row-chunk
-        # pattern that keeps live values small in band kernels. Static slicing
-        # is preserved when row0 is the python int 0.
+        # row0: extra row base added to every slice start. Must be a STATIC
+        # python int in TPU-compiled kernels: a traced base plus an arbitrary
+        # static tap offset reaches Mosaic's dynamic-slice divisibility prover,
+        # which cannot prove dim-0 alignment for offsets not a multiple of 8
+        # (the round-4 on-chip failure; ARCHITECTURE.md section 8). Static
+        # slicing is preserved when row0 is the python int 0.
         self._row0 = row0
 
     def _rows(self, r0, n):
@@ -261,8 +263,17 @@ def stencil_call2(body, images: Sequence, n_out: int, *,
         ox0 = x0 - hx if nopad else x0
         sy = jnp.clip(oy0, 0, hh - win_h)
         sx = jnp.clip(ox0, 0, ww - win_w)
-        if nopad:
+        # Mosaic's divisibility prover needs explicit hints on dynamic DMA starts.
+        # nopad: oy0 = i*bh - hy with bh % 8 == 0, hy % 8 == 0, clip bounds 0 and
+        # h - win_h both tile-aligned. padded: oy0 = i*bh, clip bound ph - bh =
+        # (gh-1)*bh - every term is a multiple of bh, so aligned whenever bh is
+        # (pick_block candidates are all multiples of 8 / 128; the guard covers
+        # caller-supplied odd blocks). Without the padded-path hints the whole
+        # engine fails Mosaic compile at any resolution that doesn't divide into
+        # aligned blocks (e.g. 256x160 - the driver's entry() size).
+        if nopad or (bh % 8 == 0 and hy % 8 == 0):
             sy = pl.multiple_of(sy, 8)
+        if nopad or (bw % 128 == 0 and hx % 128 == 0):
             sx = pl.multiple_of(sx, 128)
         cy, cx = oy0 - sy, ox0 - sx
         starts = []

@@ -36,13 +36,16 @@ from .. import math as nm
 from ..passes.reblur import common as C
 from .harness2 import Win2
 from .reblur_fused import (
-    FSig, _fused_blur_core, _fused_hfix_core,
+    FSig, _fused_blur_core, _fused_hfix_core, _hdn, _hfix_post,
     _S_FRUSTUM, _S_RW, _S_RH, _S_ORTHO, _S_UPP, _S_MM0, _S_MM1, _S_HDP,
+    _S_W2V, _S_X, _NSC,
+    _X_DEN, _X_MRD, _X_PDS, _X_LAF, _X_HFS, _X_HFN, _X_RFR, _X_MAXR, _X_MINR,
+    _X_MHDW, _X_FASTEN, _X_MAXFR,
 )
 from .reblur_pallas import NRD_EPS, _split
 
 B = 40           # band height; >= 34 (max stage reach: blur +-32, hfix +-28)
-RC = 8           # compute row-chunk inside a band (fori_loop; keeps vregs low)
+RC = 8           # compute row-chunk inside a band (static python loop; keeps vregs low)
 PADY = 80        # row edge-pad on stencilled inputs
 PADX = 128       # col edge-pad (keeps DMA col starts tile-aligned)
 E1 = 64          # history-fix compute col margin (blur taps +-32 into blur's margin)
@@ -50,14 +53,6 @@ E2 = 32          # blur compute col margin (post-blur taps +-32)
 GH = 3 * B + 64  # geometry window rows: [j2*B - 32, j0*B + B + 32)
 SH_ = B + 64     # TA-signal/fast window rows: [j0*B - 32, j0*B + B + 32)
 DH = 3 * B + 32  # data1/dead window rows: [j2*B, j0*B + B + 28)
-
-# extra SMEM scalars appended after reblur_fused's layout (ends at _S_HDP + 4 = 14)
-_S_W2V = 14      # 9: world_to_view rotation, row-major
-_S_X = 23        # see _band_scalars
-(_X_DEN, _X_MRD, _X_PDS, _X_LAF, _X_HFS, _X_HFN, _X_RFR, _X_MAXR, _X_MINR,
- _X_MHDW, _X_FASTEN, _X_MAXFR) = range(12)
-_NSC = _S_X + 12
-
 
 class _V:
     """Value wrapper: lets in-kernel values ride the cores' `ref[:, :]` reads."""
@@ -73,8 +68,9 @@ class _V:
 class _CastOut:
     """Write adapter: `out[:, :] = v` lands in a dtype-cast slice of a buffer.
 
-    r0 may be TRACED (a provably 8-aligned row-chunk base from a fori_loop) -
-    the row-chunk pattern that keeps live values small in band kernels."""
+    r0 is a STATIC python int (the row-chunk base from the static chunk loop;
+    traced bases fail Mosaic's tiling prover when tap offsets are added -
+    ARCHITECTURE.md section 8)."""
 
     def __init__(self, ref, r0, nr, c0, nc):
         self.ref, self.r0, self.nr, self.c0, self.nc = ref, r0, nr, c0, nc
@@ -86,15 +82,6 @@ class _CastOut:
     def __getitem__(self, idx):
         v = self.ref[pl.ds(self.r0, self.nr), self.c0:self.c0 + self.nc]
         return v.astype(jnp.float32)
-
-
-def _hdn(smem, z, rough2_term):
-    """_REBLUR_GetHitDistanceNormalization on planes (NRD.hlsli:362-365).
-
-    rough2_term = clip(exp2(hdp3 * rough^2), 0, 1), or its rough=1 constant for
-    the diffuse scale."""
-    hdp = [smem[_S_HDP + k] for k in range(4)]
-    return (hdp[0] + z * hdp[1]) * (1.0 + (hdp[2] - 1.0) * rough2_term)
 
 
 def _geom_mid(smem, z, nx, ny, nz, fxp, fyp):
@@ -212,46 +199,6 @@ def _blur_params(smem, enc_err, mode_post, spec, occlusion, g, z, rough, data1,
     return p
 
 
-def _hfix_post(smem, desc, occlusion, directional, anti_firefly, smc, frame_num,
-               stride, sig_in, sh_in, fast_in, fixed, m1, m2, am1, am2):
-    """In-kernel _hfix_post (passes/reblur/kernels.py:2035-2060): stride select,
-    fast-history update, sigma/anti-firefly luma clamps, SH luma rescale."""
-    occ_like = occlusion or directional
-    use_fix = stride != 0.0
-    sig = [jnp.where(use_fix, f_, s_) for f_, s_ in zip(fixed[:desc.c], sig_in)]
-    sh = None
-    if desc.has_sh:
-        sh = [jnp.where(use_fix, f_, s_)
-              for f_, s_ in zip(fixed[desc.c:desc.c + 3], sh_in)]
-    f = nm.saturate(frame_num / (smem[_S_X + _X_HFN] + NRD_EPS))
-    if desc.spec:
-        f = nm.lerp(1.0, f, smc)
-    luma0 = sig[-1] if occ_like else sig[0]
-    fast_out = nm.lerp(luma0, fast_in, f)
-    sigma = nm.get_std_dev(m1, m2) * C.color_clamping_sigma_scale(occ_like)
-    luma = luma0
-    if anti_firefly:
-        asig = nm.get_std_dev(am1, am2) * C.REBLUR_ANTI_FIREFLY_SIGMA_SCALE
-        luma = jnp.clip(luma, am1 - asig, am1 + asig)
-    luma_clamped = jnp.clip(luma, m1 - sigma, m1 + sigma)
-    luma = nm.lerp(luma_clamped, luma,
-                   1.0 / (1.0 + smem[_S_X + _X_FASTEN] * frame_num * 2.0))
-    # change_luma on planes (common.py:139-146)
-    if occlusion and not directional:
-        sig = [luma]
-    elif directional:
-        scale = (luma + nm.EPS) / (sig[3] + nm.EPS)
-        sig = [s_ * scale for s_ in sig[:3]] + [luma]
-    else:
-        scale = (luma + nm.EPS) / (luma0 + nm.EPS)
-        sig = [s_ * scale for s_ in sig[:3]] + sig[3:]
-    if sh is not None:
-        ln = jnp.sqrt(sh[0] ** 2 + sh[1] ** 2 + sh[2] ** 2)
-        scale = (luma + nm.EPS) / (ln + nm.EPS)
-        sh = [s_ * scale for s_ in sh]
-    return sig, sh, fast_out
-
-
 def _band_kernel(descs, n_dirs, mat_occ, any_spec, af_flags, af_radius, enc_err,
                  occlusion, directional, nb, Wh, smem, *refs):
     f32 = jnp.float32
@@ -354,11 +301,16 @@ def _band_kernel(descs, n_dirs, mat_occ, any_spec, af_flags, af_radius, enc_err,
         return z, rough, mat, g
 
     # Row-chunked stages (see kernels/sigma_band.py): each 40-row band computes
-    # in RC=8-row slices inside a fori_loop (body instantiated ONCE; (8, w)
-    # values are ~6 vregs vs ~30 for the full band, so the cores' live
-    # accumulators stop spilling). Slides run in a separate chunk loop BEFORE
-    # the stage appends (the appended rows are read by later slide chunks
-    # otherwise).
+    # in RC=8-row slices so the cores' live accumulators are (8, w) values
+    # (~6 vregs vs ~30 for the full band - no spills). The chunk loop is a
+    # PYTHON loop on purpose: a fori_loop makes the chunk base traced, and the
+    # cores' tap row offsets (base + hy + dy, dy an arbitrary Poisson int) then
+    # hit Mosaic's dynamic-slice prover, which requires dim-0 starts divisible
+    # by the (8,128) tile - unprovable for dy not a multiple of 8 (the round-4
+    # on-chip failure). Static bases need no proof; instruction count matches
+    # the pre-chunk full-band body (5x the statements at 1/5 the vreg width).
+    # Slides run in a separate chunk loop BEFORE the stage appends (the
+    # appended rows are read by later slide chunks otherwise).
     nch = B // RC
 
     def slide(k, carry):
@@ -371,8 +323,8 @@ def _band_kernel(descs, n_dirs, mat_occ, any_spec, af_flags, af_radius, enc_err,
 
     # ================= stage A: history fix, band j0 = i =================
     # geometry rows: band j0 row r -> (2B+32) + r; signal/fast: 32 + r; d1: 2B + r
-    def stage_a(kc, carry):
-        r0 = pl.multiple_of(kc * RC, RC)
+    def stage_a(kc):
+        r0 = kc * RC
         z_a, rough_a, mat_a, g_a = _stage_geom(Wc1, 2 * B + 32 + r0, PADX - E1,
                                                i * B + r0, E1)
         dead_a = dead_w[pl.ds(2 * B + r0, RC),
@@ -445,13 +397,13 @@ def _band_kernel(descs, n_dirs, mat_occ, any_spec, af_flags, af_radius, enc_err,
             kb += npl
             ko += n_ho[si]
             k0 += d.c + 2 + (3 if d.has_sh else 0)
-        return carry
 
-    jax.lax.fori_loop(0, nch, stage_a, 0, unroll=False)
+    for _kc in range(nch):
+        stage_a(_kc)
 
     # ================= stage B: blur, band j1 = i - 1 =================
-    def stage_b(kc, carry):
-        r0 = pl.multiple_of(kc * RC, RC)
+    def stage_b(kc):
+        r0 = kc * RC
         z_b, rough_b, mat_b, g_b = _stage_geom(Wc2, B + 32 + r0, PADX - E2,
                                                (i - 1) * B + r0, E2)
         dead_b = dead_w[pl.ds(B + r0, RC),
@@ -493,13 +445,13 @@ def _band_kernel(descs, n_dirs, mat_occ, any_spec, af_flags, af_radius, enc_err,
         tap_a = [_CastOut(t_, 0, RC, 0, Wc2) for t_ in tap_scr]
         _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax_b, wins_b,
                          centers_b, bouts, ((i - 1) * B + r0, col0 - E2), tap_a)
-        return carry
 
-    jax.lax.fori_loop(0, nch, stage_b, 0, unroll=False)
+    for _kc in range(nch):
+        stage_b(_kc)
 
     # ================= stage C: post-blur, band j2 = i - 2 =================
-    def stage_c(kc, carry):
-        r0 = pl.multiple_of(kc * RC, RC)
+    def stage_c(kc):
+        r0 = kc * RC
         z_c, rough_c, mat_c, g_c = _stage_geom(Wh, 32 + r0, PADX,
                                                (i - 2) * B + r0, 0)
         dead_c = dead_w[pl.ds(r0, RC), PADX:PADX + Wh].astype(f32)
@@ -531,9 +483,9 @@ def _band_kernel(descs, n_dirs, mat_occ, any_spec, af_flags, af_radius, enc_err,
         tap_c = [_CastOut(t_, 0, RC, 0, Wh) for t_ in tap_scr]
         _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax_c, wins_c,
                          centers_c, outs_c, ((i - 2) * B + r0, col0), tap_c)
-        return carry
 
-    jax.lax.fori_loop(0, nch, stage_c, 0, unroll=False)
+    for _kc in range(nch):
+        stage_c(_kc)
 
     # fast2 exits with the same 2-step delay as the post-blur band
     for si in range(n_sig):

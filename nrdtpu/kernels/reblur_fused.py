@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from .. import math as nm
+from ..passes.reblur import common as C
 from .harness2 import block_dead_mask, block_minmax, stencil_call2
 from .reblur_blur2 import HALO2, _LEV, _LO, _HI, _static_offsets
 from .reblur_hfix2 import _M_LO, _M_HI, _TAPS20, _box_sums
@@ -50,6 +52,65 @@ from .reblur_pallas import (
 _BLOCK_CANDIDATES = ((160, 512), (120, 512), (96, 512), (96, 256), (80, 256),
                      (48, 256))
 _VMEM_BUDGET = 9.0e6  # bytes; the v3 single-signal kernels run at ~9.6 MB resident
+
+
+# extra SMEM scalars appended after reblur_fused's layout (ends at _S_HDP + 4 = 14)
+_S_W2V = 14      # 9: world_to_view rotation, row-major
+_S_X = 23        # see _band_scalars
+(_X_DEN, _X_MRD, _X_PDS, _X_LAF, _X_HFS, _X_HFN, _X_RFR, _X_MAXR, _X_MINR,
+ _X_MHDW, _X_FASTEN, _X_MAXFR) = range(12)
+_NSC = _S_X + 12
+
+
+
+
+def _hdn(smem, z, rough2_term):
+    """_REBLUR_GetHitDistanceNormalization on planes (NRD.hlsli:362-365).
+
+    rough2_term = clip(exp2(hdp3 * rough^2), 0, 1), or its rough=1 constant for
+    the diffuse scale."""
+    hdp = [smem[_S_HDP + k] for k in range(4)]
+    return (hdp[0] + z * hdp[1]) * (1.0 + (hdp[2] - 1.0) * rough2_term)
+
+
+def _hfix_post(smem, desc, occlusion, directional, anti_firefly, smc, frame_num,
+               stride, sig_in, sh_in, fast_in, fixed, m1, m2, am1, am2):
+    """In-kernel _hfix_post (passes/reblur/kernels.py:2035-2060): stride select,
+    fast-history update, sigma/anti-firefly luma clamps, SH luma rescale."""
+    occ_like = occlusion or directional
+    use_fix = stride != 0.0
+    sig = [jnp.where(use_fix, f_, s_) for f_, s_ in zip(fixed[:desc.c], sig_in)]
+    sh = None
+    if desc.has_sh:
+        sh = [jnp.where(use_fix, f_, s_)
+              for f_, s_ in zip(fixed[desc.c:desc.c + 3], sh_in)]
+    f = nm.saturate(frame_num / (smem[_S_X + _X_HFN] + NRD_EPS))
+    if desc.spec:
+        f = nm.lerp(1.0, f, smc)
+    luma0 = sig[-1] if occ_like else sig[0]
+    fast_out = nm.lerp(luma0, fast_in, f)
+    sigma = nm.get_std_dev(m1, m2) * C.color_clamping_sigma_scale(occ_like)
+    luma = luma0
+    if anti_firefly:
+        asig = nm.get_std_dev(am1, am2) * C.REBLUR_ANTI_FIREFLY_SIGMA_SCALE
+        luma = jnp.clip(luma, am1 - asig, am1 + asig)
+    luma_clamped = jnp.clip(luma, m1 - sigma, m1 + sigma)
+    luma = nm.lerp(luma_clamped, luma,
+                   1.0 / (1.0 + smem[_S_X + _X_FASTEN] * frame_num * 2.0))
+    # change_luma on planes (common.py:139-146)
+    if occlusion and not directional:
+        sig = [luma]
+    elif directional:
+        scale = (luma + nm.EPS) / (sig[3] + nm.EPS)
+        sig = [s_ * scale for s_ in sig[:3]] + [luma]
+    else:
+        scale = (luma + nm.EPS) / (luma0 + nm.EPS)
+        sig = [s_ * scale for s_ in sig[:3]] + sig[3:]
+    if sh is not None:
+        ln = jnp.sqrt(sh[0] ** 2 + sh[1] ** 2 + sh[2] ** 2)
+        scale = (luma + nm.EPS) / (ln + nm.EPS)
+        sh = [s_ * scale for s_ in sh]
+    return sig, sh, fast_out
 
 
 def _choose_block(n_f32_wins, n_bf16_wins, n_centers, n_out, n_scratch,
@@ -326,8 +387,16 @@ def _fused_blur_core(descs, n_dirs, mat_occ, any_spec, smem, rmax_in, wins,
 
 
 def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, has_skip,
-                       smem, bsm, wins, centers, outs, origin, scratch):
-    """Block-grid wrapper: per-block (smin, smax, skip) lookup + the shared core."""
+                       occlusion, directional, smem, bsm, wins, centers, outs,
+                       origin, scratch):
+    """Block-grid wrapper: per-block (smin, smax, skip) lookup, the shared core
+    into VMEM scratch, then the IN-KERNEL post (fast-history clamp chain).
+
+    Round 5: _hfix_post used to run as XLA glue after the launch - ~15 full-res
+    plane round trips through HBM per frame (the "history fix fused" stage
+    measured 9.8 ms with the kernel itself accounting for only a fraction).
+    Running it here consumes the core's outputs straight from VMEM and shrinks
+    the launch outputs to the final signal/sh/fast planes."""
     n_sig = len(descs)
     i_b = pl.program_id(0)
     j_b = pl.program_id(1)
@@ -335,8 +404,66 @@ def _fused_hfix_kernel(descs, mat_occ, any_spec, af_flags, af_radius, has_skip,
     smax = functools.reduce(jnp.maximum, [r[i_b, j_b] for r in bsm[n_sig:2 * n_sig]])
     if has_skip:  # culled block: the 20-tap loop never fires (windows zero-filled)
         smax = jnp.where(bsm[2 * n_sig][i_b, j_b] != 0.0, jnp.float32(0.0), smax)
+    n_ho = [d.c + (3 if d.has_sh else 0) + 2 + (2 if af else 0)
+            for d, af in zip(descs, af_flags)]
+    sums = list(scratch[:n_sig])
+    tmp = list(scratch[n_sig:n_sig + sum(n_ho)])
     _fused_hfix_core(descs, mat_occ, any_spec, af_flags, af_radius, smem,
-                     smin, smax, wins, centers, outs, origin, scratch)
+                     smin, smax, wins, centers, tmp, origin, sums)
+
+    # ---- in-kernel _hfix_post (band-validated; reblur_band drives the same fn) ----
+    wi = iter(wins)
+    next(wi)                                   # z
+    next(wi); next(wi); next(wi)               # n xyz
+    wrs = next(wi) if any_spec else None
+    if mat_occ:
+        next(wi)
+    sig_wins = []
+    for d in descs:
+        sw = [next(wi) for _ in range(d.c)]
+        d1w = next(wi)
+        fastw = next(wi)
+        shw = [next(wi) for _ in range(3)] if d.has_sh else []
+        sig_wins.append((sw, d1w, fastw, shw))
+    ci = iter(centers)
+    next(ci); next(ci)                         # ga, gb
+    if mat_occ:
+        next(ci)
+    next(ci); next(ci); next(ci); next(ci)     # nv xyz, fsz
+    per = []
+    for d in descs:
+        p = {k: next(ci) for k in ("stride", "nwp", "ha", "hb", "frm", "hds")}
+        if d.spec:
+            p["ra"] = next(ci); p["rb"] = next(ci)
+            p["hd"] = next(ci); p["bguide"] = next(ci)
+        per.append(p)
+
+    smc_spec = nm.get_spec_magic_curve(wrs.tap()) if any_spec else None
+    ko = 0
+    out_k = 0
+    for si, d in enumerate(descs):
+        sw, _, fastw, shw = sig_wins[si]
+        npl = d.c + (3 if d.has_sh else 0)
+        fixed = [tmp[ko + k_][:, :] for k_ in range(npl)]
+        m1 = tmp[ko + npl][:, :]
+        m2 = tmp[ko + npl + 1][:, :]
+        am1 = tmp[ko + npl + 2][:, :] if af_flags[si] else None
+        am2 = tmp[ko + npl + 3][:, :] if af_flags[si] else None
+        sig_in = [sg.tap() for sg in sw]
+        sh_in = [s_.tap() for s_ in shw] if d.has_sh else None
+        fast_in = fastw.tap()
+        stride = per[si]["stride"][:, :]
+        frame_num = per[si]["frm"][:, :]
+        smc = smc_spec if d.spec else None
+        sig2, sh2, fast2 = _hfix_post(
+            smem, d, occlusion, directional, af_flags[si], smc, frame_num,
+            stride, sig_in, sh_in, fast_in, fixed, m1, m2, am1, am2)
+        for v in sig2 + (sh2 or []):
+            outs[out_k][:, :] = v
+            out_k += 1
+        outs[out_k][:, :] = fast2
+        out_k += 1
+        ko += n_ho[si]
 
 
 def _fused_hfix_core(descs, mat_occ, any_spec, af_flags, af_radius, smem,
@@ -540,14 +667,16 @@ def _fused_hfix_core(descs, mat_occ, any_spec, af_flags, af_radius, smem,
 
 def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
                              roughness, material_id, ga, gb, frustum_size,
-                             perf_mode=False, dead=None, mesh=None):
-    """Run N signals through one fused history-fix launch.
+                             perf_mode=False, dead=None, mesh=None,
+                             occlusion=False, directional=False):
+    """Run N signals through one fused history-fix launch, INCLUDING the
+    fast-history clamp chain (the former XLA _hfix_post, now in-kernel).
 
     signals: list of dicts with keys
       signal, sh, stride, normal_weight_param, ha, hb, frame_num, data1,
       fast_history, hit_dist_scale, min_material, spec (bool), anti_firefly (bool),
       ra, rb, hit_dist, bguide (spec only).
-    Returns per-signal dicts: signal, sh, m1, m2, am1, am2.
+    Returns per-signal dicts: signal, sh, fast (all final).
     """
     mat_occ = config.normal_encoding.name == "R10_G10_B10_A2_UNORM"
     descs = tuple(
@@ -559,6 +688,13 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
     assert len(descs) <= 2
 
     mm = [s.get("min_material", 0.0) for s in signals] + [0.0]
+    # _NSC-layout scalars (shared with reblur_band): base 14 + 9 W2V (unused
+    # here) + 12 _X slots; the in-kernel _hfix_post reads _X_HFN and _X_FASTEN
+    fast_en = jnp.where(jnp.asarray(dc["max_fast_accumulated_frame_num"])
+                        < jnp.asarray(dc["max_accumulated_frame_num"]), 1.0, 0.0)
+    xs = [jnp.float32(0.0)] * 12
+    xs[_X_HFN] = jnp.asarray(dc["history_fix_frame_num"], jnp.float32)
+    xs[_X_FASTEN] = jnp.asarray(fast_en, jnp.float32)
     scalars = jnp.concatenate([
         jnp.asarray(sc["frustum"], jnp.float32).reshape(4),
         jnp.stack([jnp.asarray(sc["rect_size"][0], jnp.float32),
@@ -568,6 +704,8 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
                    jnp.asarray(mm[0], jnp.float32),
                    jnp.asarray(mm[1], jnp.float32)]),
         jnp.asarray(dc["hit_dist_params"], jnp.float32).reshape(4),
+        jnp.zeros((9,), jnp.float32),
+        jnp.stack(xs),
     ])
 
     bf = lambda x: x.astype(jnp.bfloat16)
@@ -595,9 +733,13 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
             centers += [s["ra"], s["rb"], s["hit_dist"], s["bguide"]]
         strides.append(s["stride"])
 
-    n_out = sum(d.c + (3 if d.has_sh else 0) + 2 + (2 if af else 0)
-                for d, af in zip(descs, af_flags))
-    block = _choose_block(1, len(windows) - 1, len(centers), n_out, len(descs))
+    n_ho_sum = sum(d.c + (3 if d.has_sh else 0) + 2 + (2 if af else 0)
+                   for d, af in zip(descs, af_flags))
+    # outputs are the FINAL post planes (signal + sh + fast per signal); the
+    # core's raw outputs live in VMEM scratch and never touch HBM
+    n_out = sum(d.c + (3 if d.has_sh else 0) + 1 for d in descs)
+    n_scr = len(descs) + n_ho_sum
+    block = _choose_block(1, len(windows) - 1, len(centers), n_out, n_scr)
 
     def launch(tree, origin_offset=None):
         windows_l, centers_l, strides_l, dead_l, scalars_l = tree
@@ -609,11 +751,12 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
         skip = block_dead_mask(dead_l, block, HALO2)[0] if dead_l is not None else None
         return stencil_call2(
             functools.partial(_fused_hfix_kernel, descs, mat_occ, any_spec, af_flags,
-                              3 if perf_mode else 4, skip is not None),
+                              3 if perf_mode else 4, skip is not None,
+                              occlusion, directional),
             windows_l, n_out=n_out, halo=HALO2, block=block,
             scalars=scalars_l,
             block_scalars=smins + smaxs + ([skip] if skip is not None else []),
-            center_inputs=centers_l, scratch_blocks=len(descs), block_skip=skip,
+            center_inputs=centers_l, scratch_blocks=n_scr, block_skip=skip,
             origin_offset=origin_offset)
 
     tree = (windows, centers, strides, dead, scalars)
@@ -635,12 +778,8 @@ def history_fix_fused_pallas(sc, dc, config, *, signals, view_z_in, n, nv,
             k += 3
         else:
             r["sh"] = None
-        r["m1"], r["m2"] = outs[k], outs[k + 1]
-        k += 2
-        r["am1"] = r["am2"] = None
-        if af:
-            r["am1"], r["am2"] = outs[k], outs[k + 1]
-            k += 2
+        r["fast"] = outs[k]
+        k += 1
         results.append(r)
     return results
 

@@ -51,13 +51,25 @@ ALMOST_ZERO_ANGLE = float(np.cos(np.deg2rad(89.0)))
 class FP:
     """Reprojected 4x4 footprint over a base-shifted window.
 
-    tap(i, j) = plane[p + B + fl + (j - 1, i - 1)] with per-pixel fl in {-1, 0} masks.
+    tap(i, j) = plane[p + B + fl + (j - 1, i - 1)] with per-pixel integer
+    residual fl. Two forms of the residual selectors:
+      - my/mx boolean arrays: fl in {-1, 0} (the classic 1-px capture);
+      - my/mx lists of (fl, mask_f32) one-hot pairs: arbitrary capture range
+        (the smb resolver passes fl in {-2..1} - exact 2-px residuals, the
+        round-5 zoom-retention fix: clipped sampling made the accum gather
+        follow the wrong motion track and freeze, see test_history_retention).
     Raw static taps are memoized (neighbouring footprint taps share them)."""
 
     def __init__(self, win_b, my, mx):
         self.w = win_b
-        self.my = my  # fl_y == -1
-        self.mx = mx
+        if isinstance(my, list):
+            self.my, self.mx = my, mx
+        else:
+            f32 = jnp.float32
+            myf = my.astype(f32)
+            mxf = mx.astype(f32)
+            self.my = [(-1, myf), (0, 1.0 - myf)]
+            self.mx = [(-1, mxf), (0, 1.0 - mxf)]
         self._raw = {}
 
     def _t(self, dy, dx):
@@ -67,9 +79,12 @@ class FP:
         return self._raw[key]
 
     def tap(self, i, j):
-        a = jnp.where(self.mx, self._t(j - 2, i - 2), self._t(j - 2, i - 1))
-        b = jnp.where(self.mx, self._t(j - 1, i - 2), self._t(j - 1, i - 1))
-        return jnp.where(self.my, a, b)
+        acc = None
+        for a, wa in self.my:
+            for b, wb in self.mx:
+                t = self._t(j - 1 + a, i - 1 + b) * (wa * wb)
+                acc = t if acc is None else acc + t
+        return acc
 
 
 def _decode_oct(px_, py_):
@@ -267,16 +282,24 @@ class RC:
     def __init__(self, my, mx, fx, fy, occ_w, occ_wsum, allow_catrom, abs_y,
                  abs_x, rect_w, rect_h, use_catrom, cat_extra=None):
         f32 = jnp.float32
-        myf = my.astype(f32)
-        mxf = mx.astype(f32)
-        self.mm = myf * mxf
-        self.mM = myf * (1.0 - mxf)
-        self.Mm = (1.0 - myf) * mxf
-        self.MM = (1.0 - myf) * (1.0 - mxf)
+        # residual selectors: booleans (fl in {-1, 0}) or one-hot (fl, mask)
+        # lists for wider exact capture (see FP)
+        if isinstance(my, list):
+            masks_y, masks_x = my, mx
+        else:
+            myf = my.astype(f32)
+            mxf = mx.astype(f32)
+            masks_y = [(-1, myf), (0, 1.0 - myf)]
+            masks_x = [(-1, mxf), (0, 1.0 - mxf)]
+        self.masks_y, self.masks_x = masks_y, masks_x
+        fl_lo_y = min(a for a, _ in masks_y)
+        fl_hi_y = max(a for a, _ in masks_y)
+        fl_lo_x = min(b for b, _ in masks_x)
+        fl_hi_x = max(b for b, _ in masks_x)
         self.osy = {a: ((abs_y + a >= 0.0) & (abs_y + a < rect_h)).astype(f32)
-                    for a in range(-2, 3)}
+                    for a in range(fl_lo_y - 1, fl_hi_y + 3)}
         self.osx = {b: ((abs_x + b >= 0.0) & (abs_x + b < rect_w)).astype(f32)
-                    for b in range(-2, 3)}
+                    for b in range(fl_lo_x - 1, fl_hi_x + 3)}
 
         self.occ_cells = self.place4(occ_w)
         self.inv_occ = jnp.where(occ_wsum < 1e-4, 0.0,
@@ -287,37 +310,47 @@ class RC:
             self.hist_cells = self.occ_cells_n
             return
 
-        def raw_w(tab, m):
+        def raw_w(tab, masks):
+            # CatRom tap t in 0..3 lands at raw cell fl + t - 1
             out = {}
-            for a in range(-2, 3):
-                hi = tab[a + 2] if 0 <= a + 2 <= 3 else None  # shifted origin
-                lo = tab[a + 1] if 0 <= a + 1 <= 3 else None  # unshifted
-                if hi is None:
-                    out[a] = (1.0 - m) * lo
-                elif lo is None:
-                    out[a] = m * hi
-                else:
-                    out[a] = m * hi + (1.0 - m) * lo
+            for fl, m in masks:
+                for t in range(4):
+                    a = fl + t - 1
+                    out[a] = out.get(a, 0.0) + m * tab[t]
             return out
 
-        wy = raw_w(_catrom_w(fy), myf)
-        wx = raw_w(_catrom_w(fx), mxf)
-        # footprint rows/cols {0, 3} (the dropped-corner extremes) in raw space
-        ext_y = {-2: myf, -1: 1.0 - myf, 0: None, 1: myf, 2: 1.0 - myf}
-        ext_x = {-2: mxf, -1: 1.0 - mxf, 0: None, 1: mxf, 2: 1.0 - mxf}
+        def ext_w(masks):
+            # footprint rows/cols {0, 3} (dropped-corner extremes) in raw space:
+            # cell a is an extremity under fl iff a == fl - 1 or a == fl + 2
+            out = {}
+            for fl, m in masks:
+                for a in (fl - 1, fl + 2):
+                    out[a] = out.get(a, 0.0) + m
+            return out
+
+        wy = raw_w(_catrom_w(fy), masks_y)
+        wx = raw_w(_catrom_w(fx), masks_x)
+        ext_y = ext_w(masks_y)
+        ext_x = ext_w(masks_x)
         wy_os = {a: wy[a] * self.osy[a] for a in wy}
         if cat_extra is not None:
             wy_os = {a: w_ * cat_extra for a, w_ in wy_os.items()}
         wx_os = {b: wx[b] * self.osx[b] for b in wx}
         cat_cells = {}
         cat_wsum = None
-        for a in range(-2, 3):
-            for b in range(-2, 3):
-                if a in (-2, 2) and b in (-2, 2):
-                    continue  # raw corners are always footprint corners
+        # range-extreme cells are reachable by exactly one fl pair and are that
+        # pair's dropped corner - identically zero, skip statically
+        edge_y = (fl_lo_y - 1, fl_hi_y + 2)
+        edge_x = (fl_lo_x - 1, fl_hi_x + 2)
+        for a in wy_os:
+            for b in wx_os:
+                if a in edge_y and b in edge_x:
+                    continue
                 w_ = wy_os[a] * wx_os[b]
-                if ext_y[a] is not None and ext_x[b] is not None:
-                    w_ = w_ * (1.0 - ext_y[a] * ext_x[b])
+                ey = ext_y.get(a)
+                ex = ext_x.get(b)
+                if ey is not None and ex is not None:
+                    w_ = w_ * (1.0 - ey * ex)
                 cat_cells[(a, b)] = w_
                 cat_wsum = w_ if cat_wsum is None else cat_wsum + w_
         allowf = allow_catrom.astype(f32)
@@ -329,15 +362,13 @@ class RC:
             self.hist_cells[ab] = self.hist_cells.get(ab, 0.0) + w_ * b_
 
     def place4(self, w4):
-        """Scatter 4 footprint-center weights into their raw 3x3 cells."""
+        """Scatter 4 footprint-center weights into their raw residual cells."""
         cells = {}
         for k, (i_, j_) in enumerate(_CENTER):
-            for (a, b), m_ in (((j_ - 2, i_ - 2), self.mm),
-                               ((j_ - 2, i_ - 1), self.mM),
-                               ((j_ - 1, i_ - 2), self.Mm),
-                               ((j_ - 1, i_ - 1), self.MM)):
-                w_ = w4[k] * m_
-                cells[(a, b)] = cells.get((a, b), 0.0) + w_
+            for a, wa in self.masks_y:
+                for b, wb in self.masks_x:
+                    cell = (j_ - 1 + a, i_ - 1 + b)
+                    cells[cell] = cells.get(cell, 0.0) + w4[k] * (wa * wb)
         return cells
 
     @staticmethod
@@ -381,23 +412,21 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, use_catrom, smem, bsm, wins, cente
     mat_center = mat_c_r[:, :]
 
     bh, bw = mvy.shape
-    # Wide capture (budget 3, VERDICT r2 ask #6): pixels whose motion deviates
-    # 1..3 px from the block base no longer hard-reset; they sample at the
-    # CLIPPED footprint position (the positional error is dev - 1, so <= 1 px up
-    # to dev 2 - every tap still individually occlusion-tested at the position
-    # actually sampled, and TS's moment-box clamp bounds any residual ghosting).
-    # Footprint confidence holds at 1 through dev 2 (error <= 1 px) then tapers
-    # to 0 at dev 3, where the reference's exact gather would diverge from us by
-    # 2 px. |q| < 1 pixels are bit-identical to the old path.
-    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x, budget=3.0)
+    # Wide capture (VERDICT r2 ask #6 + r4 ask #7), BLOCK-ADAPTIVE: residuals up
+    # to 2 px from the block base are captured EXACTLY (fl in {-2..1} one-hot
+    # masks through FP/RC - taps land on the true reprojected footprint, so the
+    # accum gather follows the true motion track; clipping made the history
+    # chain drift (dev-1) px/frame under zoom and freeze accumulation - round-5
+    # probe: accum 2.9 vs 6.0 with footprint_quality 0.96). dev in [2, 5)
+    # degrades to clipped sampling with confidence tapering 1 -> 0 over
+    # dev 2 -> 5; dev >= 5 hard-resets. The exact wide path costs ~2.5x the
+    # narrow one (16-way vs 4-way footprint selects; stage-measured 14.4 vs
+    # 5.6 ms at 1440p), so the host flags blocks whose max residual exceeds
+    # 1 px (bsm[2]) and only those run it: pans/static cameras stay narrow
+    # everywhere, zoom/orbit pay exactly where the motion gradient demands.
+    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x, budget=5.0)
     qdev = jnp.maximum(jnp.abs(qy), jnp.abs(qx))
-    conf_taper = jnp.clip(3.0 - qdev, 0.0, 1.0)
-    qy = jnp.clip(qy, -1.0, 0.999)
-    qx = jnp.clip(qx, -1.0, 0.999)
-    my = qy < 0.0   # fl_y == -1
-    mx = qx < 0.0
-    fy = qy - jnp.where(my, -1.0, 0.0)
-    fx = qx - jnp.where(mx, -1.0, 0.0)
+    wide = bsm[2][i, j] > 0.0
 
     # n_avg over current 2x2 (lines 70-97), unnormalized / 4
     na_x = jnp.zeros((bh, bw), jnp.float32)
@@ -408,114 +437,141 @@ def _smb_kernel(n_hist, n_bil, mat_occlusion, use_catrom, smem, bsm, wins, cente
         na_x, na_y, na_z = na_x + ax, na_y + ay, na_z + az
     na_x, na_y, na_z = na_x / 4.0, na_y / 4.0, na_z / 4.0
 
-    # footprints over base-shifted windows
-    def fp(w):
-        return FP(w, my, mx)
+    def _resolve_body(my, mx, fy, fx, fl_y, fl_x, valid, conf_taper):
+        def fp(w):
+            return FP(w, my, mx)
 
-    zfp = fp(zp_w)
-    z_taps = [[jnp.abs(zfp.tap(i_, j_)) * view_z_scale for i_ in range(4)]
-              for j_ in range(4)]
+        zfp = fp(zp_w)
+        z_taps = [[jnp.abs(zfp.tap(i_, j_)) * view_z_scale for i_ in range(4)]
+                  for j_ in range(4)]
 
-    # per-tap integer position (for in-screen checks)
-    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-    px = origin[1].astype(jnp.float32) + col
-    py = origin[0].astype(jnp.float32) + row
-    ox = px + base_x.astype(jnp.float32) + jnp.where(mx, -1.0, 0.0)
-    oy = py + base_y.astype(jnp.float32) + jnp.where(my, -1.0, 0.0)
+        # per-tap integer position (for in-screen checks)
+        row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+        px = origin[1].astype(jnp.float32) + col
+        py = origin[0].astype(jnp.float32) + row
+        ox = px + base_x.astype(jnp.float32) + fl_x
+        oy = py + base_y.astype(jnp.float32) + fl_y
 
-    def on_screen(i_, j_):
-        tx = ox + (i_ - 1)
-        ty = oy + (j_ - 1)
-        return ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+        def on_screen(i_, j_):
+            tx = ox + (i_ - 1)
+            ty = oy + (j_ - 1)
+            return ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+                .astype(jnp.float32)
+
+        # prev normal average over centre 2x2, z-in-range weighted (lines 178-204)
+        nrfp = [fp(w) for w in (nr0, nr1)]
+        sx = jnp.zeros((bh, bw), jnp.float32)
+        sy_ = jnp.zeros((bh, bw), jnp.float32)
+        sz = jnp.zeros((bh, bw), jnp.float32)
+        wsum = jnp.zeros((bh, bw), jnp.float32)
+        for (i_, j_) in _CENTER:
+            w_ = (z_taps[j_][i_] < denoising_range).astype(jnp.float32)
+            ax, ay, az = _decode_oct(nrfp[0].tap(i_, j_), nrfp[1].tap(i_, j_))
+            sx, sy_, sz = sx + ax * w_, sy_ + ay * w_, sz + az * w_
+            wsum = wsum + w_
+        inv = 1.0 / jnp.where(wsum == 0.0, 1.0, wsum)
+        sx, sy_, sz = sx * inv, sy_ * inv, sz * inv
+        # rotate prev->world
+        navg_x = p2w[0] * sx + p2w[1] * sy_ + p2w[2] * sz
+        navg_y = p2w[3] * sx + p2w[4] * sy_ + p2w[5] * sz
+        navg_z = p2w[6] * sx + p2w[7] * sy_ + p2w[8] * sz
+
+        navg_ok = ((navg_x * na_x + navg_y * na_y + navg_z * na_z) > navg_thr) \
             .astype(jnp.float32)
 
-    # prev normal average over centre 2x2, z-in-range weighted (lines 178-204)
-    nrfp = [fp(w) for w in (nr0, nr1)]
-    sx = jnp.zeros((bh, bw), jnp.float32)
-    sy_ = jnp.zeros((bh, bw), jnp.float32)
-    sz = jnp.zeros((bh, bw), jnp.float32)
-    wsum = jnp.zeros((bh, bw), jnp.float32)
-    for (i_, j_) in _CENTER:
-        w_ = (z_taps[j_][i_] < denoising_range).astype(jnp.float32)
-        ax, ay, az = _decode_oct(nrfp[0].tap(i_, j_), nrfp[1].tap(i_, j_))
-        sx, sy_, sz = sx + ax * w_, sy_ + ay * w_, sz + az * w_
-        wsum = wsum + w_
-    inv = 1.0 / jnp.where(wsum == 0.0, 1.0, wsum)
-    sx, sy_, sz = sx * inv, sy_ * inv, sz * inv
-    # rotate prev->world
-    navg_x = p2w[0] * sx + p2w[1] * sy_ + p2w[2] * sz
-    navg_y = p2w[3] * sx + p2w[4] * sy_ + p2w[5] * sz
-    navg_z = p2w[6] * sx + p2w[7] * sy_ + p2w[8] * sz
+        # quad thresholds with per-centre-tap in-screen (lines 213-245)
+        in_s4 = [on_screen(i_, j_) for (i_, j_) in _CENTER]
+        quad_thr = [base_thr * navg_ok * valid * in_s4[q] - NRD_EPS for q in range(4)]
 
-    navg_ok = ((navg_x * na_x + navg_y * na_y + navg_z * na_z) > navg_thr) \
-        .astype(jnp.float32)
+        matfp = fp(mat_w) if mat_occlusion else None
+        occ = [[None] * 4 for _ in range(4)]
+        for j_ in range(4):
+            for i_ in range(4):
+                q = (1 if i_ >= 2 else 0) + (2 if j_ >= 2 else 0)
+                plane_dist = jnp.abs(z_taps[j_][i_] - xv_prev_z)
+                o = (plane_dist <= quad_thr[q]).astype(jnp.float32)
+                if mat_occlusion:
+                    same = (jnp.maximum(mat_center, min_material)
+                            == jnp.maximum(matfp.tap(i_, j_), min_material)) \
+                        .astype(jnp.float32)
+                    o = o * same
+                occ[j_][i_] = o
 
-    # quad thresholds with per-centre-tap in-screen (lines 213-245)
-    in_s4 = [on_screen(i_, j_) for (i_, j_) in _CENTER]
-    quad_thr = [base_thr * navg_ok * valid * in_s4[q] - NRD_EPS for q in range(4)]
+        occ_c = [occ[j_][i_] for (i_, j_) in _CENTER]
+        # bilinear custom weights (frac order: (00, 10, 01, 11))
+        bw00 = (1.0 - fx) * (1.0 - fy)
+        bw10 = fx * (1.0 - fy)
+        bw01 = (1.0 - fx) * fy
+        bw11 = fx * fy
+        bws = [bw00, bw10, bw01, bw11]
+        occ_w = [bws[k] * occ_c[k] for k in range(4)]
+        occ_wsum = occ_w[0] + occ_w[1] + occ_w[2] + occ_w[3]
 
-    matfp = fp(mat_w) if mat_occlusion else None
-    occ = [[None] * 4 for _ in range(4)]
-    for j_ in range(4):
-        for i_ in range(4):
-            q = (1 if i_ >= 2 else 0) + (2 if j_ >= 2 else 0)
-            plane_dist = jnp.abs(z_taps[j_][i_] - xv_prev_z)
-            o = (plane_dist <= quad_thr[q]).astype(jnp.float32)
-            if mat_occlusion:
-                same = (jnp.maximum(mat_center, min_material)
-                        == jnp.maximum(matfp.tap(i_, j_), min_material)) \
-                    .astype(jnp.float32)
-                o = o * same
-            occ[j_][i_] = o
+        occ12 = sum(occ[j_][i_] for j_ in range(4) for i_ in range(4)
+                    if (i_, j_) not in _CORNER)
+        allow_catrom = occ12 > 11.5
 
-    occ_c = [occ[j_][i_] for (i_, j_) in _CENTER]
-    # bilinear custom weights (frac order: (00, 10, 01, 11))
-    bw00 = (1.0 - fx) * (1.0 - fy)
-    bw10 = fx * (1.0 - fy)
-    bw01 = (1.0 - fx) * fy
-    bw11 = fx * fy
-    bws = [bw00, bw10, bw01, bw11]
-    occ_w = [bws[k] * occ_c[k] for k in range(4)]
-    occ_wsum = occ_w[0] + occ_w[1] + occ_w[2] + occ_w[3]
+        fbits = occ_c[0] * 1.0 + occ_c[1] * 2.0 + occ_c[2] * 4.0 + occ_c[3] * 8.0
+        # conf_taper^2: the caller sqrt's footprint_raw into footprint_quality, so
+        # quality scales linearly with the wide-capture deviation taper
+        footprint_raw = (occ_c[0] * bw00 + occ_c[1] * bw10 + occ_c[2] * bw01
+                         + occ_c[3] * bw11) * (conf_taper * conf_taper)
 
-    occ12 = sum(occ[j_][i_] for j_ in range(4) for i_ in range(4)
-                if (i_, j_) not in _CORNER)
-    allow_catrom = occ12 > 11.5
+        # CatRom-13 with bilinear-custom fallback (Common.hlsli:602-646), per-cell
+        # shared weights (see RC): selects built once, each plane = 21 load-fmas
+        rc = RC(my, mx, fx, fy, occ_w, occ_wsum, allow_catrom,
+                py + base_y.astype(jnp.float32), px + base_x.astype(jnp.float32),
+                rect_w, rect_h, use_catrom)
+        dacc = rc.resolve_custom(dacc_w)
+        sacc = rc.resolve_custom(sacc_w)
 
-    fbits = occ_c[0] * 1.0 + occ_c[1] * 2.0 + occ_c[2] * 4.0 + occ_c[3] * 8.0
-    # conf_taper^2: the caller sqrt's footprint_raw into footprint_quality, so
-    # quality scales linearly with the wide-capture deviation taper
-    footprint_raw = (occ_c[0] * bw00 + occ_c[1] * bw10 + occ_c[2] * bw01
-                     + occ_c[3] * bw11) * (conf_taper * conf_taper)
+        hist_out = [rc.resolve_hist(hw_) for hw_ in hist_wins]
+        for bw_ in bil_wins:
+            hist_out.append(rc.resolve_custom(bw_))
 
-    # CatRom-13 with bilinear-custom fallback (Common.hlsli:602-646), per-cell
-    # shared weights (see RC): selects built once, each plane = 21 load-fmas
-    rc = RC(my, mx, fx, fy, occ_w, occ_wsum, allow_catrom,
-            py + base_y.astype(jnp.float32), px + base_x.astype(jnp.float32),
-            rect_w, rect_h, use_catrom)
-    dacc = rc.resolve_custom(dacc_w)
-    sacc = rc.resolve_custom(sacc_w)
+        k = 0
+        for v in hist_out:
+            outs[k][:, :] = v
+            k += 1
+        outs[k][:, :] = dacc; k += 1
+        outs[k][:, :] = sacc; k += 1
+        outs[k][:, :] = fbits; k += 1
+        outs[k][:, :] = footprint_raw; k += 1
+        outs[k][:, :] = allow_catrom.astype(jnp.float32); k += 1
+        outs[k][:, :] = navg_x; k += 1
+        outs[k][:, :] = navg_y; k += 1
+        outs[k][:, :] = navg_z; k += 1
+        outs[k][:, :] = na_x; k += 1
+        outs[k][:, :] = na_y; k += 1
+        outs[k][:, :] = na_z; k += 1
 
-    hist_out = [rc.resolve_hist(hw_) for hw_ in hist_wins]
-    for bw_ in bil_wins:
-        hist_out.append(rc.resolve_custom(bw_))
+    @pl.when(wide)
+    def _():
+        qyw = jnp.clip(qy, -2.0, 1.999)
+        qxw = jnp.clip(qx, -2.0, 1.999)
+        fl_y = jnp.floor(qyw)    # {-2, -1, 0, 1}
+        fl_x = jnp.floor(qxw)
+        my = [(k, (fl_y == k).astype(jnp.float32)) for k in range(-2, 2)]
+        mx = [(k, (fl_x == k).astype(jnp.float32)) for k in range(-2, 2)]
+        taper = jnp.clip((5.0 - qdev) / 3.0, 0.0, 1.0)
+        _resolve_body(my, mx, qyw - fl_y, qxw - fl_x, fl_y, fl_x, valid, taper)
 
-    k = 0
-    for v in hist_out:
-        outs[k][:, :] = v
-        k += 1
-    outs[k][:, :] = dacc; k += 1
-    outs[k][:, :] = sacc; k += 1
-    outs[k][:, :] = fbits; k += 1
-    outs[k][:, :] = footprint_raw; k += 1
-    outs[k][:, :] = allow_catrom.astype(jnp.float32); k += 1
-    outs[k][:, :] = navg_x; k += 1
-    outs[k][:, :] = navg_y; k += 1
-    outs[k][:, :] = navg_z; k += 1
-    outs[k][:, :] = na_x; k += 1
-    outs[k][:, :] = na_y; k += 1
-    outs[k][:, :] = na_z; k += 1
+    @pl.when(jnp.logical_not(wide))
+    def _():
+        # max residual <= 1 px in this block: fl in {-1, 0} captures exactly
+        qyn = jnp.clip(qy, -1.0, 0.999)
+        qxn = jnp.clip(qx, -1.0, 0.999)
+        myb = qyn < 0.0
+        mxb = qxn < 0.0
+        myf = myb.astype(jnp.float32)
+        mxf = mxb.astype(jnp.float32)
+        my = [(-1, myf), (0, 1.0 - myf)]
+        mx = [(-1, mxf), (0, 1.0 - mxf)]
+        fl_y = -myf
+        fl_x = -mxf
+        taper = jnp.clip(2.0 - qdev, 0.0, 1.0)
+        _resolve_body(my, mx, qyn - fl_y, qxn - fl_x, fl_y, fl_x, valid, taper)
 
 
 def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_threshold,
@@ -562,10 +618,12 @@ def reblur_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_th
     def launch(tree, origin_offset=None):
         windows_l, centers_l, scalars_l = tree
         base_y, base_x = _prep(sc, centers_l[0], centers_l[1])
+        wide_b = rp.block_wide_flag(centers_l[0], centers_l[1], base_y, base_x,
+                                    BLOCK, HALO)
         return stencil_call2(
             functools.partial(_smb_kernel, n_hist, n_bil, mat_occ, use_catrom),
             windows_l, n_out=n_out, halo=HALO, block=BLOCK,
-            scalars=scalars_l, block_scalars=[base_y, base_x],
+            scalars=scalars_l, block_scalars=[base_y, base_x, wide_b],
             center_inputs=centers_l, base_offset=(base_y, base_x),
             offset_windows=[True] * (len(windows_l) - 2) + [False, False],
             origin_offset=origin_offset)
@@ -1597,41 +1655,51 @@ def _hist_sample_kernel(n_planes, use_catrom, smem, bsm, wins, centers, outs, or
     rect_h = smem[1]
 
     bh, bw = mvy.shape
-    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x)
-    qy = jnp.clip(qy, -1.0, 0.999)
-    qx = jnp.clip(qx, -1.0, 0.999)
-    my = qy < 0.0
-    mx = qx < 0.0
-    fy = qy - jnp.where(my, -1.0, 0.0)
-    fx = qx - jnp.where(mx, -1.0, 0.0)
-
+    # same BLOCK-ADAPTIVE wide capture as the smb resolver: exact residuals to
+    # 2 px on wide-flagged blocks, classic 1-px path elsewhere (budget-1
+    # validity here zeroed the TS's history sample at every dev > 1 pixel,
+    # firing antilag and freezing accumulation - the round-5 zoom-retention
+    # root cause, see test_history_retention)
+    qy, qx, valid = rp.residual_and_validity(mvy, mvx, base_y, base_x, budget=5.0)
+    wide = bsm[2][i, j] > 0.0
     row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-    ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) \
-        + jnp.where(mx, -1.0, 0.0)
-    oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) \
-        + jnp.where(my, -1.0, 0.0)
 
-    def on_screen(i_, j_):
-        tx = ox + (i_ - 1)
-        ty = oy + (j_ - 1)
-        return ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
-            .astype(jnp.float32)
+    def _resolve_body(my, mx, fy, fx):
+        bw00 = (1.0 - fx) * (1.0 - fy)
+        bw10 = fx * (1.0 - fy)
+        bw01 = (1.0 - fx) * fy
+        bw11 = fx * fy
+        bws = [bw00, bw10, bw01, bw11]
+        occ_w = [bws[k] * occ[k] * valid for k in range(4)]
+        occ_wsum = occ_w[0] + occ_w[1] + occ_w[2] + occ_w[3]
 
-    bw00 = (1.0 - fx) * (1.0 - fy)
-    bw10 = fx * (1.0 - fy)
-    bw01 = (1.0 - fx) * fy
-    bw11 = fx * fy
-    bws = [bw00, bw10, bw01, bw11]
-    occ_w = [bws[k] * occ[k] * valid for k in range(4)]
-    occ_wsum = occ_w[0] + occ_w[1] + occ_w[2] + occ_w[3]
+        px_nm = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32)
+        py_nm = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32)
+        rc = RC(my, mx, fx, fy, occ_w, occ_wsum, allow, py_nm, px_nm,
+                rect_w, rect_h, use_catrom, cat_extra=valid)
+        for p in range(n_planes):
+            outs[p][:, :] = rc.resolve_hist(wins[p])
 
-    px_nm = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32)
-    py_nm = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32)
-    rc = RC(my, mx, fx, fy, occ_w, occ_wsum, allow, py_nm, px_nm,
-            rect_w, rect_h, use_catrom, cat_extra=valid)
-    for p in range(n_planes):
-        outs[p][:, :] = rc.resolve_hist(wins[p])
+    @pl.when(wide)
+    def _():
+        qyw = jnp.clip(qy, -2.0, 1.999)
+        qxw = jnp.clip(qx, -2.0, 1.999)
+        fl_y = jnp.floor(qyw)
+        fl_x = jnp.floor(qxw)
+        my = [(k, (fl_y == k).astype(jnp.float32)) for k in range(-2, 2)]
+        mx = [(k, (fl_x == k).astype(jnp.float32)) for k in range(-2, 2)]
+        _resolve_body(my, mx, qyw - fl_y, qxw - fl_x)
+
+    @pl.when(jnp.logical_not(wide))
+    def _():
+        qyn = jnp.clip(qy, -1.0, 0.999)
+        qxn = jnp.clip(qx, -1.0, 0.999)
+        myf = (qyn < 0.0).astype(jnp.float32)
+        mxf = (qxn < 0.0).astype(jnp.float32)
+        my = [(-1, myf), (0, 1.0 - myf)]
+        mx = [(-1, mxf), (0, 1.0 - mxf)]
+        _resolve_body(my, mx, qyn + myf, qxn + mxf)
 
 
 def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom,
@@ -1645,10 +1713,12 @@ def hist_sample_pallas(sc, planes, mv_pix_y, mv_pix_x, occ4, allow_catrom,
     def launch(tree, origin_offset=None):
         planes_l, centers_l, scalars_l = tree
         base_y, base_x = _prep(sc, centers_l[0], centers_l[1])
+        wide_b = rp.block_wide_flag(centers_l[0], centers_l[1], base_y, base_x,
+                                    BLOCK, HALO)
         return stencil_call2(
             functools.partial(_hist_sample_kernel, n, use_catrom),
             list(planes_l), n_out=n, halo=HALO, block=BLOCK,
-            scalars=scalars_l, block_scalars=[base_y, base_x],
+            scalars=scalars_l, block_scalars=[base_y, base_x, wide_b],
             center_inputs=centers_l, base_offset=(base_y, base_x),
             offset_windows=[True] * n, origin_offset=origin_offset)
 

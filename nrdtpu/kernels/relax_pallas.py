@@ -844,13 +844,11 @@ def _relax_smb_kernel(has_spec, n_hist, n_bil, mat_occ, smem, bsm, wins, centers
     view_z_scale = smem[12]
 
     bh, bw = mvy.shape
-    qy, qx, valid = _rp.residual_and_validity(mvy, mvx, base_y, base_x)
-    qy = jnp.clip(qy, -1.0, 0.999)
-    qx = jnp.clip(qx, -1.0, 0.999)
-    my = qy < 0.0
-    mx = qx < 0.0
-    fy = qy - jnp.where(my, -1.0, 0.0)
-    fx = qx - jnp.where(mx, -1.0, 0.0)
+    # BLOCK-ADAPTIVE exact residual capture (see reblur_pallas _smb_kernel -
+    # budget-1 clipping froze accumulation under zoom; the exact path costs
+    # ~2.5x, so only blocks with max residual > 1 px run it)
+    qy, qx, valid = _rp.residual_and_validity(mvy, mvx, base_y, base_x, budget=5.0)
+    wide = bsm[2][i, j] > 0.0
 
     # current 3x3: averaged normal (+ min spec hitT)
     na = [jnp.zeros((bh, bw), jnp.float32) for _ in range(3)]
@@ -873,111 +871,130 @@ def _relax_smb_kernel(has_spec, n_hist, n_bil, mat_occ, smem, bsm, wins, centers
     inv_na = jax.lax.rsqrt(jnp.maximum(na[0] ** 2 + na[1] ** 2 + na[2] ** 2, 1e-15))
     nau = [a * inv_na for a in na]
 
-    def fp(w_):
-        return _FP(w_, my, mx)  # prev-frame windows arrive pre-shifted by the DMA base
+    def _resolve_body(my, mx, fy, fx, fl_y, fl_x):
+        def fp(w_):
+            return _FP(w_, my, mx)  # prev-frame windows arrive pre-shifted by the DMA base
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-    ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) \
-        + jnp.where(mx, -1.0, 0.0)
-    oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) \
-        + jnp.where(my, -1.0, 0.0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+        ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) + fl_x
+        oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) + fl_y
 
-    def on_screen(i_, j_):
-        tx = ox + (i_ - 1)
-        ty = oy + (j_ - 1)
-        return ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
-            .astype(jnp.float32)
+        def on_screen(i_, j_):
+            tx = ox + (i_ - 1)
+            ty = oy + (j_ - 1)
+            return ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+                .astype(jnp.float32)
 
-    zfp = fp(zp_w)
-    matfp = fp(mat_w)
-    occ = [[None] * 4 for _ in range(4)]
-    for j_ in range(4):
-        for i_ in range(4):
-            q = (1 if i_ >= 2 else 0) + (2 if j_ >= 2 else 0)
-            z_t = jnp.abs(zfp.tap(i_, j_)) * view_z_scale
-            thr = base_thr * on_screen(*(_CENTER4[q])) * valid - NRD_EPS
-            ok = (jnp.abs(z_t - xv_prev_z) <= thr).astype(jnp.float32)
-            if mat_occ:
-                ok = ok * (jnp.maximum(mat_c, min_material)
-                           == jnp.maximum(matfp.tap(i_, j_), min_material)) \
-                    .astype(jnp.float32)
-            occ[j_][i_] = ok
-    occ12 = sum(occ[j_][i_] for j_ in range(4) for i_ in range(4)
-                if (i_, j_) not in _CORNER4)
-    bicubic_valid = occ12 > 11.5
-    bval = [occ[j_][i_] for (i_, j_) in _CENTER4]
+        zfp = fp(zp_w)
+        matfp = fp(mat_w)
+        occ = [[None] * 4 for _ in range(4)]
+        for j_ in range(4):
+            for i_ in range(4):
+                q = (1 if i_ >= 2 else 0) + (2 if j_ >= 2 else 0)
+                z_t = jnp.abs(zfp.tap(i_, j_)) * view_z_scale
+                thr = base_thr * on_screen(*(_CENTER4[q])) * valid - NRD_EPS
+                ok = (jnp.abs(z_t - xv_prev_z) <= thr).astype(jnp.float32)
+                if mat_occ:
+                    ok = ok * (jnp.maximum(mat_c, min_material)
+                               == jnp.maximum(matfp.tap(i_, j_), min_material)) \
+                        .astype(jnp.float32)
+                occ[j_][i_] = ok
+        occ12 = sum(occ[j_][i_] for j_ in range(4) for i_ in range(4)
+                    if (i_, j_) not in _CORNER4)
+        bicubic_valid = occ12 > 11.5
+        bval = [occ[j_][i_] for (i_, j_) in _CENTER4]
 
-    # prev flat normal: mean of the centre 2x2 packed taps (bilinear at frac 0.5)
-    nrfp = [fp(w_) for w_ in nrp]
-    flat = []
-    for c in range(4):
-        flat.append(0.25 * sum(nrfp[c].tap(i_, j_) for (i_, j_) in _CENTER4))
-    pn = [flat[0] * 2.0 - 1.0, flat[1] * 2.0 - 1.0, flat[2] * 2.0 - 1.0]
-    inv = jax.lax.rsqrt(jnp.maximum(pn[0] ** 2 + pn[1] ** 2 + pn[2] ** 2, 1e-15))
-    pn = [a * inv for a in pn]
-    pwx = p2w[0] * pn[0] + p2w[1] * pn[1] + p2w[2] * pn[2]
-    pwy = p2w[3] * pn[0] + p2w[4] * pn[1] + p2w[5] * pn[2]
-    pwz = p2w[6] * pn[0] + p2w[7] * pn[1] + p2w[8] * pn[2]
-    backface = (nau[0] * pwx + nau[1] * pwy + nau[2] * pwz) < 0.0
-    bval = [jnp.where(backface, 0.0, b) for b in bval]
-    bicubic_valid = jnp.logical_and(bicubic_valid, jnp.logical_not(backface))
+        # prev flat normal: mean of the centre 2x2 packed taps (bilinear at frac 0.5)
+        nrfp = [fp(w_) for w_ in nrp]
+        flat = []
+        for c in range(4):
+            flat.append(0.25 * sum(nrfp[c].tap(i_, j_) for (i_, j_) in _CENTER4))
+        pn = [flat[0] * 2.0 - 1.0, flat[1] * 2.0 - 1.0, flat[2] * 2.0 - 1.0]
+        inv = jax.lax.rsqrt(jnp.maximum(pn[0] ** 2 + pn[1] ** 2 + pn[2] ** 2, 1e-15))
+        pn = [a * inv for a in pn]
+        pwx = p2w[0] * pn[0] + p2w[1] * pn[1] + p2w[2] * pn[2]
+        pwy = p2w[3] * pn[0] + p2w[4] * pn[1] + p2w[5] * pn[2]
+        pwz = p2w[6] * pn[0] + p2w[7] * pn[1] + p2w[8] * pn[2]
+        backface = (nau[0] * pwx + nau[1] * pwy + nau[2] * pwz) < 0.0
+        bval = [jnp.where(backface, 0.0, b) for b in bval]
+        bicubic_valid = jnp.logical_and(bicubic_valid, jnp.logical_not(backface))
 
-    bw00 = (1.0 - fx) * (1.0 - fy)
-    bw10 = fx * (1.0 - fy)
-    bw01 = (1.0 - fx) * fy
-    bw11 = fx * fy
-    bws = [bw00, bw10, bw01, bw11]
-    cw = [bws[k] * bval[k] for k in range(4)]
-    cwsum = cw[0] + cw[1] + cw[2] + cw[3]
+        bw00 = (1.0 - fx) * (1.0 - fy)
+        bw10 = fx * (1.0 - fy)
+        bw01 = (1.0 - fx) * fy
+        bw11 = fx * fy
+        bws = [bw00, bw10, bw01, bw11]
+        cw = [bws[k] * bval[k] for k in range(4)]
+        cwsum = cw[0] + cw[1] + cw[2] + cw[3]
 
-    def resolve_custom(fp_):
-        acc = sum(fp_.tap(i_, j_) * cw[k] for k, (i_, j_) in enumerate(_CENTER4))
-        return jnp.where(cwsum < 1e-4, 0.0, acc / jnp.where(cwsum < 1e-4, 1.0, cwsum))
+        def resolve_custom(fp_):
+            acc = sum(fp_.tap(i_, j_) * cw[k] for k, (i_, j_) in enumerate(_CENTER4))
+            return jnp.where(cwsum < 1e-4, 0.0, acc / jnp.where(cwsum < 1e-4, 1.0, cwsum))
 
-    hl_res = resolve_custom(fp(hl_w))
-    ht_res = resolve_custom(fp(ht_w)) if has_spec else None
+        hl_res = resolve_custom(fp(hl_w))
+        ht_res = resolve_custom(fp(ht_w)) if has_spec else None
 
-    wxs = _crw(fx)
-    wys = _crw(fy)
-    cat_w = {}
-    cat_wsum = jnp.zeros((bh, bw), jnp.float32)
-    for j_ in range(4):
-        for i_ in range(4):
-            if (i_, j_) in _CORNER4:
-                continue
-            w_ = wxs[i_] * wys[j_] * on_screen(i_, j_) * valid
-            cat_w[(i_, j_)] = w_
-            cat_wsum = cat_wsum + w_
+        wxs = _crw(fx)
+        wys = _crw(fy)
+        cat_w = {}
+        cat_wsum = jnp.zeros((bh, bw), jnp.float32)
+        for j_ in range(4):
+            for i_ in range(4):
+                if (i_, j_) in _CORNER4:
+                    continue
+                w_ = wxs[i_] * wys[j_] * on_screen(i_, j_) * valid
+                cat_w[(i_, j_)] = w_
+                cat_wsum = cat_wsum + w_
 
-    hist_out = []
-    for hw_ in hist_wins:
-        fp_ = fp(hw_)
-        cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
-        cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
-                        cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
-        bil = resolve_custom(fp_)
-        hist_out.append(jnp.where(bicubic_valid, cat, bil))
+        hist_out = []
+        for hw_ in hist_wins:
+            fp_ = fp(hw_)
+            cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
+            cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                            cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
+            bil = resolve_custom(fp_)
+            hist_out.append(jnp.where(bicubic_valid, cat, bil))
 
-    k = 0
-    for v_ in hist_out:
-        outs[k][:, :] = v_
-        k += 1
-    for bw_ in bil_wins:  # occlusion-weighted bilinear (SH histories)
-        outs[k][:, :] = resolve_custom(fp(bw_))
-        k += 1
-    outs[k][:, :] = hl_res; k += 1
-    outs[k][:, :] = bicubic_valid.astype(jnp.float32); k += 1
-    outs[k][:, :] = (bval[0] + bval[1] + bval[2] + bval[3] > 0.0) \
-        .astype(jnp.float32); k += 1
-    outs[k][:, :] = cwsum; k += 1
-    for a in nau:
-        outs[k][:, :] = a; k += 1
-    for a in na:
-        outs[k][:, :] = a; k += 1
-    if has_spec:
-        outs[k][:, :] = ht_res; k += 1
-        outs[k][:, :] = min_hit; k += 1
+        k = 0
+        for v_ in hist_out:
+            outs[k][:, :] = v_
+            k += 1
+        for bw_ in bil_wins:  # occlusion-weighted bilinear (SH histories)
+            outs[k][:, :] = resolve_custom(fp(bw_))
+            k += 1
+        outs[k][:, :] = hl_res; k += 1
+        outs[k][:, :] = bicubic_valid.astype(jnp.float32); k += 1
+        outs[k][:, :] = (bval[0] + bval[1] + bval[2] + bval[3] > 0.0) \
+            .astype(jnp.float32); k += 1
+        outs[k][:, :] = cwsum; k += 1
+        for a in nau:
+            outs[k][:, :] = a; k += 1
+        for a in na:
+            outs[k][:, :] = a; k += 1
+        if has_spec:
+            outs[k][:, :] = ht_res; k += 1
+            outs[k][:, :] = min_hit; k += 1
+
+    @pl.when(wide)
+    def _():
+        qyw = jnp.clip(qy, -2.0, 1.999)
+        qxw = jnp.clip(qx, -2.0, 1.999)
+        fl_y = jnp.floor(qyw)
+        fl_x = jnp.floor(qxw)
+        my = [(k, (fl_y == k).astype(jnp.float32)) for k in range(-2, 2)]
+        mx = [(k, (fl_x == k).astype(jnp.float32)) for k in range(-2, 2)]
+        _resolve_body(my, mx, qyw - fl_y, qxw - fl_x, fl_y, fl_x)
+
+    @pl.when(jnp.logical_not(wide))
+    def _():
+        qyn = jnp.clip(qy, -1.0, 0.999)
+        qxn = jnp.clip(qx, -1.0, 0.999)
+        myf = (qyn < 0.0).astype(jnp.float32)
+        mxf = (qxn < 0.0).astype(jnp.float32)
+        my = [(-1, myf), (0, 1.0 - myf)]
+        mx = [(-1, mxf), (0, 1.0 - mxf)]
+        _resolve_body(my, mx, qyn + myf, qxn + mxf, -myf, -mxf)
 
 
 def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr,
@@ -1002,6 +1019,7 @@ def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr
     ])
     base_y, base_x = _rp.block_motion_base(mv_pix_y, mv_pix_x, BLOCK,
                                            bound=(HALO[0] - 4, HALO[1] - 4))
+    wide_b = _rp.block_wide_flag(mv_pix_y, mv_pix_x, base_y, base_x, BLOCK, HALO)
 
     windows = [prev_view_z, prev_mat, prev_hl]
     if has_spec:
@@ -1020,7 +1038,7 @@ def relax_smb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, xv_prev_z, base_thr
     outs = stencil_call2(
         functools.partial(_relax_smb_kernel, has_spec, n_hist, n_bil, mat_occ),
         windows, n_out=n_out, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
+        scalars=scalars, block_scalars=[base_y, base_x, wide_b], center_inputs=centers,
         base_offset=(base_y, base_x),
         offset_windows=[True] * (len(windows) - n_cur) + [False] * n_cur)
     res = dict(hist=list(outs[:n_hist]), bil=list(outs[n_hist:n_hist + n_bil]))
@@ -1066,121 +1084,136 @@ def _relax_vmb_kernel(mat_occ, n_sh, smem, bsm, wins, centers, outs, origin, scr
     ortho = smem[13]
 
     bh, bw = mvy.shape
-    qy, qx, valid = _rp.residual_and_validity(mvy, mvx, base_y, base_x)
-    qy = jnp.clip(qy, -1.0, 0.999)
-    qx = jnp.clip(qx, -1.0, 0.999)
-    my = qy < 0.0
-    mx = qx < 0.0
-    fy = qy - jnp.where(my, -1.0, 0.0)
-    fx = qx - jnp.where(mx, -1.0, 0.0)
+    # BLOCK-ADAPTIVE exact residual capture (see reblur_pallas _smb_kernel)
+    qy, qx, valid = _rp.residual_and_validity(mvy, mvx, base_y, base_x, budget=5.0)
+    wide = bsm[2][i, j] > 0.0
 
-    def fp(w_):
-        return _FP(w_, my, mx)  # prev-frame windows arrive pre-shifted by the DMA base
+    def _resolve_body(my, mx, fy, fx, fl_y, fl_x):
+        def fp(w_):
+            return _FP(w_, my, mx)  # prev-frame windows arrive pre-shifted by the DMA base
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-    ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) \
-        + jnp.where(mx, -1.0, 0.0)
-    oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) \
-        + jnp.where(my, -1.0, 0.0)
-    inv_w = 1.0 / rect_w
-    inv_h = 1.0 / rect_h
+        row = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
+        ox = origin[1].astype(jnp.float32) + col + base_x.astype(jnp.float32) + fl_x
+        oy = origin[0].astype(jnp.float32) + row + base_y.astype(jnp.float32) + fl_y
+        inv_w = 1.0 / rect_w
+        inv_h = 1.0 / rect_h
 
-    def prev_world_pos(uu, vv, zz):
-        cx = uu * 2.0 - 1.0
-        cy = vv * 2.0 - 1.0
-        out = []
-        for a in range(3):
-            persp = zz * (fr[6 + a] + fr[a] * cx - fr[3 + a] * cy)
-            orth = zz * fr[6 + a] + fr[a] * cx - fr[3 + a] * cy
-            out.append(jnp.where(ortho == 0.0, persp, orth))
-        return out
+        def prev_world_pos(uu, vv, zz):
+            cx = uu * 2.0 - 1.0
+            cy = vv * 2.0 - 1.0
+            out = []
+            for a in range(3):
+                persp = zz * (fr[6 + a] + fr[a] * cx - fr[3 + a] * cy)
+                orth = zz * fr[6 + a] + fr[a] * cx - fr[3 + a] * cy
+                out.append(jnp.where(ortho == 0.0, persp, orth))
+            return out
 
-    zfp = fp(zp_w)
-    matfp = fp(mat_w)
-    vval = []
-    for k, (i_, j_) in enumerate(_CENTER4):
-        tx = ox + (i_ - 1)
-        ty = oy + (j_ - 1)
-        scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
-            .astype(jnp.float32)
-        zp_ = jnp.abs(zfp.tap(i_, j_)) * view_z_scale
-        tap_u = (tx + 0.5) * inv_w
-        tap_v = (ty + 0.5) * inv_h
-        xpx, xpy, xpz = prev_world_pos(tap_u, tap_v, zp_)
-        pd = jnp.abs((xmd[0] - xpx) * n_c[0] + (xmd[1] - xpy) * n_c[1]
-                     + (xmd[2] - xpz) * n_c[2])
-        thr = thr_base * scr * valid - NRD_EPS
-        ok = (pd <= thr).astype(jnp.float32)
-        if mat_occ:
-            ok = ok * (jnp.maximum(mat_c, min_material)
-                       == jnp.maximum(matfp.tap(i_, j_), min_material)) \
-                .astype(jnp.float32)
-        vval.append(ok)
-
-    vany = (vval[0] + vval[1] + vval[2] + vval[3]) > 0.0
-    vall = (vval[0] * vval[1] * vval[2] * vval[3]) > 0.0
-    use_bicubic = smb_bicubic & vall
-
-    bw00 = (1.0 - fx) * (1.0 - fy)
-    bw10 = fx * (1.0 - fy)
-    bw01 = (1.0 - fx) * fy
-    bw11 = fx * fy
-    bws = [bw00, bw10, bw01, bw11]
-    cw = [bws[k] * vval[k] for k in range(4)]
-    cwsum = cw[0] + cw[1] + cw[2] + cw[3]
-
-    def resolve_custom(fp_):
-        acc = sum(fp_.tap(i_, j_) * cw[k] for k, (i_, j_) in enumerate(_CENTER4))
-        return jnp.where(cwsum < 1e-4, 0.0, acc / jnp.where(cwsum < 1e-4, 1.0, cwsum))
-
-    wxs = _crw(fx)
-    wys = _crw(fy)
-    cat_w = {}
-    cat_wsum = jnp.zeros((bh, bw), jnp.float32)
-    for j_ in range(4):
-        for i_ in range(4):
-            if (i_, j_) in _CORNER4:
-                continue
+        zfp = fp(zp_w)
+        matfp = fp(mat_w)
+        vval = []
+        for k, (i_, j_) in enumerate(_CENTER4):
             tx = ox + (i_ - 1)
             ty = oy + (j_ - 1)
             scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
                 .astype(jnp.float32)
-            w_ = wxs[i_] * wys[j_] * scr * valid
-            cat_w[(i_, j_)] = w_
-            cat_wsum = cat_wsum + w_
+            zp_ = jnp.abs(zfp.tap(i_, j_)) * view_z_scale
+            tap_u = (tx + 0.5) * inv_w
+            tap_v = (ty + 0.5) * inv_h
+            xpx, xpy, xpz = prev_world_pos(tap_u, tap_v, zp_)
+            pd = jnp.abs((xmd[0] - xpx) * n_c[0] + (xmd[1] - xpy) * n_c[1]
+                         + (xmd[2] - xpz) * n_c[2])
+            thr = thr_base * scr * valid - NRD_EPS
+            ok = (pd <= thr).astype(jnp.float32)
+            if mat_occ:
+                ok = ok * (jnp.maximum(mat_c, min_material)
+                           == jnp.maximum(matfp.tap(i_, j_), min_material)) \
+                    .astype(jnp.float32)
+            vval.append(ok)
 
-    k_out = 0
-    for hw_ in hists:
-        fp_ = fp(hw_)
-        cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
-        cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
-                        cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
-        bil = resolve_custom(fp_)
-        outs[k_out][:, :] = jnp.where(use_bicubic, cat, bil)
-        k_out += 1
+        vany = (vval[0] + vval[1] + vval[2] + vval[3]) > 0.0
+        vall = (vval[0] * vval[1] * vval[2] * vval[3]) > 0.0
+        use_bicubic = smb_bicubic & vall
 
-    # plain bilinear for reflection_hit_t + packed prev normal/roughness
-    pw = []
-    for k, (i_, j_) in enumerate(_CENTER4):
-        tx = ox + (i_ - 1)
-        ty = oy + (j_ - 1)
-        scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
-            .astype(jnp.float32)
-        pw.append(bws[k] * scr * valid)
-    pws = pw[0] + pw[1] + pw[2] + pw[3]
+        bw00 = (1.0 - fx) * (1.0 - fy)
+        bw10 = fx * (1.0 - fy)
+        bw01 = (1.0 - fx) * fy
+        bw11 = fx * fy
+        bws = [bw00, bw10, bw01, bw11]
+        cw = [bws[k] * vval[k] for k in range(4)]
+        cwsum = cw[0] + cw[1] + cw[2] + cw[3]
 
-    def resolve_plain(fp_):
-        acc = sum(fp_.tap(i_, j_) * pw[k] for k, (i_, j_) in enumerate(_CENTER4))
-        return jnp.where(pws < 1e-4, 0.0, acc / jnp.where(pws < 1e-4, 1.0, pws))
+        def resolve_custom(fp_):
+            acc = sum(fp_.tap(i_, j_) * cw[k] for k, (i_, j_) in enumerate(_CENTER4))
+            return jnp.where(cwsum < 1e-4, 0.0, acc / jnp.where(cwsum < 1e-4, 1.0, cwsum))
 
-    outs[k_out][:, :] = resolve_plain(fp(ht_w)); k_out += 1
-    for c in range(4):
-        outs[k_out][:, :] = resolve_plain(fp(nrp[c])); k_out += 1
-    outs[k_out][:, :] = vany.astype(jnp.float32); k_out += 1
-    outs[k_out][:, :] = vall.astype(jnp.float32); k_out += 1
-    for sw in sh_wins:  # SH histories: occlusion-weighted bilinear
-        outs[k_out][:, :] = resolve_custom(fp(sw)); k_out += 1
+        wxs = _crw(fx)
+        wys = _crw(fy)
+        cat_w = {}
+        cat_wsum = jnp.zeros((bh, bw), jnp.float32)
+        for j_ in range(4):
+            for i_ in range(4):
+                if (i_, j_) in _CORNER4:
+                    continue
+                tx = ox + (i_ - 1)
+                ty = oy + (j_ - 1)
+                scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+                    .astype(jnp.float32)
+                w_ = wxs[i_] * wys[j_] * scr * valid
+                cat_w[(i_, j_)] = w_
+                cat_wsum = cat_wsum + w_
+
+        k_out = 0
+        for hw_ in hists:
+            fp_ = fp(hw_)
+            cat_acc = sum(fp_.tap(i_, j_) * w_ for (i_, j_), w_ in cat_w.items())
+            cat = jnp.where(jnp.abs(cat_wsum) < 1e-4, 0.0,
+                            cat_acc / jnp.where(jnp.abs(cat_wsum) < 1e-4, 1.0, cat_wsum))
+            bil = resolve_custom(fp_)
+            outs[k_out][:, :] = jnp.where(use_bicubic, cat, bil)
+            k_out += 1
+
+        # plain bilinear for reflection_hit_t + packed prev normal/roughness
+        pw = []
+        for k, (i_, j_) in enumerate(_CENTER4):
+            tx = ox + (i_ - 1)
+            ty = oy + (j_ - 1)
+            scr = ((tx >= 0.0) & (tx < rect_w) & (ty >= 0.0) & (ty < rect_h)) \
+                .astype(jnp.float32)
+            pw.append(bws[k] * scr * valid)
+        pws = pw[0] + pw[1] + pw[2] + pw[3]
+
+        def resolve_plain(fp_):
+            acc = sum(fp_.tap(i_, j_) * pw[k] for k, (i_, j_) in enumerate(_CENTER4))
+            return jnp.where(pws < 1e-4, 0.0, acc / jnp.where(pws < 1e-4, 1.0, pws))
+
+        outs[k_out][:, :] = resolve_plain(fp(ht_w)); k_out += 1
+        for c in range(4):
+            outs[k_out][:, :] = resolve_plain(fp(nrp[c])); k_out += 1
+        outs[k_out][:, :] = vany.astype(jnp.float32); k_out += 1
+        outs[k_out][:, :] = vall.astype(jnp.float32); k_out += 1
+        for sw in sh_wins:  # SH histories: occlusion-weighted bilinear
+            outs[k_out][:, :] = resolve_custom(fp(sw)); k_out += 1
+
+    @pl.when(wide)
+    def _():
+        qyw = jnp.clip(qy, -2.0, 1.999)
+        qxw = jnp.clip(qx, -2.0, 1.999)
+        fl_y = jnp.floor(qyw)
+        fl_x = jnp.floor(qxw)
+        my = [(k, (fl_y == k).astype(jnp.float32)) for k in range(-2, 2)]
+        mx = [(k, (fl_x == k).astype(jnp.float32)) for k in range(-2, 2)]
+        _resolve_body(my, mx, qyw - fl_y, qxw - fl_x, fl_y, fl_x)
+
+    @pl.when(jnp.logical_not(wide))
+    def _():
+        qyn = jnp.clip(qy, -1.0, 0.999)
+        qxn = jnp.clip(qx, -1.0, 0.999)
+        myf = (qyn < 0.0).astype(jnp.float32)
+        mxf = (qxn < 0.0).astype(jnp.float32)
+        my = [(-1, myf), (0, 1.0 - myf)]
+        mx = [(-1, mxf), (0, 1.0 - mxf)]
+        _resolve_body(my, mx, qyn + myf, qxn + mxf, -myf, -mxf)
 
 
 def relax_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, n, x_minus_delta,
@@ -1205,6 +1238,7 @@ def relax_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, n, x_minus_delta,
     ])
     base_y, base_x = _rp.block_motion_base(mv_pix_y, mv_pix_x, BLOCK,
                                            bound=(HALO[0] - 4, HALO[1] - 4))
+    wide_b = _rp.block_wide_flag(mv_pix_y, mv_pix_x, base_y, base_x, BLOCK, HALO)
     windows = ([prev_view_z, prev_mat, prev_ht]
                + [prev_nr_packed[..., c] for c in range(4)]
                + [spec_illum_prev[..., c] for c in range(4)]
@@ -1219,7 +1253,7 @@ def relax_vmb_resolve(sc, dc, config, *, mv_pix_y, mv_pix_x, n, x_minus_delta,
     outs = stencil_call2(
         functools.partial(_relax_vmb_kernel, mat_occ, n_sh),
         windows, n_out=15 + n_sh, halo=HALO, block=BLOCK,
-        scalars=scalars, block_scalars=[base_y, base_x], center_inputs=centers,
+        scalars=scalars, block_scalars=[base_y, base_x, wide_b], center_inputs=centers,
         base_offset=(base_y, base_x), offset_windows=[True] * len(windows))
     res = dict(spec_vmb=jnp.stack(outs[0:4], -1),
                spec_vmb_resp=jnp.stack(outs[4:8], -1),

@@ -74,3 +74,26 @@ def tent_weight(q, d: int):
 
 
 TAPS = (-1, 0, 1)
+
+
+def block_wide_flag(mv_pix_y, mv_pix_x, base_y, base_x, block=(64, 256),
+                    halo=(32, 128), thresh=1.0):
+    """(gh, gw) f32: 1.0 where any pixel's residual |motion - base| exceeds
+    `thresh` px. Gates the exact wide-capture path per block (reblur_pallas
+    _smb_kernel): pans stay on the cheap narrow path, zoom/orbit blocks with a
+    real in-block motion gradient pay for exact residual capture."""
+    from .harness import pick_block
+
+    h, w = mv_pix_y.shape
+    bh, bw = pick_block(h, w, block, halo)
+    gh, gw = -(-h // bh), -(-w // bw)
+    ph, pw = gh * bh, gw * bw
+    if (ph, pw) != (h, w):
+        mv_pix_y = jnp.pad(mv_pix_y, ((0, ph - h), (0, pw - w)), mode="edge")
+        mv_pix_x = jnp.pad(mv_pix_x, ((0, ph - h), (0, pw - w)), mode="edge")
+    qy = jnp.abs(mv_pix_y.reshape(gh, bh, gw, bw)
+                 - base_y.astype(jnp.float32)[:, None, :, None])
+    qx = jnp.abs(mv_pix_x.reshape(gh, bh, gw, bw)
+                 - base_x.astype(jnp.float32)[:, None, :, None])
+    dev = jnp.maximum(qy.max(axis=(1, 3)), qx.max(axis=(1, 3)))
+    return (dev > thresh).astype(jnp.float32)

@@ -56,7 +56,7 @@ from .sigma_pallas import (
 )
 
 B = 40          # band height; must be >= 34 (stage reach) and a multiple of 8
-RC = 8          # compute row-chunk inside a band (fori_loop; keeps vregs low)
+RC = 8          # compute row-chunk inside a band (static python loop; keeps vregs low)
 PADY = 80       # row edge-pad on all stencilled inputs (2 bands, covers every start)
 PADX = 128      # col edge-pad on blur-stencilled inputs (DMA col starts stay aligned)
 PADXH = 256     # col edge-pad on history planes (motion base up to +-126, + align)
@@ -357,12 +357,16 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, diag, smem, by_ref, bx_r
     cw1 = PADX - EXT
     cw2 = PADX - EXT2
 
-    # Row-chunked stages: each 40-row band computes in RC=8-row slices inside a
-    # fori_loop (body instantiated ONCE). Full-band (40, ~Wh+2*EXT) f32 values
-    # are ~50 vregs each and spill; (8, w) slices are ~10 - bench_band.py's
-    # blur1-only diag measured the spilled version at 2.9x the block-kernel
-    # cost. Slides run in a separate chunk loop BEFORE appends (the appended
-    # rows are read by later slide chunks otherwise).
+    # Row-chunked stages: each 40-row band computes in RC=8-row slices so
+    # full-band (40, ~Wh+2*EXT) f32 values (~50 vregs each, spilled) become
+    # (8, w) slices (~10) - bench_band.py's blur1-only diag measured the
+    # spilled version at 2.9x the block-kernel cost. The chunk loop is a
+    # PYTHON loop: a fori_loop's traced chunk base + arbitrary static tap
+    # offsets (r0 + 40 + dy) hit Mosaic's dynamic-slice divisibility prover,
+    # which fails for dy not a multiple of 8 (round-4 on-chip failure mode in
+    # the REBLUR twin of this kernel). Slides run in a separate chunk loop
+    # BEFORE appends (the appended rows are read by later slide chunks
+    # otherwise).
     nch = B // RC
 
     def slide(k, carry):
@@ -375,8 +379,8 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, diag, smem, by_ref, bx_r
 
     # ================= blur1 for band j0 = i =================
     # pen window rows: band row r -> 40 + r; z/tile window: band row r -> 2B + r
-    def blur1_chunk(k, carry):
-        r0 = pl.multiple_of(k * RC, RC)
+    def blur1_chunk(k):
+        r0 = k * RC
         fyp1, fxp1 = _coords(RC, Wc1, i * B + r0, col0 - EXT)
 
         def pen_tap1(dy, dx):
@@ -410,20 +414,20 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, diag, smem, by_ref, bx_r
                 outs[c][pl.ds(r0, RC), :] = \
                     s1[min(c, len(s1) - 1)][:, EXT:EXT + Wh]
             hl_out[pl.ds(r0, RC), :] = pen1[:, EXT:EXT + Wh]
-            return carry
+            return
         for b_, v in zip(b1, [pen1] + s1):
             b_[pl.ds(2 * B + r0, RC), :] = v.astype(b_.dtype)
-        return carry
 
-    jax.lax.fori_loop(0, nch, blur1_chunk, 0, unroll=False)
+    for _kc in range(nch):
+        blur1_chunk(_kc)
     if diag == "b1":
         return
 
     # ================= blur2 for band j1 = i - 1 =================
     # b1 buf rows: band j1 row r -> B + r, col c -> EXT + c;
     # z/tile window: band j1 row r -> B + r; nxy window: row r
-    def blur2_chunk(k, carry):
-        r0 = pl.multiple_of(k * RC, RC)
+    def blur2_chunk(k):
+        r0 = k * RC
         fyp2, fxp2 = _coords(RC, Wc2, (i - 1) * B + r0, col0 - EXT2)
 
         def pen_tap2(dy, dx):
@@ -457,12 +461,12 @@ def _band_kernel(channels, translucent, nb, Wh, nseg_h, diag, smem, by_ref, bx_r
                 outs[c][pl.ds(r0, RC), :] = \
                     s2[min(c, len(s2) - 1)][:, EXT2:EXT2 + Wh]
             hl_out[pl.ds(r0, RC), :] = pen2[:, EXT2:EXT2 + Wh]
-            return carry
+            return
         for b_, v in zip(b2, [pen2] + s2):
             b_[pl.ds(2 * B + r0, RC), :] = v.astype(b_.dtype)
-        return carry
 
-    jax.lax.fori_loop(0, nch, blur2_chunk, 0, unroll=False)
+    for _kc in range(nch):
+        blur2_chunk(_kc)
     if diag == "b12":
         return
 

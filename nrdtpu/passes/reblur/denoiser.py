@@ -403,12 +403,14 @@ class ReblurDenoiser:
         # HISTORY FIX + BLUR + POST BLUR in ONE launch (band pipeline): sliding
         # VMEM buffers carry each stage's output into the next stage's stencil -
         # no halo recompute, one launch floor, geometry DMA'd once
-        # (kernels/reblur_band.py). Falls back to the 3-launch path when a probe
-        # needs the intermediates or when disabled via NRDTPU_REBLUR_BAND=0.
+        # (kernels/reblur_band.py). Opt-IN via NRDTPU_REBLUR_BAND=1: the default
+        # path must be the one proven on the chip (round-4 verdict: the band
+        # shipped default-on with a Mosaic compile failure); flip the default
+        # only with a committed on-chip A/B win over the 3-launch chain.
         import os as _os
         band_ok = (fused_ok and mesh is None
                    and not (_pb.active() or _pb.show_active())
-                   and _os.environ.get("NRDTPU_REBLUR_BAND") != "0")
+                   and _os.environ.get("NRDTPU_REBLUR_BAND", "0") == "1")
         if band_ok:
             from ...kernels.reblur_band import reblur_spatial_band
             af_diff = (s.enableAntiFirefly and not self.occlusion

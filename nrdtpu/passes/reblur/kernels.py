@@ -2031,34 +2031,6 @@ def _fused_hfix_params(sc, dc, geom, signal, data1, is_diffuse):
     return p
 
 
-def _hfix_post(sc, dc, geom, r, signal, sh, fast_history, stride, frame_num,
-               is_diffuse, occ_like, occlusion, directional, anti_firefly):
-    """Post-kernel fast-history clamp chain (history_fix pallas branch, kept 1:1)."""
-    signal_out = jnp.where((stride != 0.0)[..., None], r["signal"], signal)
-    sh_out = None
-    if sh is not None:
-        sh_out = jnp.where((stride != 0.0)[..., None], r["sh"], sh)
-    f = nm.saturate(frame_num / (dc["history_fix_frame_num"] + NRD_EPS))
-    if not is_diffuse:
-        f = nm.lerp(1.0, f, geom["smc"])
-    fast_out = nm.lerp(C.get_luma(signal_out, occ_like), fast_history, f)
-    sigma = nm.get_std_dev(r["m1"], r["m2"]) * C.color_clamping_sigma_scale(occ_like)
-    luma = C.get_luma(signal_out, occ_like)
-    if anti_firefly:
-        asig = nm.get_std_dev(r["am1"], r["am2"]) * C.REBLUR_ANTI_FIREFLY_SIGMA_SCALE
-        luma = jnp.clip(luma, r["am1"] - asig, r["am1"] + asig)
-    luma_clamped = jnp.clip(luma, r["m1"] - sigma, r["m1"] + sigma)
-    fast_enabled = (dc["max_fast_accumulated_frame_num"]
-                    < dc["max_accumulated_frame_num"]).astype(jnp.float32)
-    luma = nm.lerp(luma_clamped, luma, 1.0 / (1.0 + fast_enabled * frame_num * 2.0))
-    signal_out = C.change_luma(signal_out, luma, occlusion, directional)
-    if sh_out is not None:
-        scale = C.get_luma_scale(nm.length(sh_out[..., :3]), luma)
-        sh_out = jnp.concatenate([sh_out[..., :3] * scale[..., None],
-                                  sh_out[..., 3:]], -1)
-    return signal_out, fast_out, sh_out
-
-
 @jax.named_scope("REBLUR/fused_history_fix")
 def fused_history_fix(sc, dc, geom, view_z_in, config, *, diff=None, spec=None,
                       occlusion=False, directional=False, perf_mode=False, mesh=None):
@@ -2088,15 +2060,14 @@ def fused_history_fix(sc, dc, geom, view_z_in, config, *, diff=None, spec=None,
         nv=geom["nv"], roughness=geom["roughness"],
         material_id=geom["material_id"], ga=geom["ga"], gb=geom["gb"],
         frustum_size=geom["frustum_size"], perf_mode=perf_mode,
-        dead=geom.get("dead"), mesh=mesh)
+        dead=geom.get("dead"), mesh=mesh,
+        occlusion=occlusion, directional=directional)
 
+    # the fast-history clamp chain (_hfix_post) runs IN-KERNEL since round 5 -
+    # the launch returns final (signal, fast, sh) directly
     out = {}
-    occ_like = occlusion or directional
-    for (name, s, is_d), p, r in zip(order, signals, res):
-        out[name] = _hfix_post(sc, dc, geom, r, s["signal"], s.get("sh"),
-                               s["fast_history"], p["stride"], p["frame_num"], is_d,
-                               occ_like, occlusion, directional,
-                               bool(s.get("anti_firefly")))
+    for (name, s, is_d), r in zip(order, res):
+        out[name] = (r["signal"], r["fast"], r["sh"])
     return out
 
 

@@ -445,3 +445,27 @@ def test_reblur_checkerboard_pallas(pallas_interpret):
     assert np.isfinite(a).all()
     corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
     assert corr > 0.97, corr
+
+
+@pytest.mark.slow
+def test_reblur_band_matches_fused(pallas_interpret, monkeypatch):
+    """REBLUR HistoryFix+Blur+PostBlur band pipeline (kernels/reblur_band.py,
+    opt-in NRDTPU_REBLUR_BAND=1) vs the default 3-launch fused chain.
+
+    The band re-schedules the SAME tap formulas through sliding VMEM buffers;
+    block-boundary jitter differs, so the comparison is statistical. Interpret
+    mode validates semantics only - Mosaic legality needs a real-TPU run
+    (ARCHITECTURE.md section 8)."""
+    import os
+
+    def run(band):
+        monkeypatch.setenv("NRDTPU_REBLUR_BAND", "1" if band else "0")
+        return _run_reblur_ds(3, size=(128, 96))
+
+    d_b, s_b = run(True)
+    d_f, s_f = run(False)
+    for a, b, name in ((d_b, d_f, "diff"), (s_b, s_f, "spec")):
+        assert np.isfinite(a).all(), name
+        corr = np.corrcoef(a[..., :3].ravel(), b[..., :3].ravel())[0, 1]
+        assert corr > 0.98, (name, corr)
+        assert np.abs(a - b).mean() < 0.05, (name, np.abs(a - b).mean())
