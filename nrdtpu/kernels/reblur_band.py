@@ -1,7 +1,8 @@
 """REBLUR HistoryFix + Blur + PostBlur in ONE Pallas launch (band pipeline).
 
-Port of the SIGMA band pipeline (kernels/sigma_band.py, see its docstring for the
-schedule/DMA rationale) to the REBLUR spatial chain. The 3-launch chain costs
+Band pipeline for the REBLUR spatial chain (the SIGMA twin was deleted in
+round 5 after losing its on-chip A/B 19.5 vs 5.96 ms; this one stays opt-in
+with its own A/B on record - see ARCHITECTURE.md section 8). The 3-launch chain costs
 10.4 + 4.9 + 4.9 ms plus XLA glue at 1440p (bench_stages.json), with each launch
 re-DMAing 4x-amplified halo windows of the SAME geometry planes. Here the grid
 walks full-width row bands; at step i:
@@ -300,7 +301,7 @@ def _band_kernel(descs, n_dirs, mat_occ, any_spec, af_flags, af_radius, enc_err,
         g = _geom_mid(smem, z, nx, ny, nz, fxp, fyp)
         return z, rough, mat, g
 
-    # Row-chunked stages (see kernels/sigma_band.py): each 40-row band computes
+    # Row-chunked stages: each 40-row band computes
     # in RC=8-row slices so the cores' live accumulators are (8, w) values
     # (~6 vregs vs ~30 for the full band - no spills). The chunk loop is a
     # PYTHON loop on purpose: a fori_loop makes the chunk base traced, and the

@@ -86,32 +86,12 @@ class SigmaDenoiser:
         pallas_ok = use_pallas() and self.channels <= blur_channels
         rs_static = self.config.rect_size == self.config.resource_size
 
-        # single-launch band pipeline (blur1+blur2+TS); see kernels/sigma_band.py
-        from ...utils import probe as _pb
-        import os as _os
-        # opt-IN while the band trails the 3-launch path on chip (11.7 vs 6.1 ms
-        # at 1440p: per-step DMA stalls + register spills at the wide column
-        # split - see bench_band.py); flip to default when it wins
-        band_ok = (pallas_ok and rs_static and self._stabilization
-                   and mv is not None and not _pb.active()
-                   and _os.environ.get("NRDTPU_SIGMA_BAND", "0") == "1")
-        if band_ok:
-            from ...kernels.sigma_band import sigma_band_pallas
-            if mv.ndim == 3 and mv.shape[-1] == 2:
-                mv = jnp.concatenate([mv, jnp.zeros_like(mv[..., :1])], -1)
-            out, new_prev_view_z, new_history_len = sigma_band_pallas(
-                sc, dc, penumbra, shadow_in0, view_z, normal_roughness,
-                tiles_smoothed, mv, state["shadow_history"],
-                state["prev_view_z"], state["history_len"],
-                channels=self.channels, translucent=self.translucent)
-            new_state = {"shadow_history": out, "prev_view_z": new_prev_view_z,
-                         "history_len": new_history_len}
-            out = K.split_screen(sc, penumbra, view_z, out, translucency,
-                                 channels=self.channels)
-            from ...config import requantize_state
-            return ({ResourceType.OUT_SHADOW_TRANSLUCENCY: out},
-                    requantize_state(state, new_state))
-
+        # The single-launch band pipeline (blur1+blur2+TS in one Pallas call with
+        # sliding VMEM buffers) was DELETED in round 5 after the on-chip A/B:
+        # 19.5 ms vs 5.96 ms for the 3-launch chain at 1440p (per-grid-step
+        # window re-DMA + serial in-kernel DMA waits dominate; see
+        # ARCHITECTURE.md section 8 and the REBLUR twin's numbers in
+        # bench_details.json). Don't carry a slower parallel implementation.
         if pallas_ok:
 
             penum1, shadow1 = sigma_blur_pallas(

@@ -81,51 +81,6 @@ def test_sigma_pallas_matches_xla_path(pallas_interpret):
     assert np.abs(a - b).mean() < 0.03
 
 
-@pytest.mark.slow
-def test_sigma_band_translucency_matches_xla(pallas_interpret, monkeypatch):
-    """SIGMA_SHADOW_TRANSLUCENCY through the band pipeline (kernels/sigma_band.py)
-    vs the XLA path: 4 channels + the multi-column-split path under motion.
-
-    The band is opt-in while it trails the 3-launch path on chip (see
-    passes/sigma/denoiser.py) - this test opts in to keep its parity pinned."""
-    monkeypatch.setenv("NRDTPU_SIGMA_BAND", "1")
-
-    def run(n_frames):
-        gen = SceneGenerator(SceneSpec(size=(512, 96)), camera_mode="orbit")
-        eng = Engine({0: Denoiser.SIGMA_SHADOW_TRANSLUCENCY}, resource_size=(512, 96))
-        rng = np.random.default_rng(3)
-        trans = rng.uniform(0.0, 1.0, (96, 512, 4)).astype(np.float32)
-        outs = None
-        for i in range(n_frames):
-            fd = gen.frame(i)
-            eng.set_common_settings(fd.common_settings)
-            pool = {
-                RT.IN_PENUMBRA: np.asarray(fe.sigma_pack_penumbra_directional(
-                    jnp.asarray(fd.dist_to_occluder), 0.15)),
-                RT.IN_VIEWZ: fd.view_z,
-                RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
-                RT.IN_MV: fd.mv,
-                RT.IN_TRANSLUCENCY: trans,
-            }
-            outs = eng.denoise([0], pool)
-        return np.asarray(outs[RT.OUT_SHADOW_TRANSLUCENCY])
-
-    out_p = run(3)
-    os.environ["NRDTPU_IMPL"] = "xla"
-    try:
-        out_x = run(3)
-    finally:
-        os.environ["NRDTPU_IMPL"] = "pallas"
-    assert out_p.shape[-1] == 4 and np.isfinite(out_p).all()
-    a, b = out_p.ravel(), out_x.ravel()
-    corr = np.corrcoef(a, b)[0, 1]
-    # uniform-noise translucency is the worst case for path agreement: the
-    # 3-launch pallas path itself only reaches 0.966 against XLA here; the band
-    # path measures 0.980 (closer - no sqrt-pack round trips between stages)
-    assert corr > 0.97, corr
-    assert np.abs(a - b).mean() < 0.03
-
-
 def test_sigma_pallas_nopad_path(pallas_interpret):
     """Aligned size (h%8==0, w%128==0, >= window) exercises the clamped-DMA no-pad mode."""
     global SIZE
