@@ -211,3 +211,28 @@ def test_block_skip_culls_windows(interpret):
     assert np.allclose(out[px], 1.0)
     # live blocks: untouched
     assert np.allclose(out[~px], img[~px] + 1.0)
+
+
+def test_block_wide_flag_gates_exact_capture():
+    """block_wide_flag: pans (residual < 1 px everywhere) stay narrow; a zoom-like
+    in-block motion gradient > 1 px flags the block wide (reblur_pallas
+    _smb_kernel's block-adaptive exact-capture fork)."""
+    import jax.numpy as jnp
+    from nrdtpu.kernels.reproject import block_motion_base, block_wide_flag
+
+    h, w = 96, 128
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    # pure pan with fractional part: residual 0.5 px everywhere -> narrow
+    mvy = np.full((h, w), 2.5, np.float32)
+    mvx = np.full((h, w), 4.5, np.float32)
+    by, bx = block_motion_base(jnp.asarray(mvy), jnp.asarray(mvx))
+    wf = np.asarray(block_wide_flag(jnp.asarray(mvy), jnp.asarray(mvx), by, bx))
+    assert wf.max() == 0.0, wf
+
+    # zoom-like radial gradient: +-3 px across the frame -> wide blocks exist
+    mvx_z = ((xx - w / 2) / (w / 2) * 3.0).astype(np.float32)
+    mvy_z = ((yy - h / 2) / (h / 2) * 3.0).astype(np.float32)
+    by, bx = block_motion_base(jnp.asarray(mvy_z), jnp.asarray(mvx_z))
+    wf = np.asarray(block_wide_flag(jnp.asarray(mvy_z), jnp.asarray(mvx_z), by, bx))
+    assert wf.max() == 1.0, wf
