@@ -292,7 +292,13 @@ def sigma_blur_pallas2(sc, dc, penumbra_in, shadow_in, view_z_in, normal_roughne
     if has_shadow_in:
         if shadow_in.ndim == 2:
             shadow_in = shadow_in[..., None]
-        shadow_planes = [shadow_in[..., c] for c in range(channels)]
+        # shadow rides bf16: sqrt-packed [0,1] values (8-bit-class data, the
+        # reference stores them as unorm8/16) - a bf16 tap load is ~2.4x
+        # cheaper than f32 (bench_micro), and the translucency variant pays
+        # 4 planes x 33 taps of them. The conversion round trip costs ~4
+        # plane-writes, net win for channels > 1 and neutral for shadow.
+        shadow_planes = [shadow_in[..., c].astype(jnp.bfloat16)
+                         for c in range(channels)]
     else:
         shadow_planes = []
 
