@@ -135,7 +135,7 @@ def test_fused_hfix_sharded_equals_unsharded(pallas_interpret, mesh):
             material_id=geom["material_id"], ga=geom["ga"], gb=geom["gb"],
             frustum_size=geom["frustum_size"], dead=geom["dead"], mesh=m)
         return [np.asarray(r["signal"]) for r in res] \
-            + [np.asarray(r["m1"]) for r in res]
+            + [np.asarray(r["fast"]) for r in res]
 
     ref = run(None)
     got = run(mesh)
