@@ -185,3 +185,41 @@ def test_relax_checkerboard_modes():
     assert np.isfinite(half).all()
     corr = np.corrcoef(half[..., :3].ravel(), full[..., :3].ravel())[0, 1]
     assert corr > 0.9, corr
+
+
+@pytest.mark.parametrize("camera", ["orbit", "zoom"])
+def test_relax_history_retention_under_camera_motion(pallas_interpret, camera):
+    """RELAX twin of the REBLUR retention test: the block-adaptive exact residual
+    capture in the RELAX smb/vmb loaders (relax_pallas, round 5) must hold the
+    history length the per-pixel XLA path holds under rotating/zooming cameras
+    (pre-fix, clipped sampling froze accumulation at every dev > 1 px pixel)."""
+    import os
+
+    from nrdtpu.utils.scene import SceneGenerator, SceneSpec
+
+    def run(impl):
+        os.environ["NRDTPU_IMPL"] = impl
+        try:
+            gen = SceneGenerator(SceneSpec(size=(128, 96), noise=0.3),
+                                 camera_mode=camera)
+            eng = Engine({0: Denoiser.RELAX_DIFFUSE}, resource_size=(128, 96))
+            for i in range(6):
+                fd = gen.frame(i)
+                eng.set_common_settings(fd.common_settings)
+                eng.denoise([0], {
+                    RT.IN_VIEWZ: fd.view_z,
+                    RT.IN_NORMAL_ROUGHNESS: gen.packed_normal_roughness(fd),
+                    RT.IN_MV: fd.mv,
+                    RT.IN_DIFF_RADIANCE_HITDIST: diff_packed(fd),
+                })
+            state = eng.get_state(0)
+            hit = np.asarray(gen.frame(5).hit_mask) > 0.5
+            return float(np.asarray(state["history_length"])[hit].mean())
+
+        finally:
+            os.environ["NRDTPU_IMPL"] = "pallas"
+
+    hl_pallas = run("pallas")
+    hl_xla = run("xla")
+    assert hl_xla > 2.0, hl_xla
+    assert hl_pallas > 0.9 * hl_xla, (hl_pallas, hl_xla)
